@@ -1,0 +1,187 @@
+"""Deduplication operators: exact, ReplacingMergeTree-style, MinHash-LSH,
+SimHash.
+
+The reference delegates dedup to ClickHouse's ReplacingMergeTree
+(/root/reference/README.md:14: rows with equal sorting key collapse at
+merge time) and additionally dedups in-flight against a seen-id frontier
+(cmd/gh-archived/main.go:152-162). Here both become engine-defined
+operators; the fuzzy variants (MinHash/SimHash) are the LLM-pipeline
+extensions, built shuffle-lean for 100 TB:
+
+- Signatures are computed **per row with higher-order functions** (no
+  explode, no shuffle, no Python) — a doc's minhash signature is
+  ``array_min(transform(shingles, h_i))`` for each of K hash functions.
+- Candidate generation is **banded LSH**: only docs sharing a band
+  bucket ever meet in a join, so the O(n²) pair space never
+  materializes; the bucket join shuffles on (band, band_hash), which is
+  uniformly distributed by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from gh_archive_clickhouse_spark.functions.hashing import (
+    MERSENNE31,
+    word_hash31,
+)
+from gh_archive_clickhouse_spark.functions.text import tokens, word_shingles
+
+
+def latest_by_key(
+    df: DataFrame, keys: list[str], order: list[Column]
+) -> DataFrame:
+    """ReplacingMergeTree read semantics: one row per key, last wins.
+
+    ``order`` must be a deterministic total order (include tie-breaker
+    columns) so results are stable across engines and retries — the
+    analog of ClickHouse keeping the last-inserted row for equal
+    sorting keys, pinned to a deterministic rule (SURVEY.md §7 risk
+    register).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact content dedup via sha2-256 content hash.
+
+    Keeps the lowest id per hash (deterministic representative). The
+    groupBy shuffles on the 256-bit hash — perfectly uniform keys, no
+    skew, and map-side partial aggregation keeps shuffle volume at
+    one row per distinct hash per task.
+    """
+    hashed = df.withColumn("text_sha", F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy("text_sha").orderBy(F.col(id_col).asc())
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures, computed entirely row-local (narrow plan).
+
+    For each universal hash h_i(x) = ((2i+1)x + 12345i+17) mod 2^31-1
+    over 31-bit shingle hashes, the signature element is the min over
+    the document's shingle set. ``transform``+``array_min`` evaluate
+    inside codegen per row — at 100 TB this is a map-only stage.
+
+    Output: id_col, minhash (array<long> of length num_hashes).
+    Documents with fewer than ``shingle_k`` tokens get an empty shingle
+    set and a signature of p (the modulus) — they never collide.
+    """
+    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_k))
+    hashed = F.transform(sh, lambda s: word_hash31(s))
+
+    def _hash_i(a: int, b: int):
+        # closure factory: PySpark derives lambda arity from the
+        # signature, so default-arg binding must not add parameters
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE31)
+
+    elems = []
+    for i in range(num_hashes):
+        hi = F.transform(hashed, _hash_i(2 * i + 1, 12345 * i + 17))
+        elems.append(
+            F.coalesce(F.array_min(hi), F.lit(MERSENNE31)).alias(f"mh{i}")
+        )
+    return df.select(F.col(id_col), F.array(*elems).alias("minhash"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded-LSH candidate pairs from minhash signatures.
+
+    Each signature splits into ``bands`` bands of ``rows_per_band``
+    values; a band collapses to one 31-bit key by a Horner fold. Docs
+    meet only inside equal (band_id, band_key) buckets — the join
+    shuffles on those uniform keys instead of exploding n².
+
+    Output: doc_a < doc_b candidate pairs (distinct).
+    """
+    band_cols = []
+    for b in range(bands):
+        acc = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            acc = (acc * F.lit(31) + F.col("minhash")[b * rows_per_band + r]) % F.lit(
+                MERSENNE31
+            )
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), acc.alias("band_key")))
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> DataFrame:
+    """60-bit SimHash over the distinct-word set, row-local.
+
+    Classic sign-of-sums: bit b of the fingerprint is 1 iff the sum of
+    (±1 per word, + when word-hash bit b is set) is positive. Computed
+    with nested higher-order functions (transform over bits, aggregate
+    over words) — again a map-only stage, no shuffle, no UDF.
+
+    60 bits (not 64) because the portable md5-derived hash yields 60
+    clean bits without signed-overflow edge cases.
+    """
+    from gh_archive_clickhouse_spark.functions.hashing import md5_long
+
+    words = F.array_distinct(tokens(F.col(text_col)))
+    # One 60-bit md5-derived hash per distinct word, computed once and
+    # reused by every bit position below.
+    with_hashes = df.withColumn(
+        "__wh", F.transform(words, lambda w: md5_long(w))
+    )
+    def _vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    fingerprint = F.lit(0).cast("long")
+    for b in range(bits):
+        vote_b = F.aggregate(
+            F.col("__wh"), F.lit(0).cast("long"), _vote(b)
+        )
+        fingerprint = fingerprint + F.when(
+            vote_b > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return with_hashes.select(F.col(id_col), fingerprint.alias("simhash"))

@@ -1,0 +1,93 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Design (the part that matters at 100 TB):
+
+- Media travel as ``binary`` columns with a typed metadata struct
+  (modality, mime, n_bytes, sha) — schema-first, so Catalyst can prune
+  the (huge) payload column whenever a query touches only metadata.
+- Decode / feature-extract run as ``mapInPandas`` over Arrow batches:
+  payload bytes never round-trip through Python row objects, and batch
+  size bounds executor memory (`spark.sql.execution.arrow.
+  maxRecordsPerBatch`).
+- The actual codec calls are STUBBED (no image/audio libs in this
+  container): ``decode_image_meta`` parses only deterministic header
+  fields; ``_decode_pixels`` raises NotImplementedError and documents
+  the real implementation point.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Schema of the decoded-feature output of `extract_image_features`.
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, sha string, fake_width int, fake_height int"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Demo payload builder: treat the utf-8 bytes of a text column as
+    an opaque binary blob plus typed metadata. In production the blob
+    comes from `spark.read.format("binaryFile")` or a bytes column in
+    parquet; everything downstream only assumes (payload, meta)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    meta = F.struct(
+        F.lit("text/plain").alias("mime"),
+        F.lit("doc").alias("modality"),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+        F.sha2(F.col(text_col), 256).alias("sha"),
+    )
+    return df.select(F.col(id_col), payload.alias("payload"), meta.alias("meta"))
+
+
+def _decode_pixels(payload: bytes) -> "object":
+    """Real image decode would go here (PIL/libvips/ffmpeg). The
+    container ships no media libraries, so this is a declared stub —
+    the Spark-side contract (signature, batching, schema) is the part
+    under test."""
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not present in "
+        "this environment; plug PIL/torchvision/ffmpeg in here"
+    )
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Uses a deterministic fake 'decode' (byte-length-derived dimensions)
+    in place of `_decode_pixels` so the distributed plumbing — Arrow
+    batch iteration, schema, partition-parallelism — is real and
+    testable without codecs.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n_bytes,
+                    "sha": pdf["meta"].map(lambda m: m["sha"]),
+                    # deterministic fake decode: pretend square-ish frames
+                    "fake_width": (n_bytes % 640).astype("int32"),
+                    "fake_height": (n_bytes % 480).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, every_nth: int = 10, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-sampling plumbing for video-like payloads: deterministic
+    downsample keeping every n-th row per modality — a stand-in for
+    per-video frame extraction that keeps the partition-local,
+    shuffle-free shape real."""
+    return df.filter((F.col(id_col) % every_nth) == 0)

@@ -1,0 +1,49 @@
+"""Gap-based sessionization (batch form of streaming session windows).
+
+The batch analog of ``session_window(ts, gap)``: a new session starts
+when the gap to the previous event of the same user exceeds the
+threshold. One shuffle (partitionBy user) feeds both window passes and
+the final per-session aggregate — Catalyst reuses the partitioning, so
+this is a single exchange at any scale. Gap comparison is done on
+microsecond integers so batch, streaming, and SQL oracles agree
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign session ids and aggregate per session.
+
+    Output: user_id, session_id (1-based per user), n_events,
+    duration_us, start_s (formatted string start time).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(order_tiebreak).asc()
+    )
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    new_sess = F.when(
+        prev_us.isNull() | ((us - prev_us) > F.lit(gap_us)), 1
+    ).otherwise(0)
+    with_sess = df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return with_sess.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(us) - F.min(us)).alias("duration_us"),
+        F.date_format(F.min(F.col(ts_col)), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "start_s"
+        ),
+    )

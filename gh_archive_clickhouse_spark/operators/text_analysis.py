@@ -1,0 +1,152 @@
+"""Text analysis: language ID, quality scoring, token stats,
+document fingerprinting.
+
+All map-only Catalyst plans (split/transform/aggregate built-ins): at
+100 TB these run as a single scan stage with no shuffle; the only
+shuffles are the final small aggregations (per-language histograms).
+Hashes are the engine-portable md5-derived family (functions/hashing)
+so every result is reproducible by an external SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gh_archive_clickhouse_spark.functions.hashing import MERSENNE31, word_hash31
+from gh_archive_clickhouse_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    tokens,
+)
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic language ID: count function-word markers per language
+    over the distinct-token set; argmax with (score desc, lang asc)
+    tie-break; 'und' (undetermined) when no marker hits at all.
+
+    Output: id_col, pred_lang, score.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scored = df.withColumn("__toks", toks)
+    lang_structs = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        score = F.size(F.array_intersect(F.col("__toks"), markers))
+        lang_structs.append(
+            F.struct(score.alias("score"), F.lit(lang).alias("lang"))
+        )
+    # Deterministic argmax via explicit fold: score desc, lang asc tie.
+    arr = F.array(*lang_structs)
+    best = F.aggregate(
+        arr,
+        F.struct(
+            F.lit(-1).alias("score"), F.lit("zzz").alias("lang")
+        ),
+        lambda acc, s: F.when(
+            (s["score"] > acc["score"])
+            | ((s["score"] == acc["score"]) & (s["lang"] < acc["lang"])),
+            s,
+        ).otherwise(acc),
+    )
+    return scored.select(
+        F.col(id_col),
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "pred_lang"
+        ),
+        F.greatest(best["score"], F.lit(0)).alias("score"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic quality features + a composite score.
+
+    Features: token count, mean token length, stopword ratio,
+    punctuation ratio, alpha ratio. Score is a fixed linear blend in
+    [0,1] — the point is a reproducible ranking signal, not a model.
+    Output columns are rounded to 6 decimals for engine parity.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mean_tok_len = F.when(
+        n_tok > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).cast("double")
+        / n_tok,
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = F.when(n_tok > 0, n_stop.cast("double") / n_tok).otherwise(0.0)
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), "[.,;:!?]", ""))
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(0.0)
+    n_alpha = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), "[a-zA-Z]", "")
+    )
+    alpha_ratio = F.when(n_chars > 0, n_alpha.cast("double") / n_chars).otherwise(0.0)
+    # Fixed blend: long-enough, word-shaped, some-but-not-all stopwords.
+    length_term = F.least(n_tok.cast("double") / F.lit(64.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * length_term
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.2) * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.3)))
+        + F.lit(0.1) * (F.lit(1.0) - punct_ratio)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_tokens: int = 32,
+    multiplier: int = 131,
+) -> DataFrame:
+    """Rolling polynomial fingerprint of the first N tokens.
+
+    fp = fold(acc * 131 + h31(token)) mod 2^31-1 over the first
+    ``prefix_tokens`` tokens — a cheap prefix-dup detector. All
+    arithmetic stays < 2^39, no overflow on any engine.
+    """
+    toks = F.slice(tokens(F.col(text_col)), 1, prefix_tokens)
+    hashed = F.transform(toks, lambda t: word_hash31(t))
+    fp = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(multiplier) + h) % F.lit(MERSENNE31),
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def token_lang_stats(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-language corpus stats: docs, tokens, chars.
+
+    Output: lang, n_docs, n_tokens, sum_chars, avg_tokens (round 6).
+    """
+    n_tok = F.size(tokens(F.col(text_col)))
+    return (
+        df.select(F.col(lang_col).alias("lang"), n_tok.alias("__nt"), "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg(F.col("__nt").cast("double")), 6).alias("avg_tokens"),
+        )
+    )

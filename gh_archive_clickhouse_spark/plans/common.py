@@ -1,0 +1,75 @@
+"""Shared bits for the query library.
+
+Engine-parity conventions used by every query (the driver hash-compares
+Spark output against DuckDB running the oracle SQL on the same files):
+
+- **Timestamps leave as strings** (`ts_fmt` / strftime '%…%f'): avoids
+  tz/precision representation drift between engines.
+- **Derived doubles are rounded** — 2 decimals for money sums (inputs
+  are 2-decimal, so true sums sit ~1e-9 from representable 2-decimal
+  values, far from the 0.005 rounding boundary), 6 decimals for
+  avg/ratio-style values (error ~1e-12 « 5e-7 boundary). Pass-through
+  doubles are NOT rounded (bit-identical already).
+- **Every computed column is aliased identically** in the DataFrame
+  plan and the oracle SQL (the driver sorts columns by name).
+- **Deterministic total orders** everywhere a limit or row_number
+  could tie.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Spark datetime pattern ≍ DuckDB strftime('%Y-%m-%d %H:%M:%S.%f'):
+# microseconds, zero-padded to 6.
+TS_PATTERN_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def ts_fmt(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, TS_PATTERN_SPARK)
+
+
+@dataclass(frozen=True)
+class Query:
+    """One declared query: a DataFrame builder + its DuckDB oracle.
+
+    ``oracle`` is None only for operators whose semantics are not
+    SQL-expressible (custom streaming state, ingestion); the driver
+    then records a weaker rows-only check.
+    """
+
+    name: str
+    description: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = field(default=())
+
+
+def read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a fixture table, normalizing nanosecond timestamps.
+
+    The events fixture stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; we read nanos as long and floor-divide to
+    microseconds — the same truncation DuckDB applies when casting its
+    TIMESTAMP_NS to TIMESTAMP, so both engines see identical values.
+    """
+    # Harden against caller-provided sessions (the driver builds its
+    # own SparkSession): nanosecond parquet support and a UTC session
+    # timezone are part of this engine's semantics, not optional tuning
+    # — timestamp formatting must not depend on the host JVM timezone.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    for f_ in df.schema.fields:
+        if f_.name == "ts" and f_.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return df

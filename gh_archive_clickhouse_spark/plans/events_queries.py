@@ -1,0 +1,223 @@
+"""Qe1–Qe7: the event-stream query surface (SURVEY.md §2.5).
+
+These reproduce, over the driver's ``events`` fixture, the semantics
+the reference's DDL contracts to ClickHouse (dedup view D1, daily
+rollup D2, TTL D4 — /root/reference/README.md:9-17) plus the
+JSON-projection path the Go parser implements row-wise
+(internal/gh/gh.go:92-125 → here a codegen'd get_json_object).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gh_archive_clickhouse_spark.operators.dedup import latest_by_key
+from gh_archive_clickhouse_spark.operators.sessionize import sessionize
+from gh_archive_clickhouse_spark.plans.common import Query, read, ts_fmt
+
+# Deterministic "last wins" total order for the ReplacingMergeTree-style
+# dedup view: newest ts first, then value/user/type/props tie-breakers.
+_DEDUP_ORDER_SQL = (
+    "ts DESC, value DESC, user_id DESC, event_type DESC, props DESC"
+)
+
+
+def qe1_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    deduped = latest_by_key(
+        ev,
+        ["event_id"],
+        [
+            F.col("ts").desc(),
+            F.col("value").desc(),
+            F.col("user_id").desc(),
+            F.col("event_type").desc(),
+            F.col("props").desc(),
+        ],
+    )
+    return deduped.select(
+        "event_id",
+        ts_fmt("ts").alias("ts_s"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def qe2_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyyMMdd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def qe3_json_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id", k.alias("k"), "event_type"
+    ).filter(F.col("k") > 50)
+
+
+def qe4_hourly_type_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.groupBy(hour.alias("hour_s"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def qe5_ttl_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    cutoff = F.col("__mx") - F.expr("INTERVAL 3 DAYS")
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .agg(
+            F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0)).alias(
+                "n_survivors"
+            ),
+            F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0)).alias(
+                "n_expired"
+            ),
+        )
+    )
+
+
+def qe6_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+def qe7_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    return sessionize(ev, gap_minutes=30)
+
+
+QUERIES = [
+    Query(
+        "qe1_dedup_latest",
+        "ReplacingMergeTree read semantics (D1): one row per event_id, "
+        "newest wins under a deterministic total order",
+        qe1_dedup_latest,
+        f"""
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+               user_id, event_type, value
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY event_id ORDER BY {_DEDUP_ORDER_SQL}) AS rn
+          FROM events
+        ) WHERE rn = 1
+        """,
+        tags=("events", "dedup", "window"),
+    ),
+    Query(
+        "qe2_daily_rollup",
+        "daily partition rollup (D2): count/distinct-users/sum per day",
+        qe2_daily_rollup,
+        """
+        SELECT strftime(ts, '%Y%m%d') AS day,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1
+        """,
+        tags=("events", "agg"),
+    ),
+    Query(
+        "qe3_json_projection",
+        "schema-on-read JSON projection (P1): extract props.k, filter",
+        qe3_json_projection,
+        """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               event_type
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        """,
+        tags=("events", "json"),
+    ),
+    Query(
+        "qe4_hourly_type_series",
+        "tumbling 1h time series per event_type",
+        qe4_hourly_type_series,
+        """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
+               event_type,
+               count(*) AS n,
+               round(avg(value), 6) AS avg_value,
+               round(sum(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+        tags=("events", "agg", "timeseries"),
+    ),
+    Query(
+        "qe5_ttl_survivors",
+        "TTL simulation (D4): rows surviving a 3-day event-time TTL "
+        "anchored at max(ts)",
+        qe5_ttl_survivors,
+        """
+        SELECT sum(CASE WHEN ts >= mx - INTERVAL 3 DAY THEN 1 ELSE 0 END) AS n_survivors,
+               sum(CASE WHEN ts <  mx - INTERVAL 3 DAY THEN 1 ELSE 0 END) AS n_expired
+        FROM events, (SELECT max(ts) AS mx FROM events)
+        """,
+        tags=("events", "ttl"),
+    ),
+    Query(
+        "qe6_topk_users",
+        "top-10 most active users (sort/limit with deterministic ties)",
+        qe6_topk_users,
+        """
+        SELECT user_id, count(*) AS n
+        FROM events GROUP BY user_id
+        ORDER BY n DESC, user_id ASC LIMIT 10
+        """,
+        tags=("events", "topk"),
+    ),
+    Query(
+        "qe7_sessionization",
+        "gap-based sessionization (30 min) — batch analog of streaming "
+        "session windows",
+        qe7_sessionization,
+        """
+        WITH ordered AS (
+          SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events
+        ), flagged AS (
+          SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                         THEN 1 ELSE 0 END AS new_sess
+          FROM ordered
+        ), sess AS (
+          SELECT *, CAST(sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM flagged
+        )
+        SELECT user_id, session_id,
+               count(*) AS n_events,
+               max(us) - min(us) AS duration_us,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_s
+        FROM sess GROUP BY user_id, session_id
+        """,
+        tags=("events", "session", "window"),
+    ),
+]

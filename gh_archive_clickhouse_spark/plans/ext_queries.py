@@ -1,0 +1,530 @@
+"""Qx: LLM-data-pipeline extension queries (SURVEY.md §2.6).
+
+Dedup (exact / MinHash-LSH / SimHash / fingerprint), similarity search
+(brute-force + IVF), text analysis (language-ID, quality, token stats),
+and multimodal metadata — each with a DuckDB oracle.
+
+The oracle SQL for the hash-heavy operators is *generated* by the same
+Python that parametrizes the Spark plans, so both engines provably
+evaluate the same formulas (portable md5-derived hashes, identical
+fold orders, identical tie-breaks). See functions/hashing.py for why
+md5-derived instead of engine-native hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gh_archive_clickhouse_spark.functions.hashing import MERSENNE31
+from gh_archive_clickhouse_spark.operators.dedup import (
+    dedup_exact_text,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from gh_archive_clickhouse_spark.operators.multimodal import attach_binary_payload
+from gh_archive_clickhouse_spark.operators.similarity import (
+    cosine_topk,
+    ivf_assign,
+    near_duplicate_pairs,
+)
+from gh_archive_clickhouse_spark.operators.text_analysis import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_lang_stats,
+)
+from gh_archive_clickhouse_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    tokens,
+    word_shingles,
+)
+from gh_archive_clickhouse_spark.plans.common import Query, read
+
+# ---------------------------------------------------------------- SQL
+# generators: DuckDB fragments mirroring functions/hashing + text.
+
+# distinct non-empty single-space tokens
+_SQL_TOKENS = "list_filter(string_split({col}, ' '), x -> x != '')"
+# 60-bit md5-derived hash of a string expression
+_SQL_MD5LONG = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+_P = MERSENNE31
+
+
+def _sql_word_hash31(x: str) -> str:
+    return f"({_SQL_MD5LONG.format(x=x)} % {_P})"
+
+
+def _sql_shingles(col: str, k: int) -> str:
+    """Distinct k-word shingles of a text column, as a DuckDB list."""
+    toks = _SQL_TOKENS.format(col=col)
+    return (
+        f"list_distinct(CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({toks}) - {k - 1}), "
+        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' ')) "
+        f"ELSE [] END)"
+    )
+
+
+def _sql_minhash_elems(num_hashes: int) -> list[str]:
+    """Per-i min-hash expressions over a hashed-shingle list column sh
+    (31-bit hashes); COALESCE to p for empty shingle sets."""
+    elems = []
+    for i in range(num_hashes):
+        a, b = 2 * i + 1, 12345 * i + 17
+        elems.append(
+            f"COALESCE(list_aggregate(list_transform(sh, "
+            f"x -> ({a} * x + {b}) % {_P}), 'min'), {_P})"
+        )
+    return elems
+
+
+def _sql_band_key(band: int, rows_per_band: int) -> str:
+    """Horner fold of one LSH band over minhash columns mh0..mhN."""
+    acc = "0"
+    for r in range(rows_per_band):
+        acc = f"(({acc}) * 31 + mh{band * rows_per_band + r}) % {_P}"
+    return acc
+
+
+def _sql_cosine(e1: str, e2: str) -> str:
+    """Double-precision cosine of two DOUBLE[] expressions (sequential
+    fold order matches Spark's aggregate/zip_with)."""
+    dot = f"list_aggregate(list_transform({e1}, (x,i) -> x * ({e2})[i]), 'sum')"
+    n1 = f"sqrt(list_aggregate(list_transform({e1}, x -> x*x), 'sum'))"
+    n2 = f"sqrt(list_aggregate(list_transform({e2}, x -> x*x), 'sum'))"
+    return f"({dot} / ({n1} * {n2}))"
+
+
+# ------------------------------------------------------------ builders
+
+
+def qx1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents")
+    return dedup_exact_text(docs).select("doc_id", "text_sha", "lang")
+
+
+def qx2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    return cosine_topk(emb, query, k=10)
+
+
+def qx3_token_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_lang_stats(read(spark, sf_dir, "documents"))
+
+
+def qx4_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(read(spark, sf_dir, "documents"))
+
+
+def qx5_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(read(spark, sf_dir, "documents"))
+
+
+def qx6_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(read(spark, sf_dir, "documents"))
+
+
+def qx7_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(read(spark, sf_dir, "documents"))
+
+
+def qx8_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(read(spark, sf_dir, "documents"))
+    return sigs.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform(F.col("minhash"), lambda m: m.cast("string"))
+        ).alias("sig"),
+    )
+
+
+def qx9_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs + exact shingle-Jaccard verification.
+
+    The pair space is generated by band buckets (never n²); the
+    verification join re-reads only candidate docs' shingle sets.
+    """
+    docs = read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    ninter = F.size(F.array_intersect("sha_", "shb_"))
+    nunion = F.size("sha_") + F.size("shb_") - ninter
+    jac = F.when(
+        nunion > 0, F.round(ninter.cast("double") / nunion, 6)
+    ).otherwise(F.lit(0.0))
+    return joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+
+
+def qx10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read(spark, sf_dir, "embeddings")
+    return near_duplicate_pairs(emb, threshold=0.5)
+
+
+def qx11_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("c"),
+    )
+    return ivf_assign(emb, centroids)
+
+
+def qx12_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe: search only the query vector's IVF cluster.
+
+    At scale the assignment is a partitioned index (partitionBy
+    cluster_id) and this probe is a partition-pruned scan of
+    ~1/n_clusters of the data instead of a full sweep.
+    """
+    emb = read(spark, sf_dir, "embeddings")
+    assigned = qx11_ivf_assign(spark, sf_dir)
+    with_cluster = emb.join(assigned, "vec_id")
+    qrow = with_cluster.filter(F.col("vec_id") == 42).select(
+        F.col("embedding").alias("q"), F.col("cluster_id").alias("qc")
+    )
+    cluster_members = with_cluster.crossJoin(F.broadcast(qrow)).filter(
+        F.col("cluster_id") == F.col("qc")
+    )
+    from gh_archive_clickhouse_spark.functions.vectors import cosine_similarity
+
+    scored = cluster_members.select(
+        "vec_id",
+        F.round(cosine_similarity("embedding", "q"), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(5)
+
+
+def qm1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(docs)
+    return with_payload.select(
+        "doc_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha").alias("sha"),
+    )
+
+
+# -------------------------------------------------------------- oracle
+
+
+_TOKS = _SQL_TOKENS.format(col="text")
+_DTOKS = f"list_distinct({_TOKS})"
+
+
+def _sql_str_list(items: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{s}'" for s in items) + "]"
+
+
+_lang_score_rows = " UNION ALL ".join(
+    f"SELECT doc_id, '{lang}' AS lang, "
+    f"len(list_filter(toks, t -> list_contains({_sql_str_list(LANG_MARKERS[lang])}, t)))"
+    f" AS score FROM docs"
+    for lang in sorted(LANG_MARKERS)
+)
+_ORACLE_QX4 = f"""
+WITH docs AS (SELECT doc_id, {_DTOKS} AS toks FROM documents),
+scores AS (
+  {_lang_score_rows}
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rk
+  FROM scores
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+       CAST(greatest(score, 0) AS INTEGER) AS score
+FROM best WHERE rk = 1
+"""
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+_ORACLE_QX5 = f"""
+WITH feats AS (
+  SELECT doc_id,
+         {_TOKS} AS toks,
+         length(text) AS nch,
+         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS npunct,
+         length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS nalpha
+  FROM documents
+), d AS (
+  SELECT doc_id, len(toks) AS ntok,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+                AS DOUBLE) / len(toks) ELSE 0.0 END AS mean_tok_len,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, t -> list_contains({_STOP_LIST_SQL}, t)))
+                AS DOUBLE) / len(toks) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN nch > 0 THEN CAST(npunct AS DOUBLE) / nch ELSE 0.0 END AS punct_ratio,
+         CASE WHEN nch > 0 THEN CAST(nalpha AS DOUBLE) / nch ELSE 0.0 END AS alpha_ratio
+  FROM feats
+)
+SELECT doc_id,
+       CAST(ntok AS INTEGER) AS n_tokens,
+       round(mean_tok_len, 6) AS mean_token_len,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(0.4 * least(CAST(ntok AS DOUBLE) / 64.0, 1.0)
+           + 0.3 * alpha_ratio
+           + 0.2 * (1.0 - abs(stop_ratio - 0.3))
+           + 0.1 * (1.0 - punct_ratio), 6) AS quality
+FROM d
+"""
+
+_ORACLE_QX6 = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(({_TOKS})[1:32], t -> {_sql_word_hash31('t')}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                   (a, b) -> (a * 131 + b) % {_P}) AS fingerprint
+FROM d
+"""
+
+_SIMHASH_BITS = 60
+_simhash_terms = " + ".join(
+    f"(CASE WHEN list_aggregate(list_transform(wh, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+    f"THEN 1 ELSE -1 END), 'sum') > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END)"
+    for b in range(_SIMHASH_BITS)
+)
+_ORACLE_QX7 = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform({_DTOKS}, w -> {_SQL_MD5LONG.format(x='w')}) AS wh
+  FROM documents
+)
+SELECT doc_id, CAST({_simhash_terms} AS BIGINT) AS simhash FROM d
+"""
+
+_MINHASH_K = 16
+_mh_elems = _sql_minhash_elems(_MINHASH_K)
+_ORACLE_QX8 = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_transform({_sql_shingles('text', 3)}, s -> {_sql_word_hash31('s')}) AS sh
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string([{', '.join(_mh_elems)}], ',') AS sig
+FROM sh
+"""
+
+_BANDS, _RPB = 4, 4
+_mh_cols = ",\n         ".join(
+    f"{e} AS mh{i}" for i, e in enumerate(_mh_elems)
+)
+_band_rows = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, {_sql_band_key(b, _RPB)} AS band_key FROM sigs"
+    for b in range(_BANDS)
+)
+_ORACLE_QX9 = f"""
+WITH shl AS (
+  SELECT doc_id, {_sql_shingles('text', 3)} AS shs FROM documents
+), hashed AS (
+  SELECT doc_id, shs, list_transform(shs, s -> {_sql_word_hash31('s')}) AS sh
+  FROM shl
+), sigs AS (
+  SELECT doc_id, shs,
+         {_mh_cols}
+  FROM hashed
+), bands AS (
+  {_band_rows}
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_filter(a.shs, s -> list_contains(b.shs, s))) AS DOUBLE)
+             / (len(a.shs) + len(b.shs)
+                - len(list_filter(a.shs, s -> list_contains(b.shs, s)))),
+             6) AS jaccard
+FROM pairs
+JOIN sigs a ON a.doc_id = doc_a
+JOIN sigs b ON b.doc_id = doc_b
+"""
+
+_ED = "CAST(embedding AS DOUBLE[])"
+_ORACLE_QX2 = f"""
+WITH q AS (SELECT {_ED} AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round({_sql_cosine(_ED, 'qe')}, 6) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+_ORACLE_QX10 = f"""
+WITH e AS (SELECT vec_id, label, {_ED} AS ed FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_sql_cosine('a.ed', 'b.ed')}, 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round({_sql_cosine('a.ed', 'b.ed')}, 6) >= 0.5
+"""
+
+_ORACLE_QX11 = f"""
+WITH c AS (SELECT CAST(vec_id AS INTEGER) AS centroid_id, {_ED} AS cd
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round({_sql_cosine('CAST(e.embedding AS DOUBLE[])', 'c.cd')}, 6) AS sim
+  FROM embeddings e, c
+), best AS (
+  SELECT vec_id, centroid_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rk
+  FROM scored
+)
+SELECT vec_id, centroid_id AS cluster_id FROM best WHERE rk = 1
+"""
+
+_ORACLE_QX12 = f"""
+WITH c AS (SELECT CAST(vec_id AS INTEGER) AS centroid_id, {_ED} AS cd
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, {_ED.replace('embedding', 'e.embedding')} AS ed, c.centroid_id,
+         round({_sql_cosine('CAST(e.embedding AS DOUBLE[])', 'c.cd')}, 6) AS sim
+  FROM embeddings e, c
+), assigned AS (
+  SELECT vec_id, ed, centroid_id AS cluster_id FROM (
+    SELECT vec_id, ed, centroid_id, row_number() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rk
+    FROM scored) WHERE rk = 1
+), q AS (SELECT ed AS qe, cluster_id AS qc FROM assigned WHERE vec_id = 42)
+SELECT vec_id, round({_sql_cosine('ed', 'qe')}, 6) AS cos_sim
+FROM assigned, q
+WHERE cluster_id = qc
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 5
+"""
+
+
+QUERIES = [
+    Query(
+        "qx1_exact_dedup",
+        "exact text dedup by sha2-256 content hash (lowest doc_id wins)",
+        qx1_exact_dedup,
+        """
+        SELECT doc_id, sha256(text) AS text_sha, lang FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY sha256(text) ORDER BY doc_id ASC) AS rn
+          FROM documents) WHERE rn = 1
+        """,
+        tags=("ext", "dedup"),
+    ),
+    Query(
+        "qx2_cosine_topk",
+        "brute-force cosine top-10 vs the vec_id=0 query vector",
+        qx2_cosine_topk,
+        _ORACLE_QX2,
+        tags=("ext", "similarity"),
+    ),
+    Query(
+        "qx3_token_lang_stats",
+        "per-language corpus stats (docs/tokens/chars)",
+        qx3_token_lang_stats,
+        f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(len({_TOKS})) AS n_tokens,
+               sum(n_chars) AS sum_chars,
+               round(avg(CAST(len({_TOKS}) AS DOUBLE)), 6) AS avg_tokens
+        FROM documents GROUP BY lang
+        """,
+        tags=("ext", "text"),
+    ),
+    Query(
+        "qx4_language_id",
+        "heuristic marker-word language identification",
+        qx4_language_id,
+        _ORACLE_QX4,
+        tags=("ext", "text"),
+    ),
+    Query(
+        "qx5_quality_score",
+        "document quality features + composite score",
+        qx5_quality_score,
+        _ORACLE_QX5,
+        tags=("ext", "text"),
+    ),
+    Query(
+        "qx6_fingerprint",
+        "rolling polynomial fingerprint of the first 32 tokens",
+        qx6_fingerprint,
+        _ORACLE_QX6,
+        tags=("ext", "text"),
+    ),
+    Query(
+        "qx7_simhash",
+        "60-bit SimHash fingerprints over distinct words",
+        qx7_simhash,
+        _ORACLE_QX7,
+        tags=("ext", "dedup"),
+    ),
+    Query(
+        "qx8_minhash_signature",
+        "16-element MinHash signatures over 3-word shingles",
+        qx8_minhash_signature,
+        _ORACLE_QX8,
+        tags=("ext", "dedup"),
+    ),
+    Query(
+        "qx9_lsh_candidates",
+        "banded-LSH candidate pairs + exact shingle-Jaccard verify",
+        qx9_lsh_candidates,
+        _ORACLE_QX9,
+        tags=("ext", "dedup"),
+    ),
+    Query(
+        "qx10_embedding_neardup",
+        "label-blocked embedding near-dup pairs (cosine ≥ 0.5)",
+        qx10_embedding_neardup,
+        _ORACLE_QX10,
+        tags=("ext", "similarity"),
+    ),
+    Query(
+        "qx11_ivf_assign",
+        "IVF: nearest-centroid assignment (8 fixed centroids)",
+        qx11_ivf_assign,
+        _ORACLE_QX11,
+        tags=("ext", "similarity"),
+    ),
+    Query(
+        "qx12_ivf_topk",
+        "IVF ANN probe: top-5 within the query's cluster",
+        qx12_ivf_topk,
+        _ORACLE_QX12,
+        tags=("ext", "similarity"),
+    ),
+    Query(
+        "qm1_multimodal_meta",
+        "multimodal metadata: binary payload size/hash/mime",
+        qm1_multimodal_meta,
+        """
+        SELECT doc_id,
+               'text/plain' AS mime,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS sha
+        FROM documents
+        """,
+        tags=("ext", "multimodal"),
+    ),
+]

@@ -1,0 +1,25 @@
+"""Assembles the declared query registry (SURVEY.md §2.5 + §2.6)."""
+
+from __future__ import annotations
+
+from gh_archive_clickhouse_spark.plans import (
+    events_queries,
+    ext_queries,
+    tpch_queries,
+)
+from gh_archive_clickhouse_spark.plans.common import Query
+
+_ALL: list[Query] = [
+    *events_queries.QUERIES,
+    *tpch_queries.QUERIES,
+    *ext_queries.QUERIES,
+]
+
+QUERIES: dict[str, Query] = {q.name: q for q in _ALL}
+
+if len(QUERIES) != len(_ALL):  # pragma: no cover - registry sanity
+    raise AssertionError("duplicate query names in registry")
+
+
+def get_queries() -> dict[str, Query]:
+    return QUERIES

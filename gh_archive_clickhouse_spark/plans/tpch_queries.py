@@ -1,0 +1,406 @@
+"""Qt1–Qt9: the relational/OLAP query surface (SURVEY.md §2.4-2.5).
+
+The reference has no query engine of its own — every SELECT a user of
+gh-archive-clickhouse runs is served by ClickHouse. These queries pin
+the equivalent native surface of this engine: joins (broadcast/shuffle,
+semi/anti), hash aggregation, windows, rollup, set ops, approx
+distinct, and the scalar function battery — all pure Catalyst.
+
+Scale notes per query are in the builders: dims are broadcast, join
+order keeps the big fact table un-reshuffled where possible, and every
+orderBy+limit is a TakeOrderedAndProject (no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gh_archive_clickhouse_spark.operators.topk import top_k_per_group
+from gh_archive_clickhouse_spark.plans.common import Query, read
+
+
+def qt1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy on 2 low-cardinality keys.
+    Partial (map-side) aggregation reduces shuffle to ~6 rows/task."""
+    li = read(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def qt2_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join. Dims (region/nation/supplier/
+    customer at fixture SF) broadcast; the only wide shuffles are
+    fact-fact (orders⋈lineitem) and the final tiny agg."""
+    region = read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = read(spark, sf_dir, "nation")
+    customer = read(spark, sf_dir, "customer")
+    supplier = read(spark, sf_dir, "supplier")
+    orders = read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lineitem = read(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        # Q5 requires customer and supplier in the SAME nation.
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    )
+
+
+def qt3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts never ordered: broadcast-able left-anti join."""
+    part = read(spark, sf_dir, "part")
+    li = read(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+def qt3_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one high-value order: left-semi join."""
+    customer = read(spark, sf_dir, "customer")
+    orders = read(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def qt4_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: top-3 orders per customer, deterministic ties."""
+    orders = read(spark, sf_dir, "orders")
+    ranked = top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+    )
+    return ranked.select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+
+
+def qt5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over nation × order-priority with grouping_id — the
+    hierarchical-subtotal surface."""
+    orders = read(spark, sf_dir, "orders")
+    customer = read(spark, sf_dir, "customer")
+    nation = read(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return (
+        joined.rollup("n_name", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def qt6_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_sides(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+def qt6_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_sides(spark, sf_dir)
+    return a.intersect(b)
+
+
+def qt6_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _setop_sides(spark, sf_dir)
+    # subtract == EXCEPT DISTINCT (exceptAll would be EXCEPT ALL).
+    return a.subtract(b)
+
+
+def _setop_sides(spark: SparkSession, sf_dir: str):
+    """Two custkey sets: customers with any order vs high-balance."""
+    customer = read(spark, sf_dir, "customer")
+    orders = read(spark, sf_dir, "orders")
+    with_orders = customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey")
+    high_balance = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return with_orders, high_balance
+
+
+def qt7_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct sanity: HLL estimate within 15% of exact.
+
+    Sketches differ across engines, so the oracle-checkable contract is
+    (exact count, estimate-within-tolerance flag)."""
+    orders = read(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.countDistinct("o_custkey").alias("exact_cnt"),
+        F.approx_count_distinct("o_custkey").alias("__approx"),
+    )
+    return agg.select(
+        "exact_cnt",
+        (
+            F.abs(F.col("__approx") - F.col("exact_cnt"))
+            <= 0.15 * F.col("exact_cnt")
+        ).alias("within_tol"),
+    )
+
+
+def qt8_scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function battery (strings + math) over part."""
+    p = read(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 4).alias("name_pre"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace(F.col("p_type"), "[AEIOU]", "").alias("type_novowel"),
+        F.regexp_extract(F.col("p_brand"), "([0-9]+)", 1).alias("brand_num"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.col("p_name").contains("widget").alias("is_widget"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        F.round(
+            F.col("p_retailprice") * F.col("p_size") / F.lit(7.0), 6
+        ).alias("price_expr"),
+        (F.col("p_size") % 5).alias("size_mod"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+    )
+
+
+def qt9_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function battery (dates) over orders."""
+    o = read(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        (F.weekday("o_orderdate") + 1).alias("isodow"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        ).alias("days_since_epoch_start"),
+        F.date_format(
+            F.date_trunc("quarter", F.col("o_orderdate")), "yyyy-MM-dd"
+        ).alias("quarter_start"),
+        F.date_format(
+            F.last_day(F.col("o_orderdate")), "yyyy-MM-dd"
+        ).alias("month_end"),
+    )
+
+
+QUERIES = [
+    Query(
+        "qt1_pricing_summary",
+        "TPC-H Q1 shape: filter + 8-agg groupBy on lineitem",
+        qt1_pricing_summary,
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        tags=("tpch", "agg"),
+    ),
+    Query(
+        "qt2_regional_revenue",
+        "TPC-H Q5 shape: 6-way star join + agg (ASIA, 1996-1997)",
+        qt2_regional_revenue,
+        """
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        """,
+        tags=("tpch", "join"),
+    ),
+    Query(
+        "qt3_anti_join",
+        "left-anti join: parts never ordered",
+        qt3_anti_join,
+        """
+        SELECT p_partkey, p_name, p_brand FROM part
+        WHERE NOT EXISTS (
+          SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        """,
+        tags=("tpch", "join"),
+    ),
+    Query(
+        "qt3_semi_join",
+        "left-semi join: customers with a >100k order",
+        qt3_semi_join,
+        """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+        """,
+        tags=("tpch", "join"),
+    ),
+    Query(
+        "qt4_top_orders_per_customer",
+        "window ranking: top-3 orders per customer",
+        qt4_top_orders_per_customer,
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+          FROM orders)
+        WHERE rn <= 3
+        """,
+        tags=("tpch", "window"),
+    ),
+    Query(
+        "qt5_rollup",
+        "ROLLUP(nation, priority) with grouping_id",
+        qt5_rollup,
+        """
+        SELECT n_name, o_orderpriority,
+               round(sum(o_totalprice), 2) AS sum_price,
+               count(*) AS n_orders,
+               CAST(grouping(n_name, o_orderpriority) AS BIGINT) AS gid
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP (n_name, o_orderpriority)
+        """,
+        tags=("tpch", "rollup"),
+    ),
+    Query(
+        "qt6_union",
+        "set op: customers-with-orders ∪ high-balance customers",
+        qt6_union,
+        """
+        SELECT c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        UNION
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        """,
+        tags=("tpch", "setop"),
+    ),
+    Query(
+        "qt6_intersect",
+        "set op: customers-with-orders ∩ high-balance customers",
+        qt6_intersect,
+        """
+        SELECT c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        """,
+        tags=("tpch", "setop"),
+    ),
+    Query(
+        "qt6_except",
+        "set op: customers-with-orders − high-balance customers",
+        qt6_except,
+        """
+        SELECT c_custkey FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        EXCEPT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        """,
+        tags=("tpch", "setop"),
+    ),
+    Query(
+        "qt7_approx_distinct",
+        "approx_count_distinct vs exact within 15% tolerance",
+        qt7_approx_distinct,
+        """
+        SELECT count(DISTINCT o_custkey) AS exact_cnt,
+               CAST(1 AS BOOLEAN) AS within_tol
+        FROM orders
+        """,
+        tags=("tpch", "approx"),
+    ),
+    Query(
+        "qt8_scalar_strings",
+        "scalar battery: string/regex/math functions over part",
+        qt8_scalar_strings,
+        """
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               substr(p_name, 1, 4) AS name_pre,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               p_brand || '|' || p_type AS brand_type,
+               regexp_replace(p_type, '[AEIOU]', '', 'g') AS type_novowel,
+               regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+               reverse(p_name) AS name_rev,
+               contains(p_name, 'widget') AS is_widget,
+               round(sqrt(p_retailprice), 6) AS price_sqrt,
+               round(ln(p_retailprice), 6) AS price_ln,
+               round(p_retailprice * p_size / 7.0, 6) AS price_expr,
+               CAST(p_size % 5 AS INTEGER) AS size_mod,
+               CAST(abs(p_size - 25) AS INTEGER) AS size_dev
+        FROM part
+        """,
+        tags=("tpch", "scalar"),
+    ),
+    Query(
+        "qt9_scalar_dates",
+        "scalar battery: date functions over orders",
+        qt9_scalar_dates,
+        """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               CAST(day(o_orderdate) AS INTEGER) AS dom,
+               CAST(isodow(o_orderdate) AS INTEGER) AS isodow,
+               strftime(o_orderdate, '%Y-%m') AS ym,
+               CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INTEGER)
+                 AS days_since_epoch_start,
+               strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')
+                 AS quarter_start,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end
+        FROM orders
+        """,
+        tags=("tpch", "scalar"),
+    ),
+]
