@@ -27,6 +27,7 @@ from gh_archive_clickhouse_spark.functions.hashing import (
     word_hash31,
 )
 from gh_archive_clickhouse_spark.functions.text import tokens, word_shingles
+from gh_archive_clickhouse_spark.operators._util import ensure_parallelism
 
 
 def latest_by_key(
@@ -85,8 +86,7 @@ def minhash_signatures(
     Documents with fewer than ``shingle_k`` tokens get an empty shingle
     set and a signature of p (the modulus) — they never collide.
     """
-    sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_k))
-    hashed = F.transform(sh, lambda s: word_hash31(s))
+    hashed_df = shingle_hashes(df, text_col, id_col, shingle_k)
 
     def _hash_i(a: int, b: int):
         # closure factory: PySpark derives lambda arity from the
@@ -95,11 +95,40 @@ def minhash_signatures(
 
     elems = []
     for i in range(num_hashes):
-        hi = F.transform(hashed, _hash_i(2 * i + 1, 12345 * i + 17))
+        hi = F.transform(F.col("__sh_hash"), _hash_i(2 * i + 1, 12345 * i + 17))
         elems.append(
             F.coalesce(F.array_min(hi), F.lit(MERSENNE31)).alias(f"mh{i}")
         )
-    return df.select(F.col(id_col), F.array(*elems).alias("minhash"))
+    return hashed_df.select(F.col(id_col), F.array(*elems).alias("minhash"))
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, __sh): distinct k-word shingles, computed in STAGED
+    projections. Each stage materializes one alias so tokenization /
+    shingling / hashing run once per row — a single fused expression
+    would be re-evaluated per downstream use (Catalyst only CSEs
+    within one projection), which turned minhash into O(tokens²).
+    """
+    toks = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
+    return toks.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col("__t"), shingle_k)).alias("__sh"),
+    )
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    """(id, __sh_hash): 31-bit hashes of the distinct shingle set."""
+    sh = shingle_sets(df, text_col, id_col, shingle_k)
+    return sh.select(
+        F.col(id_col),
+        F.transform(F.col("__sh"), lambda s: word_hash31(s)).alias("__sh_hash"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -168,7 +197,7 @@ def simhash(
     words = F.array_distinct(tokens(F.col(text_col)))
     # One 60-bit md5-derived hash per distinct word, computed once and
     # reused by every bit position below.
-    with_hashes = df.withColumn(
+    with_hashes = ensure_parallelism(df).withColumn(
         "__wh", F.transform(words, lambda w: md5_long(w))
     )
     def _vote(b: int):

@@ -21,6 +21,7 @@ from gh_archive_clickhouse_spark.operators.dedup import (
     dedup_exact_text,
     lsh_candidate_pairs,
     minhash_signatures,
+    shingle_sets,
     simhash,
 )
 from gh_archive_clickhouse_spark.operators.multimodal import attach_binary_payload
@@ -153,12 +154,9 @@ def qx9_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
     pairs = lsh_candidate_pairs(sigs)
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(word_shingles(tokens(F.col("text")), 3)).alias("sh"),
-    )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha_"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb_"))
+    sh = shingle_sets(docs, "text", "doc_id", 3)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sha_"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("shb_"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
     ninter = F.size(F.array_intersect("sha_", "shb_"))
     nunion = F.size("sha_") + F.size("shb_") - ninter
