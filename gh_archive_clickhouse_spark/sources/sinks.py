@@ -1,0 +1,93 @@
+"""Storage sinks implementing the reference's MergeTree table contract
+as partitioned/sorted Parquet (/root/reference/README.md:9-17):
+
+- ``PARTITION BY toYYYYMMDD(ts)``  → ``partitionBy(dt)`` with
+  dt = yyyyMMdd(ts); Catalyst prunes partitions on date predicates.
+- ``ORDER BY (ts, id)``            → ``sortWithinPartitions(ts, id)``;
+  Parquet min/max page stats then give range pruning inside a day.
+- ``raw ... CODEC(ZSTD(16))``      → parquet zstd codec (session conf).
+- ReplacingMergeTree dedup-on-merge → ``dedup_view`` read semantics +
+  an idempotent ``compact`` job (the analog of background merges and of
+  the reference's 60 s INSERT-restart trick, cmd/gh-archived/main.go:55).
+
+An optional ClickHouse sink (the reference's actual target) is gated
+behind an import-try: if ``clickhouse_connect`` is installed the
+foreachBatch writer streams Arrow batches; otherwise Parquet is the
+self-contained default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gh_archive_clickhouse_spark.operators.dedup import latest_by_key
+
+DT_COL = "dt"
+
+
+def with_dt(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    return df.withColumn(DT_COL, F.date_format(F.col(ts_col), "yyyyMMdd"))
+
+
+def write_events(
+    df: DataFrame, path: str, mode: str = "append", ts_col: str = "ts"
+) -> None:
+    """Write the raw events table with the contract layout."""
+    (
+        with_dt(df, ts_col)
+        .sortWithinPartitions(ts_col, "id")
+        .write.mode(mode)
+        .partitionBy(DT_COL)
+        .parquet(path)
+    )
+
+
+def read_events(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def dedup_view(df: DataFrame) -> DataFrame:
+    """ReplacingMergeTree read semantics over the stored table: one row
+    per (ts, id) sorting key — the reference's key (README.md:16) —
+    deterministic last-writer-wins on the raw payload."""
+    return latest_by_key(df, ["ts", "id"], [F.col("raw").desc()])
+
+
+def compact(spark: SparkSession, path: str, out_path: str) -> None:
+    """Merge-equivalent maintenance job: rewrite each date partition
+    deduped by sorting key and re-sorted — what ClickHouse background
+    merges do for ReplacingMergeTree. Run periodically; reads stay
+    correct meanwhile through ``dedup_view``."""
+    df = read_events(spark, path)
+    deduped = dedup_view(df)
+    (
+        deduped.sortWithinPartitions("ts", "id")
+        .write.mode("overwrite")
+        .partitionBy(DT_COL)
+        .parquet(out_path)
+    )
+
+
+def clickhouse_writer(table: str, **client_kwargs):
+    """foreachBatch sink streaming into ClickHouse (the reference's
+    target, INSERT at cmd/gh-archived/main.go:63). Returns a
+    (DataFrame, epoch_id) callable for ``writeStream.foreachBatch``.
+
+    Gated on ``clickhouse_connect`` being installed; raises a clear
+    error otherwise (the container ships no ClickHouse client).
+    """
+    try:
+        import clickhouse_connect  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - not in container
+        raise ImportError(
+            "clickhouse-connect is not installed; use the Parquet sink "
+            "(write_events) or install the client to target ClickHouse"
+        ) from exc
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:  # pragma: no cover
+        client = clickhouse_connect.get_client(**client_kwargs)
+        pdf = batch_df.toPandas()
+        client.insert_df(table, pdf)
+
+    return _write

@@ -1,0 +1,152 @@
+"""Batch ingestion path: NDJSON parse (P1), partitioned sink contract
+(D2/D3/D5), dedup view (D1), TTL partition drop (D4), backfill fetch
+(S6-S9)."""
+
+from __future__ import annotations
+
+import gzip
+import http.server
+import json
+import threading
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from gh_archive_clickhouse_spark.operators.ttl import drop_expired_partitions
+from gh_archive_clickhouse_spark.sources.gharchive import (
+    backfill,
+    hour_keys,
+)
+from gh_archive_clickhouse_spark.sources.ndjson import load_events
+from gh_archive_clickhouse_spark.sources.sinks import (
+    compact,
+    dedup_view,
+    read_events,
+    write_events,
+)
+
+
+def _event(i, created="2020-01-01T15:04:05Z", id_as_string=True, **extra):
+    ev = {
+        "id": str(i) if id_as_string else i,
+        "type": "PushEvent",
+        "actor": {"id": 7, "login": f"user{i}", "display_login": f"user{i}"},
+        "repo": {"id": 42, "name": "org/repo"},
+        "payload": {"push_id": 1, "size": 3, "ref": "refs/heads/main"},
+        "public": True,
+        "created_at": created,
+    }
+    ev.update(extra)
+    return json.dumps(ev, separators=(",", ":"))
+
+
+@pytest.fixture()
+def ndjson_dir(tmp_path):
+    lines = [
+        _event(1),
+        _event(2, id_as_string=False),  # numeric id (gh.go:104-114)
+        _event(3, created="2020-01-02T00:00:00Z"),
+        _event(3, created="2020-01-02T00:00:00Z"),  # exact duplicate row
+        _event(4, created="2020-01-06T10:00:00Z"),
+        json.dumps({"id": "x", "created_at": "2020-01-01T00:00:00Z"}),  # bad id
+        json.dumps({"id": "9"}),  # missing created_at
+        _event(5, msg="uniçøde \"quoted\" text"),
+    ]
+    gz = tmp_path / "2020-01-01-15.json.gz"
+    gz.write_bytes(gzip.compress(("\n".join(lines)).encode()))
+    return tmp_path
+
+
+def test_parse_p1_projection(spark, ndjson_dir):
+    df = load_events(spark, str(ndjson_dir / "*.json.gz"))
+    rows = {r.id: r for r in df.collect()}
+    # bad id and missing created_at dropped; 5 ids remain (3 twice)
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert df.count() == 6
+    assert rows[1].ts.isoformat().startswith("2020-01-01T15:04:05")
+    assert "uni" in rows[5].raw  # raw JSON preserved verbatim
+    assert df.schema.simpleString() == "struct<id:bigint,ts:timestamp,raw:string>"
+
+
+def test_sink_contract_and_ttl(spark, ndjson_dir, tmp_path):
+    events = load_events(spark, str(ndjson_dir / "*.json.gz"))
+    out = str(tmp_path / "events_raw")
+    write_events(events, out)
+
+    # D2: daily partition layout
+    parts = sorted(
+        p.name for p in Path(out).iterdir() if p.name.startswith("dt=")
+    )
+    assert parts == ["dt=20200101", "dt=20200102", "dt=20200106"]
+
+    # partition pruning visible in the plan
+    pruned = read_events(spark, out).filter(F.col("dt") == "20200102")
+    assert pruned.count() == 2
+    explain = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in explain
+
+    # D1: dedup view collapses the duplicated (ts, id)
+    assert dedup_view(read_events(spark, out)).count() == 5
+
+    # merge-analog compaction job → physically deduped table
+    compacted = str(tmp_path / "events_compacted")
+    compact(spark, out, compacted)
+    assert read_events(spark, compacted).count() == 5
+
+    # D4: TTL = drop whole expired partitions (metadata-only)
+    dropped = drop_expired_partitions(out, cutoff_yyyymmdd="20200103")
+    assert dropped == ["dt=20200101", "dt=20200102"]
+    assert read_events(spark, out).count() == 1
+
+
+def test_hour_keys_match_reference_format():
+    keys = hour_keys("2020-01-01T22", "2020-01-02T03")
+    assert keys == [
+        "2020-01-01-22",
+        "2020-01-01-23",
+        "2020-01-02-0",
+        "2020-01-02-1",
+        "2020-01-02-2",
+    ]
+
+
+class _ArchiveHandler(http.server.BaseHTTPRequestHandler):
+    """Serves one good hour file; everything else 404s (gap-tolerance,
+    gh-load/main.go:67-70)."""
+
+    payload = gzip.compress(
+        ("\n".join(_event(i) for i in range(10))).encode()
+    )
+
+    def do_GET(self):
+        if self.path == "/2020-01-01-15.json.gz":
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(self.payload)
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+    def log_message(self, *a):
+        pass
+
+
+def test_backfill_fetch_with_404_gap(spark):
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _ArchiveHandler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{server.server_port}"
+        df = backfill(
+            spark,
+            "2020-01-01T15",
+            "2020-01-01T17",  # second hour 404s and is skipped
+            base_url=base,
+            jobs=2,
+            max_retries=2,
+            backoff_s=0.01,
+        )
+        assert df.count() == 10
+        assert df.agg(F.min("id"), F.max("id")).first() == (0, 9)
+    finally:
+        server.shutdown()

@@ -1,0 +1,232 @@
+"""Poll-source state machine vs a hermetic mock GitHub API
+(FIXTURES.md §6): pagination stop condition, cross-poll seen-id dedup,
+ETag/304, 422 cut, rate-limit pacing, token rotation — mirroring the
+behaviors at cmd/gh-archived/main.go:122-170 and internal/gh/gh.go.
+"""
+
+from __future__ import annotations
+
+import http.server
+import json
+import threading
+import urllib.parse
+
+import pytest
+
+from gh_archive_clickhouse_spark.sources.github_events import (
+    GitHubEventsStreamReader,
+    RateLimit,
+)
+
+
+def _events(ids):
+    return [
+        {
+            "id": str(i),
+            "type": "PushEvent",
+            "actor": {"id": i, "login": f"u{i}"},
+            "created_at": "2020-01-01T15:04:05Z",
+        }
+        for i in ids
+    ]
+
+
+class MockGitHub(http.server.BaseHTTPRequestHandler):
+    """Scripted exchange. Class-level state shared across requests:
+
+    poll 1: page1 ids 0..4 (full), page2 ids 3..7 (overlap within poll)
+    poll 2: If-None-Match hit → 304
+    poll 3: page1 ids 5..9 (3 seen in poll 1, 2 new) → stop after page 1
+    """
+
+    polls = 0
+    auth_seen: list[str] = []
+    requests_seen: list[tuple[int, int]] = []
+
+    ETAG = '"etag-abc"'
+
+    def do_GET(self):
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+        page = int(q.get("page", ["1"])[0])
+        cls = type(self)
+        cls.auth_seen.append(self.headers.get("Authorization", ""))
+        if page == 1:
+            cls.polls += 1
+        cls.requests_seen.append((cls.polls, page))
+
+        rate = {
+            "X-RateLimit-Limit": "5000",
+            "X-RateLimit-Remaining": "4990",
+            "X-RateLimit-Reset": "0",
+        }
+        if cls.polls == 2 and page == 1:
+            if self.headers.get("If-None-Match") == self.ETAG:
+                self.send_response(304)
+                for k, v in rate.items():
+                    self.send_header(k, v)
+                self.end_headers()
+                return
+        if cls.polls == 1:
+            body = _events(range(0, 5)) if page == 1 else _events(range(3, 8))
+        else:
+            body = _events(range(5, 10))
+        payload = json.dumps(body).encode()
+        self.send_response(200)
+        self.send_header("ETag", self.ETAG)
+        for k, v in rate.items():
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def mock_server():
+    MockGitHub.polls = 0
+    MockGitHub.auth_seen = []
+    MockGitHub.requests_seen = []
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), MockGitHub)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{server.server_port}/events"
+    server.shutdown()
+
+
+def _reader(url, **opts):
+    options = {
+        "url": url,
+        "per_page": "5",
+        "max_pages": "3",
+        "pace": "false",
+        "tokens": "tokA,tokB",
+    }
+    options.update(opts)
+    return GitHubEventsStreamReader(options)
+
+
+def test_poll_state_machine(mock_server):
+    r = _reader(mock_server)
+
+    # poll 1: page1 all new (5 = per_page*1 → continue), page2 adds
+    # 5..7 (3 new; 3,4 dropped by current-poll dedup) → 8 rows, stop.
+    rows, off = r.read(r.initialOffset())
+    ids = sorted(int(t[0]) for t in rows)
+    assert ids == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert off == {"poll": 1}
+
+    # poll 2: ETag hit → 304 → empty batch
+    rows, off = r.read(off)
+    assert list(rows) == []
+    assert off == {"poll": 2}
+
+    # poll 3 (server returns 200 again): ids 5..9; 5,6,7 are in the
+    # previous poll's frontier → only 8,9 emitted
+    rows, off = r.read(off)
+    ids = sorted(int(t[0]) for t in rows)
+    assert ids == [8, 9]
+
+    # poll 4: server re-serves 5..9; ALL were seen in poll 3 (even the
+    # ones not emitted) → nothing re-emitted (frontier regression test)
+    rows, off = r.read(off)
+    assert list(rows) == []
+
+    # pagination actually stopped early on polls 1 and 3
+    pages = MockGitHub.requests_seen
+    assert (1, 1) in pages and (1, 2) in pages and (1, 3) not in pages
+    assert (3, 2) not in pages
+
+
+def test_token_rotation(mock_server):
+    r = _reader(mock_server)
+    r.read(r.initialOffset())
+    assert {"Bearer tokA", "Bearer tokB"} <= set(MockGitHub.auth_seen)
+
+
+def test_rows_carry_raw_json(mock_server):
+    r = _reader(mock_server)
+    rows, _ = r.read(r.initialOffset())
+    ev_id, created, raw = next(iter(rows))
+    assert created == "2020-01-01T15:04:05Z"
+    assert json.loads(raw)["id"] == str(ev_id)
+
+
+class Mock422(MockGitHub):
+    def do_GET(self):
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+        page = int(q.get("page", ["1"])[0])
+        if page >= 3:
+            self.send_response(422)
+            self.end_headers()
+            return
+        # always-new full pages force deep pagination
+        base = type(self).polls * 1000 + page * 100
+        type(self).polls += page == 1
+        payload = json.dumps(_events(range(base, base + 5))).encode()
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(payload)
+
+
+def test_422_cuts_pagination():
+    Mock422.polls = 0
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Mock422)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        r = _reader(f"http://127.0.0.1:{server.server_port}/events")
+        rows, off = r.read(r.initialOffset())
+        # two full pages collected, then 422 ended the poll cleanly
+        assert len(list(rows)) == 10
+        assert off == {"poll": 1}
+    finally:
+        server.shutdown()
+
+
+def test_streaming_end_to_end(spark, mock_server, tmp_path):
+    """Full Structured Streaming run: custom source → watermark dedup →
+    memory sink, against the mock API."""
+    import time as _time
+
+    from gh_archive_clickhouse_spark.streaming.pipeline import (
+        deduped_stream,
+        poll_stream,
+    )
+
+    stream = deduped_stream(
+        poll_stream(
+            spark,
+            url=mock_server,
+            per_page="5",
+            max_pages="3",
+            pace="false",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("gh_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 45
+        while _time.time() < deadline:
+            if spark.sql("SELECT count(*) c FROM gh_stream").first().c >= 10:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT id, ts, raw FROM gh_stream").collect()
+    assert sorted(r.id for r in rows) == list(range(10))
+    assert all(r.ts is not None and r.raw for r in rows)
+
+
+def test_rate_limit_pacing_rules():
+    now = 1000.0
+    # healthy budget: spread requests until reset (main.go:187)
+    assert RateLimit(5000, 100, now + 50).pacing_sleep(now) == 0.5
+    # nearly exhausted: sleep through reset + 1s (main.go:190-193)
+    assert RateLimit(5000, 5, now + 30).pacing_sleep(now) == 31.0
+    # no headers → no pacing
+    assert RateLimit().pacing_sleep(now) == 0.0
