@@ -1,0 +1,113 @@
+"""Streaming analytics operators over the event stream.
+
+The batch query library (plans/events_queries.py) has streaming twins
+here: tumbling/sliding windowed aggregation, session windows, and a
+custom stateful operator via ``applyInPandasWithState``. Watermarks
+bound state so every operator runs indefinitely at firehose scale —
+state size is O(active windows/sessions), never O(stream).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def hourly_type_counts(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Streaming Qe4: tumbling 1h counts per event_type, late data
+    dropped by watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_rates(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "1 minute",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window event rate (the S12 progress-meter analog,
+    cmd/gh-load/main.go:270-300, as a declarative stream)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "n")
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming Qe7: native session windows (gap-based), per user."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sess.start").alias("sess_start"),
+            F.col("sess.end").alias("sess_end"),
+            "n_events",
+        )
+    )
+
+
+# ---- custom stateful operator: running per-user totals ---------------
+
+_STATE_SCHEMA = "n long, total double"
+_OUTPUT_SCHEMA = "user_id long, n long, total double"
+
+
+def _running_totals(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState kernel: accumulate (count, sum(value))
+    per user across micro-batches — the shape any bespoke streaming
+    accumulator takes in this engine (Arrow-batched, state explicit,
+    timeout-capable)."""
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in batches:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame({"user_id": [key[0]], "n": [n], "total": [total]})
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Continuously-updated per-user totals via explicit state."""
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _running_totals,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

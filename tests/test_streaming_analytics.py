@@ -1,0 +1,128 @@
+"""Streaming analytics driven by a file stream over fixture-derived
+parquet (deterministic, hermetic): windowed aggregation, session
+windows, stateful running totals, telemetry observation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gh_archive_clickhouse_spark.plans.common import read
+from gh_archive_clickhouse_spark.streaming.analytics import (
+    hourly_type_counts,
+    running_user_totals,
+    session_aggregates,
+)
+from gh_archive_clickhouse_spark.streaming.telemetry import observed_parse
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(tmp_path_factory):
+    """Fixture events re-written as a normal-timestamp parquet dir a
+    file stream can read (the ns fixture needs the engine's reader)."""
+    import os
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    from gh_archive_clickhouse_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", master="local[8]")
+    out = str(tmp_path_factory.mktemp("stream_src") / "events")
+    read(spark, SF_DIR, "events").write.parquet(out)
+    return out
+
+
+def _read_stream(spark, path):
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def _run_stream(spark, df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
+
+
+def test_hourly_type_counts_match_batch(spark, events_stream_dir):
+    stream = _read_stream(spark, events_stream_dir)
+    result = _run_stream(
+        spark, hourly_type_counts(stream), "hourly", mode="update"
+    )
+    batch = spark.read.parquet(events_stream_dir)
+    expect = (
+        batch.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = {(r.hour_start, r.event_type): r.n for r in result.collect()}
+    # update mode + single replay batch -> every window emitted once
+    assert got == {(r.hour_start, r.event_type): r.n for r in expect}
+
+
+def test_session_windows_stream(spark, events_stream_dir, tmp_path):
+    """Session windows finalize in append mode only once the watermark
+    passes them: replay the fixture, then append a far-future sentinel
+    event so every real session flushes."""
+    import datetime
+
+    stream = _read_stream(spark, events_stream_dir)
+    q = (
+        session_aggregates(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 0: all real events
+        batch = spark.read.parquet(events_stream_dir)
+        mx = batch.agg(F.max("ts")).first()[0]
+        sentinel = spark.createDataFrame(
+            [(999_999_999, mx + datetime.timedelta(days=10), -1, "sentinel", 0.0, "{}")],
+            schema=batch.schema,
+        )
+        sentinel.write.mode("append").parquet(events_stream_dir)
+        q.processAllAvailable()  # batch 1: watermark jumps, sessions flush
+    finally:
+        q.stop()
+    rows = [r for r in spark.table("sessions").collect() if r.user_id >= 0]
+    assert rows
+    assert all(r.n_events > 0 and r.sess_end > r.sess_start for r in rows)
+    # every real event landed in exactly one emitted session
+    assert sum(r.n_events for r in rows) == batch.count()
+
+
+def test_stateful_running_totals(spark, events_stream_dir):
+    stream = _read_stream(spark, events_stream_dir)
+    result = _run_stream(
+        spark, running_user_totals(stream), "totals", mode="update"
+    )
+    batch = spark.read.parquet(events_stream_dir)
+    expect = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    got = {r.user_id: (r.n, round(r.total, 6)) for r in result.collect()}
+    assert got == expect
+
+
+def test_observation_counters(spark):
+    from gh_archive_clickhouse_spark.sources.ndjson import parse_raw_events
+
+    lines = spark.createDataFrame(
+        [('{"id": "1", "created_at": "2020-01-01T00:00:00Z"}',), ("junk",)],
+        schema="value string",
+    )
+    observed, obs = observed_parse(parse_raw_events(lines))
+    assert observed.count() == 1
+    assert obs.get["rows"] == 1
+    assert obs.get["raw_bytes"] > 0
