@@ -5,6 +5,7 @@ from __future__ import annotations
 from gh_archive_clickhouse_spark.plans import (
     events_queries,
     ext_queries,
+    relational_queries,
     tpch_queries,
 )
 from gh_archive_clickhouse_spark.plans.common import Query
@@ -12,6 +13,7 @@ from gh_archive_clickhouse_spark.plans.common import Query
 _ALL: list[Query] = [
     *events_queries.QUERIES,
     *tpch_queries.QUERIES,
+    *relational_queries.QUERIES,
     *ext_queries.QUERIES,
 ]
 
