@@ -5,9 +5,14 @@ plans in, declarative plans out. Query builders in ``plans/`` compose
 these; pipelines in ``sources/``/``streaming/`` reuse them unchanged.
 """
 
+from gh_archive_clickhouse_spark.operators.asof import (
+    asof_join,
+    range_join_count,
+)
 from gh_archive_clickhouse_spark.operators.dedup import (
     dedup_exact_text,
     latest_by_key,
+    latest_by_key_agg,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash,
@@ -22,8 +27,11 @@ from gh_archive_clickhouse_spark.operators.topk import top_k_per_group
 from gh_archive_clickhouse_spark.operators.ttl import expire_older_than
 
 __all__ = [
+    "asof_join",
+    "range_join_count",
     "dedup_exact_text",
     "latest_by_key",
+    "latest_by_key_agg",
     "lsh_candidate_pairs",
     "minhash_signatures",
     "simhash",

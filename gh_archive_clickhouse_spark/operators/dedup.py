@@ -49,6 +49,37 @@ def latest_by_key(
     )
 
 
+def latest_by_key_agg(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    payload_cols: list[str],
+) -> DataFrame:
+    """ReplacingMergeTree read semantics as a hash AGGREGATE:
+    ``max_by(struct(payload), struct(order_cols))`` per key.
+
+    Same result as :func:`latest_by_key` with all-descending order, but
+    the physical plan is a codegen hash aggregate with map-side partial
+    aggregation — shuffle volume is one candidate row per key per task
+    and there is NO sort, where the window form shuffles and sorts
+    every row. At 100 TB (duplicate-heavy raw events) this is the right
+    shape; use the window form only when every input column must
+    survive untouched.
+
+    ``order_cols`` must form a total order over duplicates (include
+    tie-breaker columns) for a deterministic winner.
+    """
+    winner = F.max_by(
+        F.struct(*[F.col(c) for c in payload_cols]),
+        F.struct(*[F.col(c) for c in order_cols]),
+    ).alias("__w")
+    return (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(winner)
+        .select(*keys, *[F.col(f"__w.{c}").alias(c) for c in payload_cols])
+    )
+
+
 def dedup_exact_text(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -75,31 +106,47 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signatures, computed entirely row-local (narrow plan).
+    """MinHash signatures via explode + codegen hash aggregate.
 
     For each universal hash h_i(x) = ((2i+1)x + 12345i+17) mod 2^31-1
     over 31-bit shingle hashes, the signature element is the min over
-    the document's shingle set. ``transform``+``array_min`` evaluate
-    inside codegen per row — at 100 TB this is a map-only stage.
+    the document's shingle set.
+
+    Physical shape: explode the distinct shingle set, md5-hash the
+    exploded column (codegen projection — inside a ``transform`` lambda
+    it would be interpreted/CodegenFallback), then one whole-stage-
+    codegen hash aggregate computing all ``num_hashes`` mins. Map-side
+    partial aggregation collapses each doc's shingles within its task,
+    so the shuffle carries one num_hashes-long row per doc — at 100 TB
+    that is n_docs rows, not n_shingles.
 
     Output: id_col, minhash (array<long> of length num_hashes).
     Documents with fewer than ``shingle_k`` tokens get an empty shingle
     set and a signature of p (the modulus) — they never collide.
     """
-    hashed_df = shingle_hashes(df, text_col, id_col, shingle_k)
-
-    def _hash_i(a: int, b: int):
-        # closure factory: PySpark derives lambda arity from the
-        # signature, so default-arg binding must not add parameters
-        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE31)
-
-    elems = []
-    for i in range(num_hashes):
-        hi = F.transform(F.col("__sh_hash"), _hash_i(2 * i + 1, 12345 * i + 17))
-        elems.append(
-            F.coalesce(F.array_min(hi), F.lit(MERSENNE31)).alias(f"mh{i}")
-        )
-    return hashed_df.select(F.col(id_col), F.array(*elems).alias("minhash"))
+    exploded = (
+        shingle_sets(df, text_col, id_col, shingle_k)
+        .select(F.col(id_col), F.explode_outer("__sh").alias("__s"))
+        .select(F.col(id_col), word_hash31(F.col("__s")).alias("__x"))
+    )
+    mins = exploded.groupBy(id_col).agg(
+        *[
+            F.min(
+                (F.lit(2 * i + 1) * F.col("__x") + F.lit(12345 * i + 17))
+                % F.lit(MERSENNE31)
+            ).alias(f"__mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.coalesce(F.col(f"__mh{i}"), F.lit(MERSENNE31))
+                for i in range(num_hashes)
+            ]
+        ).alias("minhash"),
+    )
 
 
 def shingle_sets(
@@ -182,12 +229,19 @@ def simhash(
     id_col: str = "doc_id",
     bits: int = 60,
 ) -> DataFrame:
-    """60-bit SimHash over the distinct-word set, row-local.
+    """60-bit SimHash over the distinct-word set.
 
     Classic sign-of-sums: bit b of the fingerprint is 1 iff the sum of
-    (±1 per word, + when word-hash bit b is set) is positive. Computed
-    with nested higher-order functions (transform over bits, aggregate
-    over words) — again a map-only stage, no shuffle, no UDF.
+    (±1 per word, + when word-hash bit b is set) is positive.
+
+    Physical shape: explode the per-doc word-hash array, then ONE
+    whole-stage-codegen hash aggregate with 60 conditional sums.
+    Higher-order lambdas (the obvious row-local form) are interpreted,
+    CodegenFallback expressions in Spark — 60 aggregate passes per row
+    ran ~4x slower than this exploded form. The groupBy shuffles just
+    one 60-counter row per doc (map-side partial aggregation collapses
+    each doc's words inside its task), so at 100 TB the shuffle volume
+    is n_docs rows, not n_words.
 
     60 bits (not 64) because the portable md5-derived hash yields 60
     clean bits without signed-overflow edge cases.
@@ -195,22 +249,32 @@ def simhash(
     from gh_archive_clickhouse_spark.functions.hashing import md5_long
 
     words = F.array_distinct(tokens(F.col(text_col)))
-    # One 60-bit md5-derived hash per distinct word, computed once and
-    # reused by every bit position below.
-    with_hashes = ensure_parallelism(df).withColumn(
-        "__wh", F.transform(words, lambda w: md5_long(w))
+    # Explode words FIRST, hash after: md5 then runs as a codegen
+    # projection over the exploded rows instead of inside an
+    # interpreted ``transform`` lambda. explode_outer keeps empty docs
+    # (their votes are all 0 → fingerprint 0).
+    exploded = (
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode_outer(words).alias("__w"))
+        .select(F.col(id_col), md5_long("__w").alias("__h"))
     )
-    def _vote(b: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
+    # Votes as set-bit counts: vote_b = 2*c_b - W where c_b = #words
+    # with bit b set and W = #words, so bit b of the fingerprint is
+    # 2*c_b > W. The bare sum(bit) aggregates generate ~3x less codegen
+    # than per-bit ±1 CASE chains (measured: 3.5s -> 1.0s cold at
+    # sf0.1). Empty docs: W = 0 and c_b NULL -> every when() is false
+    # -> fingerprint 0, matching the ±1 formulation.
+    votes = exploded.groupBy(id_col).agg(
+        F.count("__h").alias("__W"),
+        *[
+            F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1))).alias(f"__c{b}")
+            for b in range(bits)
+        ],
+    )
     fingerprint = F.lit(0).cast("long")
     for b in range(bits):
-        vote_b = F.aggregate(
-            F.col("__wh"), F.lit(0).cast("long"), _vote(b)
-        )
         fingerprint = fingerprint + F.when(
-            vote_b > 0, F.lit(1 << b).cast("long")
+            F.lit(2) * F.col(f"__c{b}") > F.col("__W"),
+            F.lit(1 << b).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-    return with_hashes.select(F.col(id_col), fingerprint.alias("simhash"))
+    return votes.select(F.col(id_col), fingerprint.alias("simhash"))

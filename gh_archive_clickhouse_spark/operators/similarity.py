@@ -20,7 +20,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gh_archive_clickhouse_spark.functions.vectors import cosine_similarity
+from gh_archive_clickhouse_spark.functions.vectors import dot, l2_norm
+
+
+def _with_norm(
+    df: DataFrame, vec_col: str, out_vec: str, out_norm: str
+) -> DataFrame:
+    """Project (vec as double array, its norm) once per row.
+
+    Scoring N pairs against the same row then costs one dot product per
+    pair instead of dot + two norms: same fold order and double
+    precision as ``cosine_similarity``, so results are bit-identical,
+    but the per-pair work drops ~3x. At 100 TB the norm column is
+    computed in the map stage before any join fan-out.
+    """
+    return df.withColumn(out_vec, F.col(vec_col).cast("array<double>")).withColumn(
+        out_norm, l2_norm(F.col(out_vec))
+    )
 
 
 def cosine_topk(
@@ -38,9 +54,17 @@ def cosine_topk(
     TakeOrderedAndProject: each task keeps k rows, merge at driver —
     no global sort shuffle.
     """
-    scored = emb.crossJoin(F.broadcast(query)).select(
+    e = _with_norm(emb, vec_col, "__v", "__n")
+    q = _with_norm(query, query_vec_col, "__qv", "__qn")
+    scored = e.crossJoin(F.broadcast(q)).select(
         F.col(id_col),
-        F.round(cosine_similarity(vec_col, query_vec_col), 6).alias("cos_sim"),
+        F.round(
+            F.when(
+                (F.col("__n") > 0) & (F.col("__qn") > 0),
+                dot("__v", "__qv") / (F.col("__n") * F.col("__qn")),
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -60,10 +84,18 @@ def ivf_assign(
     id (uniform key). In a persisted index the result is written
     ``partitionBy(centroid_id)`` so probes prune partitions.
     """
-    scored = emb.crossJoin(F.broadcast(centroids)).select(
+    e = _with_norm(emb, vec_col, "__v", "__n")
+    c = _with_norm(centroids, centroid_vec_col, "__cv", "__cn")
+    scored = e.crossJoin(F.broadcast(c)).select(
         F.col(id_col),
         F.col(centroid_id_col),
-        F.round(cosine_similarity(vec_col, centroid_vec_col), 6).alias("sim"),
+        F.round(
+            F.when(
+                (F.col("__n") > 0) & (F.col("__cn") > 0),
+                dot("__v", "__cv") / (F.col("__n") * F.col("__cn")),
+            ),
+            6,
+        ).alias("sim"),
     )
     # Deterministic argmax: highest sim, then lowest centroid id.
     return scored.groupBy(id_col).agg(
@@ -87,20 +119,29 @@ def near_duplicate_pairs(
     real pipeline): only same-block pairs are scored, so the pair space
     is sum(block²) not n². Returns (vec_a, vec_b, cos_sim).
     """
-    a = emb.select(
+    normed = _with_norm(emb, vec_col, "__v", "__n")
+    a = normed.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("__va"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
     )
-    b = emb.select(
+    b = normed.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("__vb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
     )
     pairs = a.join(b, on="__blk").filter(F.col("vec_a") < F.col("vec_b"))
     scored = pairs.select(
         "vec_a",
         "vec_b",
-        F.round(cosine_similarity("__va", "__vb"), 6).alias("cos_sim"),
+        F.round(
+            F.when(
+                (F.col("__na") > 0) & (F.col("__nb") > 0),
+                dot("__va", "__vb") / (F.col("__na") * F.col("__nb")),
+            ),
+            6,
+        ).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gh_archive_clickhouse_spark.operators.dedup import latest_by_key
+from gh_archive_clickhouse_spark.operators.dedup import latest_by_key_agg
 from gh_archive_clickhouse_spark.operators.sessionize import sessionize
 from gh_archive_clickhouse_spark.plans.common import Query, read, ts_fmt
 
@@ -25,16 +25,11 @@ _DEDUP_ORDER_SQL = (
 
 def qe1_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events")
-    deduped = latest_by_key(
+    deduped = latest_by_key_agg(
         ev,
-        ["event_id"],
-        [
-            F.col("ts").desc(),
-            F.col("value").desc(),
-            F.col("user_id").desc(),
-            F.col("event_type").desc(),
-            F.col("props").desc(),
-        ],
+        keys=["event_id"],
+        order_cols=["ts", "value", "user_id", "event_type", "props"],
+        payload_cols=["ts", "user_id", "event_type", "value"],
     )
     return deduped.select(
         "event_id",
