@@ -223,6 +223,67 @@ def lsh_candidate_pairs(
     )
 
 
+def simhash_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    bands: int = 4,
+    band_bits: int = 15,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: banded buckets + Hamming verify.
+
+    Pigeonhole blocking: two fingerprints within ``max_hamming < bands``
+    bits of each other must agree exactly on at least one of the
+    ``bands`` disjoint ``band_bits``-bit slices, so candidate
+    generation is an equi-join on (band_id, slice) — the n² pair space
+    never materializes, and the join keys are uniform md5-derived bits
+    (no skew). The exact Hamming distance (``bit_count(a XOR b)``)
+    then filters candidates; both steps are codegen'd JVM expressions.
+
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b, distinct.
+    """
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftright(F.col(sig_col), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, sig_col, "band.band_id", "band.band_key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_key") == F.col("r.band_key"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col(f"l.{sig_col}").bitwiseXOR(F.col(f"r.{sig_col}"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming)
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

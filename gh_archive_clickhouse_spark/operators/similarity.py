@@ -106,6 +106,42 @@ def ivf_assign(
     )
 
 
+def srp_bucket(
+    emb: DataFrame,
+    planes: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection (SRP) LSH bucket per vector.
+
+    Bit p of the bucket is 1 iff ``dot(v, planes[p]) > 0`` — the
+    classic SimHash-for-vectors scheme: vectors in the same bucket are
+    cosine-close with probability 1 - angle/pi per plane. ``planes``
+    are ±1 rows derived deterministically (see plans/ext_queries), so
+    any SQL oracle can reproduce the buckets.
+
+    Scale path: a map-only projection (no shuffle, no Python). A
+    persisted index writes ``partitionBy(bucket)``; a query then scans
+    only its own bucket (plus Hamming-adjacent buckets for recall) —
+    the LSH-bucketed alternative to the IVF index, with no training
+    step. Returns the input plus an int ``bucket`` column.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    bucket = F.lit(0)
+    for p, signs in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(s)) for s in signs]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return emb.withColumn("bucket", bucket.cast("int"))
+
+
 def near_duplicate_pairs(
     emb: DataFrame,
     block_col: str = "label",

@@ -23,12 +23,14 @@ from gh_archive_clickhouse_spark.operators.dedup import (
     minhash_signatures,
     shingle_sets,
     simhash,
+    simhash_candidate_pairs,
 )
 from gh_archive_clickhouse_spark.operators.multimodal import attach_binary_payload
 from gh_archive_clickhouse_spark.operators.similarity import (
     cosine_topk,
     ivf_assign,
     near_duplicate_pairs,
+    srp_bucket,
 )
 from gh_archive_clickhouse_spark.operators.text_analysis import (
     fingerprint,
@@ -205,6 +207,58 @@ def qx12_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(5)
 
 
+# SRP hyperplanes: 8 planes × 64 dims of deterministic ±1, derived
+# from md5 so the DuckDB oracle below can inline the SAME literals.
+import hashlib as _hashlib
+
+_SRP_PLANES = 8
+_SRP_DIMS = 64
+SRP_SIGNS: list[list[int]] = [
+    [
+        1
+        if int(_hashlib.md5(f"srp_{p}_{d}".encode()).hexdigest(), 16) % 2 == 1
+        else -1
+        for d in range(_SRP_DIMS)
+    ]
+    for p in range(_SRP_PLANES)
+]
+
+
+def qx13_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded blocking + Hamming ≤ 3 verify."""
+    sigs = simhash(read(spark, sf_dir, "documents"))
+    return simhash_candidate_pairs(sigs)
+
+
+def qx14_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucket assignment for every embedding (map-only)."""
+    emb = read(spark, sf_dir, "embeddings")
+    return srp_bucket(emb, SRP_SIGNS).select("vec_id", "bucket")
+
+
+def qx15_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN probe via SRP-LSH: top-5 cosine within the query's bucket.
+
+    The bucketed analog of qx12's IVF probe — at scale the index is
+    written partitionBy(bucket) and this is a partition-pruned scan.
+    """
+    from gh_archive_clickhouse_spark.functions.vectors import cosine_similarity
+
+    emb = read(spark, sf_dir, "embeddings")
+    bucketed = srp_bucket(emb, SRP_SIGNS)
+    qrow = bucketed.filter(F.col("vec_id") == 7).select(
+        F.col("embedding").alias("q"), F.col("bucket").alias("qb")
+    )
+    members = bucketed.crossJoin(F.broadcast(qrow)).filter(
+        F.col("bucket") == F.col("qb")
+    )
+    scored = members.select(
+        "vec_id",
+        F.round(cosine_similarity("embedding", "q"), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(5)
+
+
 def qm1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read(spark, sf_dir, "documents")
     with_payload = attach_binary_payload(docs)
@@ -361,6 +415,53 @@ JOIN sigs a ON a.doc_id = doc_a
 JOIN sigs b ON b.doc_id = doc_b
 """
 
+_SIM_BANDS, _SIM_BAND_BITS, _SIM_MAXHAM = 4, 15, 3
+_sim_band_rows = " UNION ALL ".join(
+    f"SELECT doc_id, simhash, {b} AS band_id, "
+    f"(simhash >> {b * _SIM_BAND_BITS}) & {(1 << _SIM_BAND_BITS) - 1} AS band_key "
+    f"FROM fp"
+    for b in range(_SIM_BANDS)
+)
+_ORACLE_QX13 = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform({_DTOKS}, w -> {_SQL_MD5LONG.format(x='w')}) AS wh
+  FROM documents
+), fp AS (
+  SELECT doc_id, CAST({_simhash_terms} AS BIGINT) AS simhash FROM d
+), bands AS (
+  {_sim_band_rows}
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM pairs
+JOIN fp a ON a.doc_id = doc_a
+JOIN fp b ON b.doc_id = doc_b
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIM_MAXHAM}
+"""
+
+
+def _sql_srp_proj(p: int) -> str:
+    signs = "[" + ", ".join(f"{s}.0" for s in SRP_SIGNS[p]) + "]"
+    return (
+        f"list_aggregate(list_transform(ed, (x,i) -> x * ({signs})[i]), 'sum')"
+    )
+
+
+_srp_bucket_sql = " + ".join(
+    f"(CASE WHEN {_sql_srp_proj(p)} > 0 THEN {1 << p} ELSE 0 END)"
+    for p in range(_SRP_PLANES)
+)
+_ORACLE_QX14 = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings)
+SELECT vec_id, CAST({_srp_bucket_sql} AS INTEGER) AS bucket FROM e
+"""
+
 _ED = "CAST(embedding AS DOUBLE[])"
 _ORACLE_QX2 = f"""
 WITH q AS (SELECT {_ED} AS qe FROM embeddings WHERE vec_id = 0)
@@ -392,6 +493,18 @@ scored AS (
   FROM scored
 )
 SELECT vec_id, centroid_id AS cluster_id FROM best WHERE rk = 1
+"""
+
+_ORACLE_QX15 = f"""
+WITH e AS (SELECT vec_id, {_ED} AS ed FROM embeddings),
+b AS (
+  SELECT vec_id, ed, CAST({_srp_bucket_sql} AS INTEGER) AS bucket FROM e
+), q AS (SELECT ed AS qe, bucket AS qb FROM b WHERE vec_id = 7)
+SELECT vec_id, round({_sql_cosine('ed', 'qe')}, 6) AS cos_sim
+FROM b, q
+WHERE bucket = qb
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 5
 """
 
 _ORACLE_QX12 = f"""
@@ -510,6 +623,27 @@ QUERIES = [
         "IVF ANN probe: top-5 within the query's cluster",
         qx12_ivf_topk,
         _ORACLE_QX12,
+        tags=("ext", "similarity"),
+    ),
+    Query(
+        "qx13_simhash_neardup",
+        "SimHash near-dup pairs: banded blocking + Hamming ≤ 3",
+        qx13_simhash_neardup,
+        _ORACLE_QX13,
+        tags=("ext", "dedup"),
+    ),
+    Query(
+        "qx14_srp_buckets",
+        "sign-random-projection LSH bucket per embedding",
+        qx14_srp_buckets,
+        _ORACLE_QX14,
+        tags=("ext", "similarity"),
+    ),
+    Query(
+        "qx15_srp_topk",
+        "SRP-LSH ANN probe: top-5 cosine within the query's bucket",
+        qx15_srp_topk,
+        _ORACLE_QX15,
         tags=("ext", "similarity"),
     ),
     Query(

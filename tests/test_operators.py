@@ -67,3 +67,70 @@ def test_ensure_parallelism_fans_out_small_inputs(spark):
     assert fanned.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     # already-partitioned input passes through without a reshuffle
     assert ensure_parallelism(fanned) is fanned
+
+
+def test_asof_join_matches_naive(spark):
+    """asof_join == per-row 'latest right at-or-before left.ts'."""
+    from gh_archive_clickhouse_spark.operators.asof import asof_join
+
+    ev = spark.createDataFrame(
+        [
+            (1, "u1", "2024-01-01 00:00:00", "purchase"),
+            (2, "u1", "2024-01-01 00:00:05", "purchase"),
+            (3, "u2", "2024-01-01 00:00:01", "purchase"),
+            (10, "u1", "2024-01-01 00:00:00", "click"),
+            (11, "u1", "2024-01-01 00:00:03", "click"),
+            (12, "u3", "2024-01-01 00:00:00", "click"),
+        ],
+        "event_id long, user_id string, ts_s string, event_type string",
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type")
+    left = ev.filter(F.col("event_type") == "purchase")
+    right = ev.filter(F.col("event_type") == "click")
+    out = {
+        r.event_id: (r.asof_ts_us, r.n_right_so_far)
+        for r in asof_join(left, right, key="user_id").collect()
+    }
+    base = 1704067200 * 1_000_000  # 2024-01-01 00:00:00 UTC
+    assert out[1] == (base, 1)  # click at same ts counts ('<=')
+    assert out[2] == (base + 3_000_000, 2)
+    assert out[3] == (None, 0)  # u2 has no clicks
+
+
+def test_simhash_candidate_pairs_blocking(spark):
+    """Identical fingerprints pair at hamming 0; far ones are blocked out."""
+    from gh_archive_clickhouse_spark.operators.dedup import simhash_candidate_pairs
+
+    sigs = spark.createDataFrame(
+        [
+            (1, 0b1111000011110000),
+            (2, 0b1111000011110000),          # dup of 1
+            (3, 0b1111000011110001),          # hamming 1 from 1/2
+            (4, (1 << 60) - 1),               # far from everything
+        ],
+        "doc_id long, simhash long",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_candidate_pairs(sigs).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
+    assert all(4 not in p for p in pairs)
+
+
+def test_srp_bucket_properties(spark):
+    """Buckets are deterministic, in range, and scale-invariant."""
+    from gh_archive_clickhouse_spark.operators.similarity import srp_bucket
+    from gh_archive_clickhouse_spark.plans.ext_queries import SRP_SIGNS
+    from gh_archive_clickhouse_spark.plans.common import read
+
+    emb = read(spark, SF_DIR, "embeddings")
+    b1 = srp_bucket(emb, SRP_SIGNS).select("vec_id", "bucket")
+    rows = b1.collect()
+    assert all(0 <= r.bucket < 256 for r in rows)
+    # cosine-LSH property: scaling a vector never changes its bucket
+    scaled = emb.withColumn(
+        "embedding", F.transform("embedding", lambda x: x * F.lit(7.5))
+    )
+    b2 = srp_bucket(scaled, SRP_SIGNS).select("vec_id", "bucket")
+    assert b1.exceptAll(b2).count() == 0
