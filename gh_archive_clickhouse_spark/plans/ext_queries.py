@@ -32,6 +32,11 @@ from gh_archive_clickhouse_spark.operators.similarity import (
     near_duplicate_pairs,
     srp_bucket,
 )
+from gh_archive_clickhouse_spark.operators.udf_ops import (
+    doc_bigrams,
+    token_quantiles,
+    user_event_ranks,
+)
 from gh_archive_clickhouse_spark.operators.text_analysis import (
     fingerprint,
     language_id,
@@ -257,6 +262,30 @@ def qx15_srp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine_similarity("embedding", "q"), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(5)
+
+
+def qx16_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas grouped-agg UDAF surface (§2.4): per-lang token quantiles."""
+    return token_quantiles(read(spark, sf_dir, "documents"))
+
+
+def qx17_user_event_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map surface (§2.4): per-user event ranks."""
+    from gh_archive_clickhouse_spark.plans.common import ts_fmt
+
+    ranked = user_event_ranks(read(spark, sf_dir, "events"))
+    return ranked.select(
+        "user_id",
+        "event_id",
+        ts_fmt("ts").alias("ts_s"),
+        "value",
+        "user_rank",
+    )
+
+
+def qx18_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (§2.4): lateral bigram expansion."""
+    return doc_bigrams(read(spark, sf_dir, "documents"))
 
 
 def qm1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -624,6 +653,52 @@ QUERIES = [
         qx12_ivf_topk,
         _ORACLE_QX12,
         tags=("ext", "similarity"),
+    ),
+    Query(
+        "qx16_token_quantiles",
+        "pandas grouped-agg UDAF: per-lang token-count quantiles",
+        qx16_token_quantiles,
+        f"""
+        WITH c AS (SELECT lang, len({_TOKS}) AS n_tokens FROM documents)
+        SELECT lang,
+               round(percentile_cont(0.25) WITHIN GROUP (ORDER BY n_tokens), 6)
+                 AS p25_tokens,
+               round(percentile_cont(0.50) WITHIN GROUP (ORDER BY n_tokens), 6)
+                 AS p50_tokens,
+               round(percentile_cont(0.75) WITHIN GROUP (ORDER BY n_tokens), 6)
+                 AS p75_tokens
+        FROM c GROUP BY lang
+        """,
+        tags=("ext", "udf"),
+    ),
+    Query(
+        "qx17_user_event_ranks",
+        "applyInPandas grouped-map: per-user ordinal event ranks",
+        qx17_user_event_ranks,
+        """
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+               value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id, value) AS user_rank
+        FROM events
+        """,
+        tags=("ext", "udf"),
+    ),
+    Query(
+        "qx18_udtf_bigrams",
+        "Python UDTF: lateral word-bigram expansion over a doc sample",
+        qx18_udtf_bigrams,
+        f"""
+        WITH d AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id % 50 = 0
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS pos,
+               toks[i] || ' ' || toks[i + 1] AS bigram
+        FROM d, LATERAL unnest(generate_series(1, len(toks) - 1)) AS u(i)
+        """,
+        tags=("ext", "udf"),
     ),
     Query(
         "qx13_simhash_neardup",
