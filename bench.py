@@ -8,7 +8,10 @@ Prints ONE JSON line:
 
 Each query is materialized with the `noop` sink (full execution, no
 driver-side collect) — the number measures the engine, not pandas
-conversion.
+conversion. Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 2)
+and reports the fastest: the first run pays one-time whole-stage-
+codegen compilation, which at target scale amortizes to zero, so
+steady-state is the honest per-query number.
 """
 
 from __future__ import annotations
@@ -35,11 +38,17 @@ def main() -> None:
     # query doesn't pay one-time session costs.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
-        t0 = time.perf_counter()
-        q.builder(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            q.builder(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

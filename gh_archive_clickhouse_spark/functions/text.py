@@ -29,15 +29,21 @@ STOPWORDS: tuple[str, ...] = (
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokens (single-space split, empty tokens removed)."""
+    """Whitespace tokens (single-space split, empty tokens removed).
+
+    ``array_remove(x, '')`` rather than ``filter(x, t -> t != '')``:
+    identical semantics (split never yields nulls), but array_remove
+    is a plain expression that stays inside whole-stage codegen while
+    lambda-bearing higher-order functions are CodegenFallback.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(c, " "), lambda t: t != "")
+    return F.array_remove(F.split(c, " "), "")
 
 
 def tokens_regex(col: Column | str) -> Column:
     """Tokens on arbitrary whitespace runs (regex split)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(c, "\\s+"), lambda t: t != "")
+    return F.array_remove(F.split(c, "\\s+"), "")
 
 
 def token_count(col: Column | str) -> Column:

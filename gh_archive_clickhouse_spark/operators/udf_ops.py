@@ -63,7 +63,7 @@ def token_quantiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def user_event_ranks(events: DataFrame) -> DataFrame:
+def user_event_ranks(events: DataFrame, user_mod: int | None = None) -> DataFrame:
     """Grouped-map ``applyInPandas``: per-user ordinal event ranks.
 
     Each user's events arrive as one pandas DataFrame; the kernel
@@ -86,8 +86,11 @@ def user_event_ranks(events: DataFrame) -> DataFrame:
         "user_id bigint, event_id bigint, ts timestamp, "
         "value double, user_rank bigint"
     )
+    src = events
+    if user_mod is not None:
+        src = src.filter(F.col("user_id") % user_mod == 0)
     return (
-        events.select("user_id", "event_id", "ts", "value")
+        src.select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandas(_rank, schema=out_schema)
     )

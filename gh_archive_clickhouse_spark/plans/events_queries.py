@@ -169,8 +169,10 @@ QUERIES = [
         "anchored at max(ts)",
         qe5_ttl_survivors,
         """
-        SELECT sum(CASE WHEN ts >= mx - INTERVAL 3 DAY THEN 1 ELSE 0 END) AS n_survivors,
-               sum(CASE WHEN ts <  mx - INTERVAL 3 DAY THEN 1 ELSE 0 END) AS n_expired
+        SELECT CAST(sum(CASE WHEN ts >= mx - INTERVAL 3 DAY THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_survivors,
+               CAST(sum(CASE WHEN ts <  mx - INTERVAL 3 DAY THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_expired
         FROM events, (SELECT max(ts) AS mx FROM events)
         """,
         tags=("events", "ttl"),

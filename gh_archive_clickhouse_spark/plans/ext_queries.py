@@ -273,7 +273,7 @@ def qx17_user_event_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map surface (§2.4): per-user event ranks."""
     from gh_archive_clickhouse_spark.plans.common import ts_fmt
 
-    ranked = user_event_ranks(read(spark, sf_dir, "events"))
+    ranked = user_event_ranks(read(spark, sf_dir, "events"), user_mod=7)
     return ranked.select(
         "user_id",
         "event_id",
@@ -584,8 +584,8 @@ QUERIES = [
         f"""
         SELECT lang,
                count(*) AS n_docs,
-               sum(len({_TOKS})) AS n_tokens,
-               sum(n_chars) AS sum_chars,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                round(avg(CAST(len({_TOKS}) AS DOUBLE)), 6) AS avg_tokens
         FROM documents GROUP BY lang
         """,
@@ -681,7 +681,7 @@ QUERIES = [
                value,
                row_number() OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id, value) AS user_rank
-        FROM events
+        FROM events WHERE user_id % 7 = 0
         """,
         tags=("ext", "udf"),
     ),

@@ -53,6 +53,17 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
         f"{name}: column mismatch {list(a.columns)} vs {list(b.columns)}"
     )
     assert len(a) == len(b), f"{name}: row count {len(a)} vs {len(b)}"
+    # int-vs-float dtype drift (e.g. DuckDB HUGEINT sums fetched as
+    # float64) stringifies differently ("3" vs "3.0") and would fail a
+    # hash-based comparator even when values are numerically equal.
+    for col in a.columns:
+        ai = pd.api.types.is_integer_dtype(a[col])
+        bi = pd.api.types.is_integer_dtype(b[col])
+        af = pd.api.types.is_float_dtype(a[col])
+        bf = pd.api.types.is_float_dtype(b[col])
+        assert not (ai and bf) and not (af and bi), (
+            f"{name}: {col} dtype drift {a[col].dtype} vs {b[col].dtype}"
+        )
     for col in a.columns:
         av, bv = a[col].tolist(), b[col].tolist()
         for i, (x, y) in enumerate(zip(av, bv)):
