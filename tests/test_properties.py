@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) for the custom operators.
+
+The oracle gate checks one fixture; these check the operator CONTRACTS
+on adversarial inputs — ties, empty sides, boundary timestamps,
+duplicate keys — against brute-force Python references.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_BASE = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+# (user_id 0..3, seconds-offset 0..30) — small domains force ties and
+# same-timestamp left/right collisions.
+_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 30)),
+    min_size=0,
+    max_size=25,
+)
+
+_SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _mk(spark, rows, start_id=0):
+    data = [
+        (start_id + i, u, _BASE + dt.timedelta(seconds=s))
+        for i, (u, s) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp"
+    )
+
+
+@given(left=_events, right=_events)
+@_SET
+def test_asof_join_property(spark, left, right):
+    from gh_archive_clickhouse_spark.operators.asof import asof_join
+
+    ldf, rdf = _mk(spark, left), _mk(spark, right, start_id=1000)
+    got = {
+        r.event_id: (r.asof_ts_us, r.n_right_so_far)
+        for r in asof_join(ldf, rdf, key="user_id").collect()
+    }
+    assert set(got) == set(range(len(left)))
+    for i, (u, s) in enumerate(left):
+        lts = _BASE + dt.timedelta(seconds=s)
+        prior = [rs for (ru, rs) in right if ru == u and
+                 _BASE + dt.timedelta(seconds=rs) <= lts]
+        want_ts = (
+            int((_BASE + dt.timedelta(seconds=max(prior))).timestamp()) * 10**6
+            if prior
+            else None
+        )
+        assert got[i] == (want_ts, len(prior)), f"left row {i}"
+
+
+@given(left=_events, right=_events, width=st.integers(1, 40))
+@_SET
+def test_range_join_count_property(spark, left, right, width):
+    from gh_archive_clickhouse_spark.operators.asof import range_join_count
+
+    ldf, rdf = _mk(spark, left), _mk(spark, right, start_id=1000)
+    got = {
+        r.event_id: r.n_in_range
+        for r in range_join_count(
+            ldf, rdf, key="user_id", width_seconds=width
+        ).collect()
+    }
+    # one output row per distinct left event_id (ids are unique here)
+    assert set(got) == set(range(len(left)))
+    for i, (u, s) in enumerate(left):
+        # contract: r.ts in [l.ts - width, l.ts), same key
+        want = sum(
+            1
+            for (ru, rs) in right
+            if ru == u and s - width <= rs < s
+        )
+        assert got[i] == want, f"left row {i} (width={width})"
+
+
+@given(
+    sigs=st.lists(st.integers(0, (1 << 60) - 1), min_size=0, max_size=12),
+    max_h=st.integers(0, 3),
+)
+@_SET
+def test_simhash_pairs_complete_and_sound(spark, sigs, max_h):
+    """Pigeonhole completeness: EVERY pair within max_hamming <= 3 of
+    4x15-bit bands must be returned; nothing above max_hamming is."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "doc_id long, simhash long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_candidate_pairs(df, max_hamming=max_h).collect()
+    }
+    want = {}
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            h = bin(sigs[i] ^ sigs[j]).count("1")
+            if h <= max_h:
+                want[(i, j)] = h
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 5), st.integers(0, 100)),
+        min_size=0,
+        max_size=25,
+    )
+)
+@_SET
+def test_latest_by_key_agg_equals_window_form(spark, rows):
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        latest_by_key,
+        latest_by_key_agg,
+    )
+
+    df = spark.createDataFrame(rows, "k long, o long, payload long")
+    via_agg = latest_by_key_agg(
+        df, keys=["k"], order_cols=["o", "payload"], payload_cols=["o", "payload"]
+    )
+    via_win = latest_by_key(
+        df, ["k"], [F.col("o").desc(), F.col("payload").desc()]
+    ).select("k", "o", "payload")
+    a = sorted(tuple(r) for r in via_agg.collect())
+    b = sorted(tuple(r) for r in via_win.collect())
+    assert a == b
