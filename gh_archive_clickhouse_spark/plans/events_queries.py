@@ -105,7 +105,28 @@ def qe7_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_minutes=30)
 
 
+def qe10_salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe totals over event_type — 5 distinct keys, the shape
+    where a plain groupBy leaves 5 hot reducers at cluster scale."""
+    from gh_archive_clickhouse_spark.operators.skew import salted_totals
+
+    ev = read(spark, sf_dir, "events")
+    return salted_totals(ev, key="event_type", value_col="value")
+
+
 QUERIES = [
+    Query(
+        "qe10_salted_type_totals",
+        "salted two-stage aggregation over a 5-key (skewed) group key",
+        qe10_salted_type_totals,
+        """
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
+        """,
+        tags=("events", "skew"),
+    ),
     Query(
         "qe1_dedup_latest",
         "ReplacingMergeTree read semantics (D1): one row per event_id, "

@@ -6,6 +6,7 @@ from gh_archive_clickhouse_spark.plans import (
     events_queries,
     ext_queries,
     relational_queries,
+    streaming_queries,
     tpch_queries,
 )
 from gh_archive_clickhouse_spark.plans.common import Query
@@ -15,6 +16,7 @@ _ALL: list[Query] = [
     *tpch_queries.QUERIES,
     *relational_queries.QUERIES,
     *ext_queries.QUERIES,
+    *streaming_queries.QUERIES,
 ]
 
 QUERIES: dict[str, Query] = {q.name: q for q in _ALL}
