@@ -217,7 +217,89 @@ def qt9_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qt12_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → fact join → top-10 by
+    aggregated revenue. customer filter broadcasts; lineitem (the big
+    side) is never re-shuffled before the join; the final top-10 is a
+    TakeOrderedAndProject."""
+    c = read(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(
+        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        li.l_orderkey == o.o_orderkey,
+    )
+    agg = joined.groupBy(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        "o_orderpriority",
+    ).agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey").asc()
+    ).limit(10)
+
+
+def qt13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join + two-level aggregation —
+    customers with zero orders must appear in the 0-bucket. The outer
+    join broadcasts nothing (both sides keyed), the first groupBy
+    shuffles per customer, the histogram groupBy is tiny."""
+    c = read(spark, sf_dir, "customer")
+    o = read(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
 QUERIES = [
+    Query(
+        "qt12_shipping_priority",
+        "TPC-H Q3 shape: 3-way join, revenue top-10",
+        qt12_shipping_priority,
+        """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_date, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+        """,
+        tags=("tpch", "join", "topk"),
+    ),
+    Query(
+        "qt13_order_count_distribution",
+        "TPC-H Q13 shape: left outer join + order-count histogram",
+        qt13_order_count_distribution,
+        """
+        SELECT c_count, count(*) AS custdist
+        FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        """,
+        tags=("tpch", "join", "agg"),
+    ),
     Query(
         "qt1_pricing_summary",
         "TPC-H Q1 shape: filter + 8-agg groupBy on lineitem",

@@ -1,0 +1,98 @@
+"""Physical-plan property tests: the scale contracts of the engine.
+
+Correctness tests prove WHAT each query returns; these pin HOW — the
+plan shapes that keep the same code fast at 100 TB. If a refactor
+turns a broadcast join into a sort-merge join, drops a parquet filter
+pushdown, or reintroduces a nested-loop range join, these fail.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from gh_archive_clickhouse_spark.plans.registry import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].builder(spark, SF_DIR)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_qt2_star_join_all_broadcast(spark):
+    """Q5 shape: every dim join must broadcast — no shuffle joins."""
+    plan = _plan(spark, "qt2_regional_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_qt1_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "qt1_pricing_summary")
+    assert re.search(r"PushedFilters: \[.*l_shipdate", plan), plan[:2000]
+
+
+def test_qt1_column_pruning(spark):
+    """The lineitem scan must read only the columns Q1 touches."""
+    plan = _plan(spark, "qt1_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, "no ReadSchema in plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert "l_comment" not in cols and len(cols) <= 7, cols
+
+
+def test_qe1_dedup_is_aggregate_not_window(spark):
+    """ReplacingMergeTree view: aggregate WITH map-side partials
+    (partial_max_by before the exchange), never a window over the
+    fully-shuffled raw table. (Struct ordering keys make Spark pick
+    SortAggregate over HashAggregate; the partial-agg property is the
+    one that bounds shuffle volume.)"""
+    plan = _plan(spark, "qe1_dedup_latest")
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+def test_range_join_is_equi_join(spark):
+    """qe9 must plan as a bucketed equi-join — never nested-loop."""
+    plan = _plan(spark, "qe9_range_join_errors")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_candidates_no_cartesian(spark):
+    plan = _plan(spark, "qx9_lsh_candidates")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """qe8: exactly one Exchange below the window (union both sides,
+    shuffle once on the key)."""
+    plan = _plan(spark, "qe8_asof_click_before_purchase")
+    n_exchange = plan.count("Exchange")
+    assert n_exchange <= 2, f"{n_exchange} exchanges:\n{plan[:1500]}"
+    assert "Window" in plan
+
+
+def test_simhash_is_partial_hash_aggregate(spark):
+    """qx7's 60-counter vote aggregate must be a HashAggregate with
+    map-side partials (one 60-counter row per doc crosses the wire),
+    not an interpreted higher-order fold."""
+    plan = _plan(spark, "qx7_simhash")
+    assert "HashAggregate" in plan
+    assert "partial_" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["qx2_cosine_topk", "qx12_ivf_topk", "qx15_srp_topk"]
+)
+def test_topk_is_take_ordered(spark, name):
+    """orderBy+limit must compile to TakeOrderedAndProject — per-task
+    top-k merged at the driver, not a global sort shuffle."""
+    plan = _plan(spark, name)
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
