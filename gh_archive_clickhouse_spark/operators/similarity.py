@@ -181,3 +181,70 @@ def near_duplicate_pairs(
         ).alias("cos_sim"),
     )
     return scored.filter(F.col("cos_sim") >= threshold)
+
+
+def build_vector_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: vectors written ``partitionBy(cluster_id)``.
+
+    This is the materialization of the IVF scale path: the assignment
+    is the one-off map-only pass (broadcast centroids), and the layout
+    makes every subsequent probe a *partition-pruned* read of
+    ~1/n_clusters of the data — Catalyst eliminates the other
+    partitions at planning time (see ``probe_vector_index`` and the
+    pruning assertion in tests/test_operators.py). Precomputed norms
+    are stored so probes skip the norm pass entirely.
+    """
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    normed = _with_norm(emb, vec_col, "__v", "__n")
+    (
+        normed.join(assigned, id_col)
+        .select(
+            F.col(id_col),
+            F.col("__v").alias("vec"),
+            F.col("__n").alias("norm"),
+            "cluster_id",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+
+
+def probe_vector_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    cluster_id: int,
+    k: int = 5,
+    n_probe: int = 1,
+) -> DataFrame:
+    """ANN probe over a persisted index: scan ONLY the query's
+    cluster partition(s) (``n_probe`` widens recall to adjacent
+    clusters the caller supplies a starting id for).
+
+    The ``cluster_id`` equality/IN filter is a partition filter — the
+    scan's PartitionFilters prune every other cluster directory, so
+    probe cost is data-in-cluster, independent of corpus size.
+    """
+    idx = spark.read.parquet(path)
+    clusters = list(range(cluster_id, cluster_id + n_probe))
+    members = idx.filter(F.col("cluster_id").isin(clusters))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
+    scored = members.select(
+        "vec_id",
+        F.round(
+            F.when(
+                (F.col("norm") > 0) & (F.lit(qn) > 0),
+                dot(F.col("vec"), q) / (F.col("norm") * F.lit(qn)),
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)

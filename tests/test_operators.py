@@ -134,3 +134,40 @@ def test_srp_bucket_properties(spark):
     )
     b2 = srp_bucket(scaled, SRP_SIGNS).select("vec_id", "bucket")
     assert b1.exceptAll(b2).count() == 0
+
+
+def test_vector_index_partition_pruning(spark, tmp_path):
+    """The persisted IVF index probe must be partition-pruned: the
+    scan reads only the query cluster's directory."""
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        build_vector_index,
+        probe_vector_index,
+    )
+    from gh_archive_clickhouse_spark.plans.common import read
+
+    emb = read(spark, SF_DIR, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("c"),
+    )
+    path = str(tmp_path / "ivf_index")
+    build_vector_index(emb, centroids, path)
+
+    qrow = emb.filter(F.col("vec_id") == 3).first()
+    probe = probe_vector_index(spark, path, list(qrow.embedding), cluster_id=3)
+    rows = probe.collect()
+    assert 0 < len(rows) <= 5
+    # the query vector itself is its own nearest neighbor
+    assert rows[0].vec_id == 3 and abs(rows[0].cos_sim - 1.0) < 1e-6
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster_id" in m.group(1), plan[:1200]
+    # probe result size == min(k, members of the probed cluster)
+    n_in_cluster = (
+        probe.sparkSession.read.parquet(path)
+        .filter(F.col("cluster_id") == 3)
+        .count()
+    )
+    assert len(rows) == min(5, n_in_cluster)
