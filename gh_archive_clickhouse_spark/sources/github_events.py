@@ -149,9 +149,14 @@ class GitHubEventsStreamReader(SimpleDataSourceStreamReader):
                 result.etag = headers.get("ETag") or headers.get("Etag")
             if status == 422:  # pagination cut (gh.go:165-167)
                 result.status = 422
+                # the reference adopts the frontier after the paging
+                # loop regardless of how it ended (main.go:207) — ids
+                # seen before the cut must not re-emit next poll
+                self._remember(current_met)
                 return result
             if status != 200:
                 result.status = status
+                self._remember(current_met)
                 return result
             events = json.loads(body or b"[]")
             for ev in events:

@@ -182,6 +182,41 @@ def test_422_cuts_pagination():
         server.shutdown()
 
 
+class Mock422Repeat(MockGitHub):
+    """Pages 1-2 serve FIXED ids every poll; page 3 is always 422."""
+
+    def do_GET(self):
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+        page = int(q.get("page", ["1"])[0])
+        if page >= 3:
+            self.send_response(422)
+            self.end_headers()
+            return
+        payload = json.dumps(
+            _events(range(page * 100, page * 100 + 5))
+        ).encode()
+        self.send_response(200)
+        self.end_headers()
+        self.wfile.write(payload)
+
+
+def test_frontier_survives_422_cut():
+    """Ids seen before a 422 pagination cut must enter the seen-id
+    frontier (the reference adopts it after the paging loop however it
+    ended, main.go:207) — a repeat poll re-serving the same pages
+    emits nothing."""
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Mock422Repeat)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        r = _reader(f"http://127.0.0.1:{server.server_port}/events")
+        rows1, off1 = r.read(r.initialOffset())
+        assert len(list(rows1)) == 10
+        rows2, _ = r.read(off1)
+        assert list(rows2) == []
+    finally:
+        server.shutdown()
+
+
 def test_streaming_end_to_end(spark, mock_server, tmp_path):
     """Full Structured Streaming run: custom source → watermark dedup →
     memory sink, against the mock API."""
