@@ -34,6 +34,37 @@ def ts_fmt(col: Column | str) -> Column:
     return F.date_format(c, TS_PATTERN_SPARK)
 
 
+def dec_sum(col: Column | str, scale: int = 2) -> Column:
+    """Order-exact money sum: accumulate in DECIMAL(18,6), round, cast
+    back to double.
+
+    Float sums depend on accumulation order (partition count, AQE),
+    so a sum whose true value sits ON the rounding boundary (e.g. a
+    4-decimal product sum ending in ...50) can round differently here
+    vs an oracle. Decimal addition is exact and order-independent;
+    inputs here are ≤2-decimal (products ≤6), so the cast is lossless.
+    SQL mirror: ``CAST(round(sum(CAST(x AS DECIMAL(18,6))), s) AS DOUBLE)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(18,6)")), scale).cast("double")
+
+
+def dec_avg(col: Column | str, scale: int = 6) -> Column:
+    """Order-exact average: exact decimal sum → one double division.
+
+    ``avg(double)`` re-aggregates partial sums, so near-boundary
+    averages (sum/count landing on the half-ulp of the rounding scale,
+    e.g. 1391.13/32 = 43.4728125) flip between engines. Here both
+    engines divide the SAME double by the same count.
+    SQL mirror:
+    ``round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x), s)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c), scale
+    )
+
+
 @dataclass(frozen=True)
 class Query:
     """One declared query: a DataFrame builder + its DuckDB oracle.

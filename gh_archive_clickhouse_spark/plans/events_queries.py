@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 
 from gh_archive_clickhouse_spark.operators.dedup import latest_by_key_agg
 from gh_archive_clickhouse_spark.operators.sessionize import sessionize
-from gh_archive_clickhouse_spark.plans.common import Query, read, ts_fmt
+from gh_archive_clickhouse_spark.plans.common import (
+    Query,
+    dec_avg,
+    dec_sum,
+    read,
+    ts_fmt,
+)
 
 # Deterministic "last wins" total order for the ReplacingMergeTree-style
 # dedup view: newest ts first, then value/user/type/props tie-breakers.
@@ -67,8 +73,8 @@ def qe4_hourly_type_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(hour.alias("hour_s"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            dec_avg("value").alias("avg_value"),
+            dec_sum("value").alias("sum_value"),
         )
     )
 
@@ -178,8 +184,10 @@ QUERIES = [
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
                event_type,
                count(*) AS n,
-               round(avg(value), 6) AS avg_value,
-               round(sum(value), 2) AS sum_value
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(value), 6) AS avg_value,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS sum_value
         FROM events GROUP BY 1, 2
         """,
         tags=("events", "agg", "timeseries"),

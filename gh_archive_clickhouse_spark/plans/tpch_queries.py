@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gh_archive_clickhouse_spark.operators.topk import top_k_per_group
-from gh_archive_clickhouse_spark.plans.common import Query, read
+from gh_archive_clickhouse_spark.plans.common import (
+    Query,
+    dec_avg,
+    dec_sum,
+    read,
+)
 
 
 def qt1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -30,13 +35,13 @@ def qt1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(disc_price).alias("sum_disc_price"),
+            dec_sum(charge).alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -71,7 +76,7 @@ def qt2_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+        .agg(dec_sum(revenue).alias("revenue"))
     )
 
 
@@ -240,7 +245,7 @@ def qt12_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
         "o_orderpriority",
-    ).agg(F.round(F.sum(revenue), 2).alias("revenue"))
+    ).agg(dec_sum(revenue).alias("revenue"))
     return agg.orderBy(
         F.col("revenue").desc(), F.col("l_orderkey").asc()
     ).limit(10)
@@ -272,7 +277,8 @@ QUERIES = [
         SELECT l_orderkey,
                strftime(o_orderdate, '%Y-%m-%d') AS o_date,
                o_orderpriority,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM customer, orders, lineitem
         WHERE c_mktsegment = 'BUILDING'
           AND c_custkey = o_custkey
@@ -306,13 +312,20 @@ QUERIES = [
         qt1_pricing_summary,
         """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 6) AS avg_qty,
-               round(avg(l_extendedprice), 6) AS avg_price,
-               round(avg(l_discount), 6) AS avg_disc,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(l_quantity), 6) AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(l_extendedprice), 6) AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(l_discount), 6) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -325,7 +338,9 @@ QUERIES = [
         "TPC-H Q5 shape: 6-way star join + agg (ASIA, 1996-1997)",
         qt2_regional_revenue,
         """
-        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        SELECT n_name,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders   ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
