@@ -111,6 +111,26 @@ def qe7_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_minutes=30)
 
 
+def qe11_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON function battery over the props column: typed from_json
+    (schema-on-read, the raw-table pattern of SURVEY §1.2), string
+    extraction, existence predicate, and to_json round-trip."""
+    ev = read(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k INT")
+    return (
+        ev.select(
+            "event_id",
+            parsed.getField("k").alias("k_typed"),
+            F.get_json_object("props", "$.k").alias("k_str"),
+            parsed.getField("k").isNotNull().alias("has_k"),
+            F.to_json(F.struct(parsed.getField("k").alias("k"))).alias(
+                "roundtrip"
+            ),
+        )
+        .filter(F.col("k_typed") % 3 == 0)
+    )
+
+
 def qe10_salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe totals over event_type — 5 distinct keys, the shape
     where a plain groupBy leaves 5 hot reducers at cluster scale."""
@@ -121,6 +141,21 @@ def qe10_salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = [
+    Query(
+        "qe11_json_battery",
+        "JSON battery: from_json, get_json_object, existence, to_json",
+        qe11_json_battery,
+        """
+        SELECT event_id,
+               json_extract(props, '$.k')::INTEGER AS k_typed,
+               json_extract_string(props, '$.k') AS k_str,
+               json_extract(props, '$.k') IS NOT NULL AS has_k,
+               to_json({'k': json_extract(props, '$.k')::INTEGER}) AS roundtrip
+        FROM events
+        WHERE json_extract(props, '$.k')::INTEGER % 3 = 0
+        """,
+        tags=("events", "json"),
+    ),
     Query(
         "qe10_salted_type_totals",
         "salted two-stage aggregation over a 5-key (skewed) group key",

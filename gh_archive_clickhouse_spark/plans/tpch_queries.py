@@ -268,7 +268,66 @@ def qt13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def qt17_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch surface: percentile_approx (GK/KLL-style) sanity-checked
+    against the exact percentile, per group. Like qt7, the sketch
+    itself is engine-specific, so the oracle contract is (exact value,
+    estimate-within-tolerance flag)."""
+    o = read(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 6).alias("p50_exact"),
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("__approx"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "p50_exact",
+        (
+            F.abs(F.col("__approx") - F.col("p50_exact"))
+            <= 0.05 * F.col("p50_exact")
+        ).alias("within_tol"),
+    )
+
+
+def qt18_sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested aggregation: per-order sorted line-number list.
+    collect_list is order-nondeterministic across partitions, so the
+    deterministic contract is sort_array before serialization."""
+    li = read(spark, sf_dir, "lineitem")
+    lines = F.sort_array(F.collect_list("l_linenumber"))
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(
+            ",", F.transform(lines, lambda x: x.cast("string"))
+        ).alias("lines"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 QUERIES = [
+    Query(
+        "qt17_approx_percentile",
+        "percentile_approx vs exact median within 5% per order status",
+        qt17_approx_percentile,
+        """
+        SELECT o_orderstatus,
+               round(percentile_cont(0.5) WITHIN GROUP
+                 (ORDER BY o_totalprice), 6) AS p50_exact,
+               CAST(1 AS BOOLEAN) AS within_tol
+        FROM orders GROUP BY o_orderstatus
+        """,
+        tags=("tpch", "approx"),
+    ),
+    Query(
+        "qt18_sorted_array_agg",
+        "deterministic array agg: sorted per-order line numbers",
+        qt18_sorted_array_agg,
+        """
+        SELECT l_orderkey,
+               array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+               count(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+        """,
+        tags=("tpch", "agg", "nested"),
+    ),
     Query(
         "qt12_shipping_priority",
         "TPC-H Q3 shape: 3-way join, revenue top-10",
