@@ -64,7 +64,15 @@ def test_parse_p1_projection(spark, ndjson_dir):
     # bad id and missing created_at dropped; 5 ids remain (3 twice)
     assert set(rows) == {1, 2, 3, 4, 5}
     assert df.count() == 6
-    assert rows[1].ts.isoformat().startswith("2020-01-01T15:04:05")
+    # compare instants, not rendered datetimes: collect() localizes
+    # naive timestamps to the host TZ, which must not matter
+    import calendar
+    import datetime as dt
+
+    want = calendar.timegm(
+        dt.datetime(2020, 1, 1, 15, 4, 5).timetuple()
+    )
+    assert rows[1].ts.timestamp() == want
     assert "uni" in rows[5].raw  # raw JSON preserved verbatim
     assert df.schema.simpleString() == "struct<id:bigint,ts:timestamp,raw:string>"
 
