@@ -18,16 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gh_archive_clickhouse_spark.plans.common import Query, read, ts_fmt
-from gh_archive_clickhouse_spark.streaming.analytics import hourly_type_counts
+from gh_archive_clickhouse_spark.streaming.analytics import (
+    hourly_type_counts,
+    session_aggregates,
+)
 
 _SEQ = itertools.count()
 
 
-def qs1_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hourly per-type event counts computed BY A STREAM over the
-    events fixture: one-file file-source, availableNow trigger, memory
-    sink, complete mode. Returns the final materialized table.
-    """
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """The events fixture as a file-source STREAM (micro-batch input)."""
     read(spark, sf_dir, "events")  # sets nanos/tz session confs
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # FileStreamSource wants a directory; a glob over the fixture dir
@@ -39,8 +39,11 @@ def qs1_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    agg = hourly_type_counts(stream)
-    name = f"qs1_hourly_{next(_SEQ)}"
+    return stream
+
+
+def _run_to_table(agg, prefix: str):
+    name = f"{prefix}_{next(_SEQ)}"
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -49,11 +52,34 @@ def qs1_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    out = spark.table(name)
+    return agg.sparkSession.table(name)
+
+
+def qs1_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type event counts computed BY A STREAM over the
+    events fixture: one-file file-source, availableNow trigger, memory
+    sink, complete mode. Returns the final materialized table.
+    """
+    agg = hourly_type_counts(_events_stream(spark, sf_dir))
+    out = _run_to_table(agg, "qs1_hourly")
     return out.select(
         ts_fmt("hour_start").alias("hour_s"),
         "event_type",
         "n",
+    )
+
+
+def qs2_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (30 min gap) computed BY A STREAM with
+    native ``session_window`` state merging — the streaming twin of
+    qe7's batch sessionization."""
+    agg = session_aggregates(_events_stream(spark, sf_dir))
+    out = _run_to_table(agg, "qs2_sessions")
+    return out.select(
+        "user_id",
+        ts_fmt("sess_start").alias("start_s"),
+        ts_fmt("sess_end").alias("end_s"),
+        "n_events",
     )
 
 
@@ -63,6 +89,14 @@ QUERIES = [
         "Structured Streaming: watermarked hourly windowed counts "
         "(availableNow micro-batch run over the fixture)",
         qs1_stream_hourly_counts,
+        oracle=None,
+        tags=("streaming",),
+    ),
+    Query(
+        "qs2_stream_session_windows",
+        "Structured Streaming: native session windows per user "
+        "(availableNow micro-batch run over the fixture)",
+        qs2_stream_session_windows,
         oracle=None,
         tags=("streaming",),
     ),
