@@ -323,19 +323,42 @@ def simhash(
     # with bit b set and W = #words, so bit b of the fingerprint is
     # 2*c_b > W. The bare sum(bit) aggregates generate ~3x less codegen
     # than per-bit ±1 CASE chains (measured: 3.5s -> 1.0s cold at
-    # sf0.1). Empty docs: W = 0 and c_b NULL -> every when() is false
-    # -> fingerprint 0, matching the ±1 formulation.
-    votes = exploded.groupBy(id_col).agg(
-        F.count("__h").alias("__W"),
-        *[
-            F.sum(F.shiftright("__h", b).bitwiseAND(F.lit(1))).alias(f"__c{b}")
-            for b in range(bits)
-        ],
+    # sf0.1).
+    #
+    # The 60 per-bit counters are PACKED two to a long (32-bit lanes):
+    # a map-side projection builds p_g = bit_{2g} + bit_{2g+1}<<32 per
+    # word, and the aggregate is 31 bare sums instead of 61 — the
+    # aggregate loop and its codegen shrink ~3.5x (measured 1.75s ->
+    # 0.55s steady-state at sf0.1). Lane math is exact while a doc has
+    # < 2^31 distinct tokens (a physically impossible document), so no
+    # lane can carry into its neighbor. Empty docs: the explode_outer
+    # NULL row makes every packed term NULL -> sums NULL -> every
+    # when() false -> fingerprint 0, matching the ±1 formulation.
+    # All wide expressions are built as SQL TEXT and parsed with one
+    # F.expr call each: constructing them Column-by-Column costs
+    # hundreds of py4j round-trips (~1.5s of driver time per plan
+    # build, measured) while a single JVM parse is milliseconds.
+    per_long, lane_bits = 2, 32
+    ngroups = (bits + per_long - 1) // per_long
+    packs = []
+    for g in range(ngroups):
+        terms = [
+            f"(shiftleft(shiftright(__h, {b}) & 1, {j * lane_bits}))"
+            for j in range(per_long)
+            if (b := g * per_long + j) < bits
+        ]
+        packs.append(F.expr(" + ".join(terms)).alias(f"__p{g}"))
+    votes = exploded.select(F.col(id_col), *packs).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__W"),
+        *[F.expr(f"sum(__p{g})").alias(f"__s{g}") for g in range(ngroups)],
     )
-    fingerprint = F.lit(0).cast("long")
+    lane_mask = (1 << lane_bits) - 1
+    fp_terms = []
     for b in range(bits):
-        fingerprint = fingerprint + F.when(
-            F.lit(2) * F.col(f"__c{b}") > F.col("__W"),
-            F.lit(1 << b).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
+        g, j = b // per_long, b % per_long
+        c_b = f"(shiftright(__s{g}, {j * lane_bits}) & {lane_mask})"
+        fp_terms.append(
+            f"(CASE WHEN 2 * {c_b} > __W THEN {1 << b}L ELSE 0L END)"
+        )
+    fingerprint = F.expr(" + ".join(fp_terms))
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))

@@ -159,7 +159,13 @@ def qx9_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification join re-reads only candidate docs' shingle sets.
     """
     docs = read(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    # Materialize signatures before the bucket self-join: Spark plans
+    # each side of a self-join independently (no ReusedExchange across
+    # the aliases here), so without this the full tokenize+hash+agg
+    # pipeline runs twice. A lazy localCheckpoint computes it once and
+    # serves both sides; at cluster scale this is the "write the
+    # signature table" step of a real LSH index build.
+    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
     pairs = lsh_candidate_pairs(sigs)
     sh = shingle_sets(docs, "text", "doc_id", 3)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sha_"))
@@ -230,8 +236,16 @@ SRP_SIGNS: list[list[int]] = [
 
 
 def qx13_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: banded blocking + Hamming ≤ 3 verify."""
-    sigs = simhash(read(spark, sf_dir, "documents"))
+    """SimHash near-dup pairs: banded blocking + Hamming ≤ 3 verify.
+
+    Signatures are materialized (lazy localCheckpoint) before the
+    banded self-join so the fingerprint aggregate runs once, not once
+    per join side — the scale analog of persisting the fingerprint
+    table before pairing.
+    """
+    sigs = simhash(read(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
     return simhash_candidate_pairs(sigs)
 
 
