@@ -20,11 +20,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gh_archive_clickhouse_spark.functions.vectors import dot, l2_norm
+from gh_archive_clickhouse_spark.operators._util import ensure_parallelism
+from gh_archive_clickhouse_spark.functions.vectors import (
+    dot,
+    dot_unrolled,
+    l2_norm,
+    l2_norm_unrolled,
+)
+
+
+def _dot(a: str, b: str, dim: int | None):
+    """Codegen'd unrolled dot when the dimension is known (the normal
+    case for one model's embedding column), interpreted fold otherwise.
+    Bit-identical results either way (same accumulation order)."""
+    return dot_unrolled(a, b, dim) if dim else dot(a, b)
 
 
 def _with_norm(
-    df: DataFrame, vec_col: str, out_vec: str, out_norm: str
+    df: DataFrame, vec_col: str, out_vec: str, out_norm: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """Project (vec as double array, its norm) once per row.
 
@@ -34,9 +48,11 @@ def _with_norm(
     but the per-pair work drops ~3x. At 100 TB the norm column is
     computed in the map stage before any join fan-out.
     """
-    return df.withColumn(out_vec, F.col(vec_col).cast("array<double>")).withColumn(
-        out_norm, l2_norm(F.col(out_vec))
+    withv = df.withColumn(out_vec, F.col(vec_col).cast("array<double>"))
+    norm = (
+        l2_norm_unrolled(out_vec, dim) if dim else l2_norm(F.col(out_vec))
     )
+    return withv.withColumn(out_norm, norm)
 
 
 def cosine_topk(
@@ -46,6 +62,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "q",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of ``emb`` against a single broadcast query row.
 
@@ -54,14 +71,14 @@ def cosine_topk(
     TakeOrderedAndProject: each task keeps k rows, merge at driver —
     no global sort shuffle.
     """
-    e = _with_norm(emb, vec_col, "__v", "__n")
-    q = _with_norm(query, query_vec_col, "__qv", "__qn")
+    e = _with_norm(emb, vec_col, "__v", "__n", dim)
+    q = _with_norm(query, query_vec_col, "__qv", "__qn", dim)
     scored = e.crossJoin(F.broadcast(q)).select(
         F.col(id_col),
         F.round(
             F.when(
                 (F.col("__n") > 0) & (F.col("__qn") > 0),
-                dot("__v", "__qv") / (F.col("__n") * F.col("__qn")),
+                _dot("__v", "__qv", dim) / (F.col("__n") * F.col("__qn")),
             ),
             6,
         ).alias("cos_sim"),
@@ -76,6 +93,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "c",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine).
 
@@ -84,15 +102,15 @@ def ivf_assign(
     id (uniform key). In a persisted index the result is written
     ``partitionBy(centroid_id)`` so probes prune partitions.
     """
-    e = _with_norm(emb, vec_col, "__v", "__n")
-    c = _with_norm(centroids, centroid_vec_col, "__cv", "__cn")
+    e = _with_norm(emb, vec_col, "__v", "__n", dim)
+    c = _with_norm(centroids, centroid_vec_col, "__cv", "__cn", dim)
     scored = e.crossJoin(F.broadcast(c)).select(
         F.col(id_col),
         F.col(centroid_id_col),
         F.round(
             F.when(
                 (F.col("__n") > 0) & (F.col("__cn") > 0),
-                dot("__v", "__cv") / (F.col("__n") * F.col("__cn")),
+                _dot("__v", "__cv", dim) / (F.col("__n") * F.col("__cn")),
             ),
             6,
         ).alias("sim"),
@@ -126,20 +144,23 @@ def srp_bucket(
     the LSH-bucketed alternative to the IVF index, with no training
     step. Returns the input plus an int ``bucket`` column.
     """
-    v = F.col(vec_col).cast("array<double>")
-    bucket = F.lit(0)
+    # Planes have a known, fixed dimension, so each projection unrolls
+    # into a flat codegen'd multiply-add chain over a double-cast
+    # column (same left-assoc fold order, seeded 0.0, as the
+    # zip_with/aggregate form — bit-identical results) built as ONE
+    # SQL-text parse instead of ~dim py4j Column calls per plane.
+    tmp = emb.withColumn("__vd", F.col(vec_col).cast("array<double>"))
+    plane_terms = []
     for p, signs in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.array(*[F.lit(float(s)) for s in signs]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        proj = " + ".join(
+            f"(__vd[{d}] * {float(s)})" for d, s in enumerate(signs)
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return emb.withColumn("bucket", bucket.cast("int"))
+        plane_terms.append(
+            f"(CASE WHEN (CAST(0.0 AS DOUBLE) + {proj}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = F.expr(" + ".join(plane_terms)).cast("int")
+    return tmp.withColumn("bucket", bucket).drop("__vd")
 
 
 def near_duplicate_pairs(
@@ -148,15 +169,23 @@ def near_duplicate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold.
 
     Blocked self-join on ``block_col`` (label here; IVF cluster id in a
     real pipeline): only same-block pairs are scored, so the pair space
     is sum(block²) not n². Returns (vec_a, vec_b, cos_sim).
+
+    The threshold filter is deliberately left where Catalyst pushes it:
+    into the broadcast-join condition, so non-dup pairs die inside the
+    join and are never materialized. That makes the probe side's
+    partitioning the ONLY parallelism knob — hence ensure_parallelism
+    on it (a single-file local read would otherwise score every pair
+    in one task; a well-partitioned cluster input passes through).
     """
-    normed = _with_norm(emb, vec_col, "__v", "__n")
-    a = normed.select(
+    normed = _with_norm(emb, vec_col, "__v", "__n", dim)
+    a = ensure_parallelism(normed).select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("vec_a"),
         F.col("__v").alias("__va"),
@@ -175,7 +204,7 @@ def near_duplicate_pairs(
         F.round(
             F.when(
                 (F.col("__na") > 0) & (F.col("__nb") > 0),
-                dot("__va", "__vb") / (F.col("__na") * F.col("__nb")),
+                _dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb")),
             ),
             6,
         ).alias("cos_sim"),

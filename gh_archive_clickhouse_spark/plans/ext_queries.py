@@ -119,7 +119,13 @@ def qx2_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q")
     )
-    return cosine_topk(emb, query, k=10)
+    return cosine_topk(emb, query, k=10, dim=EMB_DIM)
+
+
+# Fixture embedding dimension (FIXTURES.md: embeddings.embedding is a
+# fixed 64-dim array<float>). Known dim lets the vector kernels unroll
+# into whole-stage-codegen arithmetic instead of interpreted folds.
+EMB_DIM = 64
 
 
 def qx3_token_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,7 +187,7 @@ def qx9_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def qx10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read(spark, sf_dir, "embeddings")
-    return near_duplicate_pairs(emb, threshold=0.5)
+    return near_duplicate_pairs(emb, threshold=0.5, dim=EMB_DIM)
 
 
 def qx11_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,7 +196,7 @@ def qx11_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").cast("int").alias("centroid_id"),
         F.col("embedding").alias("c"),
     )
-    return ivf_assign(emb, centroids)
+    return ivf_assign(emb, centroids, dim=EMB_DIM)
 
 
 def qx12_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,7 +207,10 @@ def qx12_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1/n_clusters of the data instead of a full sweep.
     """
     emb = read(spark, sf_dir, "embeddings")
-    assigned = qx11_ivf_assign(spark, sf_dir)
+    # The assignment is the (one-off) index build — materialize it so
+    # the probe's two uses (query row + cluster members) don't run the
+    # centroid-scoring aggregate twice.
+    assigned = qx11_ivf_assign(spark, sf_dir).localCheckpoint(eager=False)
     with_cluster = emb.join(assigned, "vec_id")
     qrow = with_cluster.filter(F.col("vec_id") == 42).select(
         F.col("embedding").alias("q"), F.col("cluster_id").alias("qc")
