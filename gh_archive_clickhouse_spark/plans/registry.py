@@ -7,6 +7,7 @@ from gh_archive_clickhouse_spark.plans import (
     ext_queries,
     relational_queries,
     streaming_queries,
+    tpch2_queries,
     tpch_queries,
 )
 from gh_archive_clickhouse_spark.plans.common import Query
@@ -14,6 +15,7 @@ from gh_archive_clickhouse_spark.plans.common import Query
 _ALL: list[Query] = [
     *events_queries.QUERIES,
     *tpch_queries.QUERIES,
+    *tpch2_queries.QUERIES,
     *relational_queries.QUERIES,
     *ext_queries.QUERIES,
     *streaming_queries.QUERIES,

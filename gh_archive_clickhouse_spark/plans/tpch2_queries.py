@@ -1,0 +1,556 @@
+"""Qt19–Qt28: the second TPC-H battery — the classic query shapes the
+fixture star schema can express (the fixtures carry no partsupp table
+and no l_shipmode/l_commitdate/l_receiptdate/p_container columns, so
+Q2/Q9/Q11/Q12/Q16/Q20/Q21 are out of reach and the remaining classics
+are adapted to the available columns; see FIXTURES.md §3).
+
+Like tpch_queries.py, this is capability-contract surface (SURVEY.md
+§2.4): the reference delegates every SELECT to ClickHouse, so these pin
+the equivalent native surface here — selective-filter scans, star
+joins, correlated and scalar subqueries, semi/anti joins with non-equi
+conditions, disjunctive predicate pushdown, conditional aggregation,
+and HAVING-style two-level aggregation.
+
+Scale notes per query in the builders. Money aggregates use the
+dec_sum/dec_avg order-exact forms (plans/common.py) so results don't
+depend on partition count or AQE decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gh_archive_clickhouse_spark.plans.common import (
+    Query,
+    dec_sum,
+    read,
+)
+
+# revenue expression, built lazily (Column construction needs a live
+# SparkContext; this module imports at test collection time without one)
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+_SQL_REV = "l_extendedprice * (1 - l_discount)"
+# Order-exact money sum / ratio fragments (see dec_sum/dec_avg).
+_SQL_DECSUM = "CAST(round(sum(CAST({x} AS DECIMAL(18,6))), 2) AS DOUBLE)"
+_SQL_DSUM = "CAST(sum(CAST({x} AS DECIMAL(18,6))) AS DOUBLE)"
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp")
+
+
+def qt19_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-sum, no join, no groupBy.
+
+    Everything pushes to the parquet scan (range predicates on
+    shipdate/discount/quantity are all PushedFilters); the aggregate is
+    a one-row partial+final — the cheapest possible plan at any scale.
+    """
+    li = read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def qt20_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: revenue between two trading nations per year.
+
+    The nation pair filter collapses supplier/customer to tiny
+    broadcast sides; lineitem⋈orders is the only fact-fact shuffle.
+    """
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = read(spark, sf_dir, "nation")
+    sup = (
+        read(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .filter(F.col("supp_nation").isin(n1, n2))
+    )
+    cust = (
+        read(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .filter(F.col("cust_nation").isin(n1, n2))
+    )
+    li = read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") <= _ts("1997-12-31"))
+    )
+    o = read(spark, sf_dir, "orders")
+    joined = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dec_sum(_rev()).alias("revenue"))
+    )
+
+
+def qt21_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share inside a region, per
+    year — conditional aggregation over a 7-table star join.
+
+    All dims broadcast; the share division runs on order-exact decimal
+    sums so the ratio is engine-deterministic.
+    """
+    nation = read(spark, sf_dir, "nation")
+    region = read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = read(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = read(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    cust_nation = (
+        read(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o = read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") <= _ts("1997-12-31"))
+    )
+    li = read(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey")
+        )
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", _rev())
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+    ).cast("double")
+    den = F.sum(_rev().cast("decimal(18,6)")).cast("double")
+    return (
+        joined.groupBy(
+            F.year(F.col("o_orderdate")).cast("int").alias("o_year")
+        )
+        .agg(F.round(num / den, 6).alias("mkt_share"))
+    )
+
+
+def qt22_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter. Broadcast customer⋈nation; TakeOrderedAndProject top-20.
+    """
+    c = read(spark, sf_dir, "customer")
+    nation = read(spark, sf_dir, "nation")
+    o = read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01"))
+        & (F.col("o_orderdate") < _ts("1997-04-01"))
+    )
+    li = read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = joined.groupBy(
+        "c_custkey", "c_name", "c_acctbal", "n_name"
+    ).agg(dec_sum(_rev()).alias("revenue"))
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    ).limit(20)
+
+
+def qt23_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share in one month — broadcast
+    part join + conditional aggregation, single-row output.
+    """
+    part = read(spark, sf_dir, "part")
+    li = read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-03-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    joined = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    num = F.sum(
+        F.when(F.col("p_type") == "PROMO", _rev())
+        .otherwise(F.lit(0.0))
+        .cast("decimal(18,6)")
+    ).cast("double")
+    den = F.sum(_rev().cast("decimal(18,6)")).cast("double")
+    return joined.agg(
+        F.round(F.lit(100.0) * num / den, 6).alias("promo_revenue_pct")
+    )
+
+
+def qt24_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders of one
+    brand — correlated aggregate (per-part avg quantity) realized as a
+    broadcast join of a pre-aggregated per-part table.
+
+    Quantities are integral doubles, so avg is exact and the 0.2*avg
+    threshold is engine-deterministic.
+    """
+    part = read(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = read(spark, sf_dir, "lineitem")
+    branded = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_part_avg = branded.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.avg("l_quantity").alias("__avg_qty")
+    )
+    small = branded.join(
+        F.broadcast(per_part_avg), F.col("l_partkey") == F.col("__pk")
+    ).filter(F.col("l_quantity") < 0.2 * F.col("__avg_qty"))
+    total = F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
+        "double"
+    )
+    return small.agg(F.round(total / 7.0, 2).alias("avg_yearly"))
+
+
+def qt25_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers whose orders exceed a total-quantity
+    threshold — HAVING-style two-level aggregation feeding a semi join.
+
+    The per-order quantity sum is exact (integral doubles); the heavy
+    groupBy runs once and its survivors (few) broadcast back against
+    orders.
+    """
+    li = read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("__ok"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 140)
+    )
+    o = read(spark, sf_dir, "orders")
+    c = read(spark, sf_dir, "customer")
+    joined = (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("__ok"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    out = joined.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        "o_totalprice",
+        "sum_qty",
+    )
+    return out.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    ).limit(10)
+
+
+def qt26_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions
+    over part⋈lineitem. The OR-of-ANDs stays a single broadcast-join
+    filter; Catalyst extracts the common l_partkey equi-key so this is
+    a hash join, not a nested loop.
+    """
+    part = read(spark, sf_dir, "part")
+    li = read(spark, sf_dir, "lineitem")
+    joined = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(16, 30))
+            & (F.col("l_quantity").between(10, 20))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(31, 50))
+            & (F.col("l_quantity").between(20, 30))
+        )
+    )
+    return joined.filter(cond).agg(dec_sum(_rev()).alias("revenue"))
+
+
+def qt27_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (adapted: fixtures carry no commit/receipt dates,
+    so "late" means shipped >60 days after the order date): order count
+    per priority for orders with at least one late line.
+
+    The EXISTS is a left-semi join whose condition mixes the equi-key
+    with a non-equi date comparison — Spark still plans the equi part
+    as the hash key and evaluates the date predicate as a join residual.
+    """
+    o = read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-07-01"))
+    )
+    li = read(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def qt28_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: fixtures carry no phone column, so the
+    country-code filter becomes a nation-key subset): count + balance
+    of above-average-balance customers with no RECENT orders (none
+    since 1999 — the original's "no orders in 7 years" window).
+
+    Scalar subquery (the average) broadcasts as a 1-row cross join;
+    the idleness test is a left-anti join against date-filtered orders
+    — the date predicate pushes to the orders scan, shrinking the anti
+    join's build side before any shuffle.
+    """
+    keys = [1, 3, 5, 7, 9, 11, 13]
+    c = read(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(keys)
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg_bal")
+    )
+    o = read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("1999-01-01")
+    )
+    nation = read(spark, sf_dir, "nation")
+    rich_idle = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return rich_idle.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dec_sum("c_acctbal").alias("totacctbal"),
+    )
+
+
+QUERIES = [
+    Query(
+        "qt19_forecast_revenue",
+        "TPC-H Q6 shape: scan-filter-sum, fully pushed-down predicates",
+        qt19_forecast_revenue,
+        f"""
+        SELECT {_SQL_DECSUM.format(x='l_extendedprice * l_discount')} AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+        """,
+        tags=("tpch", "scan"),
+    ),
+    Query(
+        "qt20_volume_shipping",
+        "TPC-H Q7 shape: two-nation trade volume per year",
+        qt20_volume_shipping,
+        f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               {_SQL_DECSUM.format(x=_SQL_REV)} AS revenue
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                             AND TIMESTAMP '1997-12-31'
+        GROUP BY supp_nation, cust_nation, l_year
+        """,
+        tags=("tpch", "join"),
+    ),
+    Query(
+        "qt21_market_share",
+        "TPC-H Q8 shape: NATION_5 market share in ASIA PROMO parts",
+        qt21_market_share,
+        f"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(
+                 {_SQL_DSUM.format(x=f"CASE WHEN n1.n_name = 'NATION_5' THEN {_SQL_REV} ELSE 0.0 END")}
+                 / {_SQL_DSUM.format(x=_SQL_REV)}, 6) AS mkt_share
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region   ON n2.n_regionkey = r_regionkey
+        WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                              AND TIMESTAMP '1997-12-31'
+        GROUP BY o_year
+        """,
+        tags=("tpch", "join", "conditional-agg"),
+    ),
+    Query(
+        "qt22_returned_items",
+        "TPC-H Q10 shape: top-20 customers by returned revenue",
+        qt22_returned_items,
+        f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               {_SQL_DECSUM.format(x=_SQL_REV)} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+        """,
+        tags=("tpch", "join", "topk"),
+    ),
+    Query(
+        "qt23_promo_revenue",
+        "TPC-H Q14 shape: promo revenue percentage in one month",
+        qt23_promo_revenue,
+        f"""
+        SELECT round(100.0 *
+                 {_SQL_DSUM.format(x=f"CASE WHEN p_type = 'PROMO' THEN {_SQL_REV} ELSE 0.0 END")}
+                 / {_SQL_DSUM.format(x=_SQL_REV)}, 6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        """,
+        tags=("tpch", "join", "conditional-agg"),
+    ),
+    Query(
+        "qt24_small_qty_revenue",
+        "TPC-H Q17 shape: small-quantity revenue via correlated avg",
+        qt24_small_qty_revenue,
+        f"""
+        SELECT round({_SQL_DSUM.format(x='l_extendedprice')} / 7.0, 2)
+               AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+            WHERE l2.l_partkey = lineitem.l_partkey)
+        """,
+        tags=("tpch", "join", "correlated"),
+    ),
+    Query(
+        "qt25_large_volume_customers",
+        "TPC-H Q18 shape: customers with >140-qty orders, top 10",
+        qt25_large_volume_customers,
+        """
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+               o_totalprice, sum_qty
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 140
+        ) big ON o_orderkey = big.l_orderkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+        """,
+        tags=("tpch", "join", "having"),
+    ),
+    Query(
+        "qt26_disjunctive_revenue",
+        "TPC-H Q19 shape: OR-of-ANDs brand/size/quantity revenue",
+        qt26_disjunctive_revenue,
+        f"""
+        SELECT {_SQL_DECSUM.format(x=_SQL_REV)} AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 16 AND 30
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 31 AND 50
+               AND l_quantity BETWEEN 20 AND 30)
+        """,
+        tags=("tpch", "join", "disjunctive"),
+    ),
+    Query(
+        "qt27_late_shipment_priority",
+        "TPC-H Q4 shape (adapted): late-shipment orders per priority",
+        qt27_late_shipment_priority,
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        """,
+        tags=("tpch", "semi", "non-equi"),
+    ),
+    Query(
+        "qt28_idle_rich_customers",
+        "TPC-H Q22 shape (adapted): rich customers idle since 1999",
+        qt28_idle_rich_customers,
+        """
+        SELECT n_name,
+               count(*) AS numcust,
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS totacctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND c_acctbal > (
+            SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   / count(*)
+            FROM customer c2
+            WHERE c2.c_acctbal > 0.0
+              AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13))
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY n_name
+        """,
+        tags=("tpch", "anti", "scalar-subquery"),
+    ),
+]
