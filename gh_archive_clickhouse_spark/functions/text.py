@@ -50,6 +50,23 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def char_shingles(col: Column | str, k: int) -> Column:
+    """All character k-grams of a string column.
+
+    Pure built-ins: substring at each start offset. Returns an empty
+    array for strings shorter than k. (The transform lambda is
+    CodegenFallback like all higher-order functions, but the per-row
+    work is O(len) substrings — the downstream explode + hash + agg
+    dominate and those are codegen'd.)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.substring(c, i, k))
+
+
 def word_shingles(toks: Column, k: int) -> Column:
     """All k-word shingles of a token array, space-joined.
 

@@ -105,6 +105,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    kind: str = "word",
 ) -> DataFrame:
     """MinHash signatures via explode + codegen hash aggregate.
 
@@ -125,7 +126,7 @@ def minhash_signatures(
     set and a signature of p (the modulus) — they never collide.
     """
     exploded = (
-        shingle_sets(df, text_col, id_col, shingle_k)
+        shingle_sets(df, text_col, id_col, shingle_k, kind)
         .select(F.col(id_col), F.explode_outer("__sh").alias("__s"))
         .select(F.col(id_col), word_hash31(F.col("__s")).alias("__x"))
     )
@@ -150,14 +151,31 @@ def minhash_signatures(
 
 
 def shingle_sets(
-    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    kind: str = "word",
 ) -> DataFrame:
-    """(id, __sh): distinct k-word shingles, computed in STAGED
-    projections. Each stage materializes one alias so tokenization /
-    shingling / hashing run once per row — a single fused expression
-    would be re-evaluated per downstream use (Catalyst only CSEs
-    within one projection), which turned minhash into O(tokens²).
+    """(id, __sh): distinct k-shingles, computed in STAGED projections.
+    Each stage materializes one alias so tokenization / shingling /
+    hashing run once per row — a single fused expression would be
+    re-evaluated per downstream use (Catalyst only CSEs within one
+    projection), which turned minhash into O(tokens²).
+
+    ``kind``: "word" (k-token shingles over whitespace tokens) or
+    "char" (character k-grams) — the two classic granularities of
+    n-gram Jaccard / MinHash dedup.
     """
+    if kind == "char":
+        from gh_archive_clickhouse_spark.functions.text import char_shingles
+
+        return ensure_parallelism(df).select(
+            F.col(id_col),
+            F.array_distinct(
+                char_shingles(F.col(text_col), shingle_k)
+            ).alias("__sh"),
+        )
     toks = ensure_parallelism(df).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__t")
     )

@@ -322,6 +322,69 @@ def qm1_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qm2_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode surface: Arrow-batched feature extraction
+    over binary payloads (deterministic fake decode — see
+    operators/multimodal.py for where real codecs plug in)."""
+    from gh_archive_clickhouse_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    return extract_image_features(attach_binary_payload(docs))
+
+
+def qx19_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (whitespace + BPE-ish regex): the
+    pre-tokenization cost estimate every training-data pipeline runs.
+    Pure codegen regexp — the pattern (letter runs | digit runs |
+    single punctuation) is dialect-portable between Java regex and
+    DuckDB's RE2."""
+    docs = read(spark, sf_dir, "documents")
+    n_ws = F.size(tokens(F.col("text")))
+    n_bpe = F.expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')")
+    return docs.select(
+        "doc_id",
+        n_ws.cast("int").alias("n_ws_tokens"),
+        n_bpe.cast("int").alias("n_bpe_tokens"),
+        F.when(
+            n_ws > 0, F.round(n_bpe.cast("double") / n_ws, 6)
+        ).alias("bpe_per_ws"),
+    )
+
+
+def qx20_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character n-gram Jaccard near-dup: MinHash-LSH over char
+    4-grams (same banded machinery as qx9, different granularity —
+    char grams catch near-dups that word shingles miss: punctuation
+    edits, concatenations, whitespace damage).
+
+    Signatures materialize once (lazy localCheckpoint) before the
+    banded self-join; candidates then verify with the exact char-gram
+    Jaccard."""
+    docs = read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, shingle_k=4, kind="char"
+    ).localCheckpoint(eager=False)
+    # Char grams are far less selective than word shingles, so the
+    # banding is 2 bands x 8 rows (LSH threshold (1/2)^(1/8) ~ 0.92)
+    # instead of qx9's 4x4 (~0.71) — candidate volume stays near the
+    # true near-dup count instead of exploding template-sharing docs.
+    pairs = lsh_candidate_pairs(sigs, bands=2, rows_per_band=8)
+    sh = shingle_sets(docs, "text", "doc_id", 4, kind="char")
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sha_"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("shb_"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    ninter = F.size(F.array_intersect("sha_", "shb_"))
+    nunion = F.size("sha_") + F.size("shb_") - ninter
+    jac = F.when(
+        nunion > 0, F.round(ninter.cast("double") / nunion, 6)
+    ).otherwise(F.lit(0.0))
+    scored = joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+    return scored.filter(F.col("jaccard") >= 0.7)
+
+
+
 # -------------------------------------------------------------- oracle
 
 
@@ -580,6 +643,53 @@ LIMIT 5
 """
 
 
+def _sql_char_shingles(col: str, k: int) -> str:
+    """Distinct character k-grams of a text column, as a DuckDB list."""
+    return (
+        f"list_distinct(CASE WHEN length({col}) >= {k} THEN "
+        f"list_transform(generate_series(1, length({col}) - {k - 1}), "
+        f"i -> substr({col}, i, {k})) ELSE [] END)"
+    )
+
+
+_CG_BANDS, _CG_RPB = 2, 8
+_cg_band_rows = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, {_sql_band_key(b, _CG_RPB)} AS band_key FROM sigs"
+    for b in range(_CG_BANDS)
+)
+_ORACLE_QX20 = f"""
+WITH shl AS (
+  SELECT doc_id, {_sql_char_shingles('text', 4)} AS shs FROM documents
+), hashed AS (
+  SELECT doc_id, shs, list_transform(shs, s -> {_sql_word_hash31('s')}) AS sh
+  FROM shl
+), sigs AS (
+  SELECT doc_id, shs,
+         {_mh_cols}
+  FROM hashed
+), bands AS (
+  {_cg_band_rows}
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band_id = r.band_id AND l.band_key = r.band_key
+   AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_filter(a.shs, s -> list_contains(b.shs, s))) AS DOUBLE)
+             / (len(a.shs) + len(b.shs)
+                - len(list_filter(a.shs, s -> list_contains(b.shs, s)))),
+             6) AS jaccard
+FROM pairs
+JOIN shl a ON a.doc_id = doc_a
+JOIN shl b ON b.doc_id = doc_b
+WHERE round(CAST(len(list_filter(a.shs, s -> list_contains(b.shs, s))) AS DOUBLE)
+            / (len(a.shs) + len(b.shs)
+               - len(list_filter(a.shs, s -> list_contains(b.shs, s)))),
+            6) >= 0.7
+"""
+
+
 QUERIES = [
     Query(
         "qx1_exact_dedup",
@@ -756,5 +866,43 @@ QUERIES = [
         FROM documents
         """,
         tags=("ext", "multimodal"),
+    ),
+    Query(
+        "qm2_image_features",
+        "mapInPandas decode plumbing: Arrow-batched fake image decode",
+        qm2_image_features,
+        """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               sha256(text) AS sha,
+               CAST(octet_length(encode(text)) % 640 AS INTEGER) AS fake_width,
+               CAST(octet_length(encode(text)) % 480 AS INTEGER) AS fake_height
+        FROM documents
+        """,
+        tags=("ext", "multimodal", "pandas-udf"),
+    ),
+    Query(
+        "qx19_bpe_token_stats",
+        "token counting: whitespace vs BPE-ish regex, per doc",
+        qx19_bpe_token_stats,
+        f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                    AS INTEGER) AS n_bpe_tokens,
+               CASE WHEN len({_TOKS}) > 0 THEN
+                 round(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                       AS DOUBLE) / len({_TOKS}), 6)
+               END AS bpe_per_ws
+        FROM documents
+        """,
+        tags=("ext", "text"),
+    ),
+    Query(
+        "qx20_chargram_jaccard",
+        "char-4-gram MinHash-LSH near-dup pairs + exact Jaccard",
+        qx20_chargram_jaccard,
+        _ORACLE_QX20,
+        tags=("ext", "dedup"),
     ),
 ]
