@@ -96,3 +96,65 @@ def test_topk_is_take_ordered(spark, name):
     top-k merged at the driver, not a global sort shuffle."""
     plan = _plan(spark, name)
     assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_qt19_all_predicates_pushed(spark):
+    """Q6 shape: every filter (date/discount/quantity) must reach the
+    parquet scan as a pushed filter; the plan has no join and no
+    wide shuffle beyond the 1-row final aggregate."""
+    plan = _plan(spark, "qt19_forecast_revenue")
+    assert re.search(r"PushedFilters: \[.*l_shipdate", plan), plan[:2000]
+    assert re.search(r"PushedFilters: \[.*l_discount", plan)
+    assert re.search(r"PushedFilters: \[.*l_quantity", plan)
+    assert "Join" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "qt20_volume_shipping",
+        "qt21_market_share",
+        "qt22_returned_items",
+        "qt23_promo_revenue",
+        "qt26_disjunctive_revenue",
+    ],
+)
+def test_tpch2_dims_broadcast(spark, name):
+    """Second battery: dim joins broadcast; nothing degenerates to a
+    cartesian/nested-loop."""
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_qt22_topk_is_take_ordered(spark):
+    plan = _plan(spark, "qt22_returned_items")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_qt27_semi_join_keeps_equi_key(spark):
+    """The EXISTS with a non-equi date residual must still hash-join on
+    the equi key (LeftSemi with join residual), not nested-loop."""
+    plan = _plan(spark, "qt27_late_shipment_priority")
+    assert "LeftSemi" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_qt28_anti_join_date_pushdown(spark):
+    """Q22 shape: the idleness anti-join's orders scan must carry the
+    date predicate (pushed filter), shrinking the build side."""
+    plan = _plan(spark, "qt28_idle_rich_customers")
+    assert re.search(r"PushedFilters: \[.*o_orderdate", plan), plan[:2000]
+    assert "LeftAnti" in plan
+
+
+def test_qx10_scoring_parallelized(spark):
+    """The pair-scoring join must not collapse to one task: the probe
+    side carries a repartition when the input is under-partitioned."""
+    from gh_archive_clickhouse_spark.plans.registry import QUERIES as _Q
+
+    df = _Q["qx10_embedding_neardup"].builder(spark, SF_DIR)
+    # physical check: > 1 partition entering the join stage
+    assert df.rdd.getNumPartitions() > 1
