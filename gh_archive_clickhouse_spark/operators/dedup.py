@@ -125,11 +125,7 @@ def minhash_signatures(
     Documents with fewer than ``shingle_k`` tokens get an empty shingle
     set and a signature of p (the modulus) — they never collide.
     """
-    exploded = (
-        shingle_sets(df, text_col, id_col, shingle_k, kind)
-        .select(F.col(id_col), F.explode_outer("__sh").alias("__s"))
-        .select(F.col(id_col), word_hash31(F.col("__s")).alias("__x"))
-    )
+    exploded = _shingle_hash_rows(df, text_col, id_col, shingle_k, kind)
     mins = exploded.groupBy(id_col).agg(
         *[
             F.min(
@@ -147,6 +143,46 @@ def minhash_signatures(
                 for i in range(num_hashes)
             ]
         ).alias("minhash"),
+    )
+
+
+def _shingle_hash_rows(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int, kind: str
+) -> DataFrame:
+    """(id, __x): one row per shingle occurrence, 31-bit hashed.
+
+    MinHash only needs the MIN over each hash function, and the min of
+    a multiset equals the min of its set — so no distinct pass is
+    needed, and the char path can skip building shingle ARRAYS
+    entirely: explode the start offsets, then substring + md5 run as
+    codegen projections over the exploded rows (the array-building
+    ``transform`` lambda is CodegenFallback/interpreted and was the
+    dominant cost of char-gram minhash — 6.5s → ~1s at sf0.1).
+
+    Docs too short for one shingle keep a single NULL row
+    (explode_outer), which every min() ignores — preserving the
+    "empty set → signature of p" contract downstream.
+    """
+    if kind == "char":
+        c = F.col(text_col)
+        offsets = F.when(
+            F.length(c) >= shingle_k,
+            F.sequence(F.lit(1), F.length(c) - F.lit(shingle_k - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return (
+            ensure_parallelism(df)
+            .select(F.col(id_col), c.alias("__txt"), F.explode_outer(offsets).alias("__i"))
+            .select(
+                F.col(id_col),
+                word_hash31(
+                    F.substring(F.col("__txt"), F.col("__i"), shingle_k)
+                ).alias("__x"),
+            )
+        )
+    return (
+        shingle_sets(df, text_col, id_col, shingle_k, kind)
+        .select(F.col(id_col), F.explode_outer("__sh").alias("__s"))
+        .select(F.col(id_col), word_hash31(F.col("__s")).alias("__x"))
     )
 
 

@@ -25,6 +25,7 @@ from gh_archive_clickhouse_spark.operators.dedup import (
     simhash,
     simhash_candidate_pairs,
 )
+from gh_archive_clickhouse_spark.operators._util import ensure_parallelism
 from gh_archive_clickhouse_spark.operators.multimodal import attach_binary_payload
 from gh_archive_clickhouse_spark.operators.similarity import (
     cosine_topk,
@@ -172,8 +173,21 @@ def qx9_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # serves both sides; at cluster scale this is the "write the
     # signature table" step of a real LSH index build.
     sigs = minhash_signatures(docs).localCheckpoint(eager=False)
+    # The band self-join re-derives from the MATERIALIZED signatures
+    # per consumer (candidate-id scan + verify join) — that recompute
+    # is a cheap bucket join, and skipping a second checkpoint barrier
+    # keeps the whole query a two-job pipeline.
     pairs = lsh_candidate_pairs(sigs)
-    sh = shingle_sets(docs, "text", "doc_id", 3)
+    # Verification recomputes shingle sets ONLY for candidate docs —
+    # at corpus scale the candidates are a vanishing fraction, so the
+    # expensive array materialization never touches non-candidates.
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs_c = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh = shingle_sets(docs_c, "text", "doc_id", 3)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sha_"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("shb_"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
@@ -371,7 +385,15 @@ def qx20_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of qx9's 4x4 (~0.71) — candidate volume stays near the
     # true near-dup count instead of exploding template-sharing docs.
     pairs = lsh_candidate_pairs(sigs, bands=2, rows_per_band=8)
-    sh = shingle_sets(docs, "text", "doc_id", 4, kind="char")
+    # Exact-Jaccard verify touches ONLY candidate docs (semi-join
+    # before the interpreted gram-array materialization).
+    cand_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    docs_c = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh = shingle_sets(docs_c, "text", "doc_id", 4, kind="char")
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sha_"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("shb_"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
