@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from gh_archive_clickhouse_spark.plans.common import Query, read, ts_fmt
 from gh_archive_clickhouse_spark.streaming.analytics import (
     hourly_type_counts,
+    running_user_totals,
     session_aggregates,
 )
 
@@ -83,6 +84,28 @@ def qs2_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qs3_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator BY A STREAM: per-user running
+    (count, sum) via ``applyInPandasWithState`` — explicit Arrow-batched
+    state, the template for any bespoke streaming accumulator. The
+    fixture arrives as one availableNow micro-batch, so the update-mode
+    memory sink holds exactly the final state row per user."""
+    agg = running_user_totals(_events_stream(spark, sf_dir))
+    name = f"qs3_totals_{next(_SEQ)}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    return out.select(
+        "user_id", "n", F.round(F.col("total"), 6).alias("total_r")
+    )
+
+
 QUERIES = [
     Query(
         "qs1_stream_hourly_counts",
@@ -97,6 +120,14 @@ QUERIES = [
         "Structured Streaming: native session windows per user "
         "(availableNow micro-batch run over the fixture)",
         qs2_stream_session_windows,
+        oracle=None,
+        tags=("streaming",),
+    ),
+    Query(
+        "qs3_stream_running_totals",
+        "Structured Streaming: custom stateful per-user totals "
+        "(applyInPandasWithState, update mode)",
+        qs3_stream_running_totals,
         oracle=None,
         tags=("streaming",),
     ),
