@@ -366,6 +366,38 @@ def qt28_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def qt29_array_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map scalar-function battery (SURVEY §2.4 scalar surface):
+    construction, sort, membership, position, element access, map
+    build/extract/keys, fold — all row-local codegen'd expressions
+    except the tiny fold (interpreted HOF on a 3-element array)."""
+    part = read(spark, sf_dir, "part")
+    toks = F.array_remove(F.split(F.lower(F.col("p_name")), " "), "")
+    m = F.map_from_arrays(
+        F.array(F.lit("brand"), F.lit("type")),
+        F.array(F.col("p_brand"), F.col("p_type")),
+    )
+    return part.select(
+        "p_partkey",
+        F.concat_ws(",", F.sort_array(toks)).alias("toks_sorted"),
+        F.array_contains(toks, "widget").alias("has_widget"),
+        F.element_at(toks, 2).alias("second_tok"),
+        F.array_position(toks, "widget").cast("int").alias("widget_pos"),
+        F.element_at(m, "brand").alias("brand_from_map"),
+        F.concat_ws(",", F.map_keys(m)).alias("mkeys"),
+        F.expr(
+            "CAST(aggregate(array(p_size, p_size*2, 7), 0, (a,x) -> a+x) AS BIGINT)"
+        ).alias("arr_sum"),
+        F.concat_ws(
+            "|",
+            F.reverse(
+                F.array(F.col("p_size").cast("string"), F.col("p_brand"))
+            ),
+        ).alias("rev_arr"),
+    )
+
+
 QUERIES = [
     Query(
         "qt19_forecast_revenue",
@@ -552,5 +584,33 @@ QUERIES = [
         GROUP BY n_name
         """,
         tags=("tpch", "anti", "scalar-subquery"),
+    ),
+    Query(
+        "qt29_array_map_battery",
+        "scalar battery: array/map construction, access, sort, fold",
+        qt29_array_map_battery,
+        """
+        WITH t AS (
+          SELECT p_partkey, p_brand, p_type, p_size,
+                 list_filter(string_split(lower(p_name), ' '), x -> x != '')
+                   AS toks,
+                 map(['brand','type'], [p_brand, p_type]) AS m
+          FROM part
+        )
+        SELECT p_partkey,
+               array_to_string(list_sort(toks), ',') AS toks_sorted,
+               list_contains(toks, 'widget') AS has_widget,
+               toks[2] AS second_tok,
+               CAST(COALESCE(list_position(toks, 'widget'), 0) AS INTEGER)
+                 AS widget_pos,
+               (m['brand'])[1] AS brand_from_map,
+               array_to_string(map_keys(m), ',') AS mkeys,
+               CAST(list_aggregate([p_size, p_size*2, 7], 'sum') AS BIGINT)
+                 AS arr_sum,
+               array_to_string(list_reverse([CAST(p_size AS VARCHAR), p_brand]), '|')
+                 AS rev_arr
+        FROM t
+        """,
+        tags=("tpch", "scalar", "array", "map"),
     ),
 ]
