@@ -126,3 +126,41 @@ def test_observation_counters(spark):
     assert observed.count() == 1
     assert obs.get["rows"] == 1
     assert obs.get["raw_bytes"] > 0
+
+
+def test_running_totals_tws_or_env_skip(spark, tmp_path):
+    """transformWithStateInPandas twin of the running-totals operator.
+    Skips where the TWS python worker can't start (needs a working
+    google.protobuf, absent in this container)."""
+    import pytest
+
+    from gh_archive_clickhouse_spark.plans.streaming_queries import (
+        _events_stream,
+    )
+    from gh_archive_clickhouse_spark.streaming.analytics import (
+        running_user_totals_tws,
+    )
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable — TWS worker cannot start")
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    agg = running_user_totals_tws(
+        _events_stream(spark, "/root/testdata/sf0.001")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tws_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table("tws_test")
+    assert out.count() > 0
