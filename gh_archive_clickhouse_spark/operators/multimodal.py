@@ -83,6 +83,39 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(extract, schema=IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, payload binary, out_width int, out_height int"
+)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """mapInPandas resize plumbing: batch-transform binary payloads to
+    a target (width, height).
+
+    The real kernel would decode via `_decode_pixels`, resample, and
+    re-encode; with no codecs in this container the stub passes the
+    payload through and stamps the target dimensions — keeping the
+    Spark-side contract (binary-in/binary-out schema, Arrow batching,
+    partition-local, no shuffle) real and testable. At scale this is a
+    pure map stage: co-partitioned with the source read, bounded by
+    `spark.sql.execution.arrow.maxRecordsPerBatch`.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # real path: _decode_pixels(payload) -> resample -> encode
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"],
+                    "out_width": width,
+                    "out_height": height,
+                }
+            ).astype({"out_width": "int32", "out_height": "int32"})
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(
     df: DataFrame, every_nth: int = 10, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -171,3 +171,33 @@ def test_vector_index_partition_pruning(spark, tmp_path):
         .count()
     )
     assert len(rows) == min(5, n_in_cluster)
+
+
+def test_resize_images_plumbing(spark):
+    """Binary-in/binary-out mapInPandas resize: payload survives
+    byte-exact, target dims stamped, no shuffle in the plan."""
+    from gh_archive_clickhouse_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+    )
+    from gh_archive_clickhouse_spark.plans.common import read
+    from tests.conftest import SF_DIR
+
+    docs = read(spark, SF_DIR, "documents").limit(20)
+    payloads = attach_binary_payload(docs)
+    resized = resize_images(payloads, 224, 224)
+    rows = {r.doc_id: r for r in resized.collect()}
+    orig = {r.doc_id: r for r in payloads.collect()}
+    assert rows.keys() == orig.keys()
+    for k, r in rows.items():
+        assert bytes(r.payload) == bytes(orig[k].payload)
+        assert (r.out_width, r.out_height) == (224, 224)
+    # shuffle-free property asserted on the un-limited plan (the
+    # test's own limit(20) adds a single-partition exchange)
+    full = resize_images(
+        attach_binary_payload(read(spark, SF_DIR, "documents")), 224, 224
+    )
+    assert (
+        "Exchange"
+        not in full._jdf.queryExecution().executedPlan().toString()
+    )
