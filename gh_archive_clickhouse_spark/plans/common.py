@@ -65,6 +65,77 @@ def dec_avg(col: Column | str, scale: int = 6) -> Column:
     )
 
 
+def micros_long(col: Column | str) -> Column:
+    """A money value as an exact integer count of micro-units (long).
+
+    ``round(x * 1e6)`` recovers the true ≤6-decimal value exactly: the
+    inputs are ≤2-decimal and their 2-3-factor products ≤6-decimal, so
+    the double arithmetic error (~1e-10 absolute at 1e5-scale values)
+    is orders of magnitude below the 0.5-micro rounding boundary.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(1_000_000.0)).cast("long")
+
+
+def dec_sum_2stage(
+    df: DataFrame,
+    keys: list[str],
+    money_cols: dict[str, Column | str],
+    count_alias: str = "__n",
+) -> DataFrame:
+    """Exact money sums via TWO-STAGE integer aggregation: long sums of
+    micro-units per (keys, input partition), then DECIMAL sums of the
+    few partials per key.
+
+    Same exact result as ``dec_sum`` on every column (both paths
+    accumulate the identical per-row 6-decimal integers exactly), but
+    the per-row work is codegen long adds instead of Decimal128 — ~2x
+    faster when several money aggregates stack on one groupBy.
+
+    Overflow bound: a stage-1 partial is bounded by rows-per-partition
+    x max|value| in micro-units; with 128 MB input partitions (~1-3M
+    rows) and values < 10^6 money units the partial stays < 4e18 <
+    long-max with margin. Stage 2 accumulates in DECIMAL(28,0), exact
+    to 10^28 micro-units — beyond any corpus. (``spark_partition_id``
+    makes stage-1 grouping partition-dependent, but integer sums are
+    associative-exact, so the final result is partitioning-invariant.)
+
+    Returns one row per key with columns: for each alias in
+    ``money_cols`` the DECIMAL(28,0) micro-unit total named
+    ``{alias}__us``, plus ``count_alias`` (row count). Callers divide /
+    round to their output scales.
+    """
+    partials = df.groupBy(
+        *[F.col(k) for k in keys], F.spark_partition_id().alias("__pid")
+    ).agg(
+        *[
+            F.sum(micros_long(c)).alias(f"{a}__p")
+            for a, c in money_cols.items()
+        ],
+        F.count(F.lit(1)).alias("__pn"),
+    )
+    return partials.groupBy(*[F.col(k) for k in keys]).agg(
+        *[
+            F.sum(F.col(f"{a}__p").cast("decimal(28,0)")).alias(f"{a}__us")
+            for a in money_cols
+        ],
+        F.sum("__pn").alias(count_alias),
+    )
+
+
+def us_round(total_us: Column, scale: int) -> Column:
+    """micro-unit DECIMAL total → rounded double money value."""
+    return F.round(total_us / F.lit(1_000_000), scale).cast("double")
+
+
+def us_avg(total_us: Column, n: Column, scale: int = 6) -> Column:
+    """micro-unit DECIMAL total → rounded double average (one double
+    division, same as dec_avg's contract)."""
+    return F.round(
+        (total_us / F.lit(1_000_000)).cast("double") / n, scale
+    )
+
+
 @dataclass(frozen=True)
 class Query:
     """One declared query: a DataFrame builder + its DuckDB oracle.

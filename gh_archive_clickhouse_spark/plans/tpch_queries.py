@@ -21,29 +21,51 @@ from gh_archive_clickhouse_spark.plans.common import (
     Query,
     dec_avg,
     dec_sum,
+    dec_sum_2stage,
     read,
+    us_avg,
+    us_round,
 )
 
 
 def qt1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy groupBy on 2 low-cardinality keys.
-    Partial (map-side) aggregation reduces shuffle to ~6 rows/task."""
+
+    The 7 money aggregates run as ONE two-stage exact integer
+    aggregation (micro-unit longs per input partition, decimal merge
+    of the few partials — see dec_sum_2stage): bit-identical to per-
+    column DECIMAL accumulation but ~2x faster, because the per-row
+    hot loop is codegen long adds. Map-side partials still reduce the
+    shuffle to ~6 rows/task."""
     li = read(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dec_sum("l_quantity").alias("sum_qty"),
-            dec_sum("l_extendedprice").alias("sum_base_price"),
-            dec_sum(disc_price).alias("sum_disc_price"),
-            dec_sum(charge).alias("sum_charge"),
-            dec_avg("l_quantity").alias("avg_qty"),
-            dec_avg("l_extendedprice").alias("avg_price"),
-            dec_avg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    totals = dec_sum_2stage(
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        ),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "qty": "l_quantity",
+            "price": "l_extendedprice",
+            "disc_price": disc_price,
+            "charge": charge,
+            "disc": "l_discount",
+        },
+        count_alias="count_order",
+    )
+    n = F.col("count_order")
+    return totals.select(
+        "l_returnflag",
+        "l_linestatus",
+        us_round(F.col("qty__us"), 2).alias("sum_qty"),
+        us_round(F.col("price__us"), 2).alias("sum_base_price"),
+        us_round(F.col("disc_price__us"), 2).alias("sum_disc_price"),
+        us_round(F.col("charge__us"), 2).alias("sum_charge"),
+        us_avg(F.col("qty__us"), n).alias("avg_qty"),
+        us_avg(F.col("price__us"), n).alias("avg_price"),
+        us_avg(F.col("disc__us"), n).alias("avg_disc"),
+        n,
     )
 
 
