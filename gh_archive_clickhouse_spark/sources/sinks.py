@@ -91,3 +91,28 @@ def clickhouse_writer(table: str, **client_kwargs):
         client.insert_df(table, pdf)
 
     return _write
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table BUCKETED by a join/aggregation key.
+
+    Bucketing is the storage-level answer to repeated fact-fact
+    shuffles at 100 TB: both sides of orders⋈lineitem written with the
+    same bucket spec join with ZERO exchanges — every task reads one
+    bucket from each side (see the no-Exchange assertion in
+    tests/test_ingest.py). Optionally sorted within buckets so
+    sort-merge joins also skip their sorts. The analog of the
+    reference's ClickHouse `ORDER BY` clustering contract
+    (/root/reference/README.md:16), applied to the join key instead of
+    the time axis.
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.format("parquet").saveAsTable(table)

@@ -158,3 +158,49 @@ def test_backfill_fetch_with_404_gap(spark):
         assert df.agg(F.min("id"), F.max("id")).first() == (0, 9)
     finally:
         server.shutdown()
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """orders ⋈ lineitem both bucketed on the join key: the join plan
+    must contain NO Exchange — each task reads matching buckets from
+    both sides. The storage-level shuffle elimination that makes
+    repeated fact-fact joins affordable at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from gh_archive_clickhouse_spark.plans.common import read
+    from gh_archive_clickhouse_spark.sources.sinks import write_bucketed
+    from tests.conftest import SF_DIR
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    # disable auto-broadcast so the join exercises the bucketed
+    # sort-merge path (at real scale neither fact side broadcasts)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    orders = read(spark, SF_DIR, "orders")
+    lineitem = read(spark, SF_DIR, "lineitem")
+    write_bucketed(orders, "orders_b", "o_orderkey", 4)
+    write_bucketed(lineitem, "lineitem_b", "l_orderkey", 4)
+    try:
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        joined = lb.join(
+            ob, F.col("l_orderkey") == F.col("o_orderkey")
+        ).groupBy("o_orderstatus").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # join must read bucketed scans with NO shuffle on either side;
+        # the single allowed exchange is the tiny final aggregation's
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+        assert "SelectedBucketsCount" in plan
+        # and it must produce the same result as the un-bucketed join
+        expect = (
+            lineitem.join(
+                orders, F.col("l_orderkey") == F.col("o_orderkey")
+            ).groupBy("o_orderstatus").count()
+        )
+        got = {r.o_orderstatus: r["count"] for r in joined.collect()}
+        want = {r.o_orderstatus: r["count"] for r in expect.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
