@@ -140,6 +140,27 @@ def qe10_salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_totals(ev, key="event_type", value_col="value")
 
 
+
+def qe12_variant_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT schema-on-read over the raw JSON column:
+    ``parse_json`` once into a variant, typed extraction with
+    ``try_variant_get``, then aggregate — the modern engine-native form
+    of the reference's "store raw JSON, project at query time"
+    contract (P1/D1 posture: internal/gh/gh.go:92-125 parses only the
+    fields it needs). Variant's binary encoding makes repeated typed
+    extractions cheaper than per-query string re-parsing at scale."""
+    ev = read(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    staged = ev.select(
+        F.try_variant_get(v, "$.k", "int").alias("k"), F.col("value")
+    )
+    return staged.groupBy((F.col("k") % 10).alias("k_mod")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("sum_value"),
+        dec_avg("value").alias("avg_value"),
+    )
+
+
 QUERIES = [
     Query(
         "qe11_json_battery",
@@ -280,5 +301,21 @@ QUERIES = [
         FROM sess GROUP BY user_id, session_id
         """,
         tags=("events", "session", "window"),
+    ),
+    Query(
+        "qe12_variant_projection",
+        "VARIANT schema-on-read: parse_json + typed variant_get + agg",
+        qe12_variant_projection,
+        """
+        SELECT CAST(props::JSON->>'k' AS INTEGER) % 10 AS k_mod,
+               count(*) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS sum_value,
+               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(value), 6) AS avg_value
+        FROM events
+        GROUP BY k_mod
+        """,
+        tags=("events", "json", "variant"),
     ),
 ]
