@@ -317,7 +317,11 @@ def simhash_candidate_pairs(
     ).select(id_col, sig_col, "band.band_id", "band.band_key")
     left = banded.alias("l")
     right = banded.alias("r")
-    pairs = (
+    # Hamming filter BEFORE the pair-dedup distinct: a pair can meet in
+    # up to ``bands`` buckets, and deduping only the pairs that pass
+    # the (selective) distance test keeps the distinct's shuffle at
+    # true-near-dup volume instead of candidate volume.
+    return (
         left.join(
             right,
             on=[
@@ -333,9 +337,9 @@ def simhash_candidate_pairs(
                 F.col(f"l.{sig_col}").bitwiseXOR(F.col(f"r.{sig_col}"))
             ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return pairs.filter(F.col("hamming") <= max_hamming)
 
 
 def simhash(
