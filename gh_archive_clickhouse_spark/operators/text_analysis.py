@@ -150,3 +150,35 @@ def token_lang_stats(
             F.round(F.avg(F.col("__nt").cast("double")), 6).alias("avg_tokens"),
         )
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    default_rate: int = 20,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic stratified sampling — the dataset-curation /
+    mixture-weighting primitive of a training-data pipeline.
+
+    Each row's fate is a pure function of (salt, id): keep iff
+    ``md5_hash(salt || id) % 100 < rate(stratum)``. Unlike
+    ``DataFrame.sampleBy`` (seeded per-partition RNG — resample on any
+    repartition), this is reproducible across engines, runs, AND
+    cluster layouts, so a curated mixture can be re-derived exactly
+    from the raw corpus; changing ``salt`` draws an independent
+    sample. Map-only: the filter runs at the scan, no shuffle.
+
+    ``rates``: per-stratum keep-percentages (0-100).
+    """
+    from gh_archive_clickhouse_spark.functions.hashing import word_hash31
+
+    rate = F.lit(default_rate)
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    bucket = word_hash31(
+        F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))
+    ) % 100
+    return df.filter(bucket < rate)

@@ -39,6 +39,7 @@ from gh_archive_clickhouse_spark.operators.udf_ops import (
     user_event_ranks,
 )
 from gh_archive_clickhouse_spark.operators.text_analysis import (
+    deterministic_sample,
     fingerprint,
     language_id,
     quality_score,
@@ -405,6 +406,23 @@ def qx20_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = joined.select("doc_a", "doc_b", jac.alias("jaccard"))
     return scored.filter(F.col("jaccard") >= 0.7)
 
+
+
+
+def qx21_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep 50% of 'en' docs, 20%
+    of every other language, decided by hash(salt, doc_id) — the
+    reproducible mixture-weighting step of corpus curation. The
+    per-language sums/extremes of sampled ids witness the exact
+    membership against the oracle, not just the counts."""
+    docs = read(spark, sf_dir, "documents")
+    sampled = deterministic_sample(docs, {"en": 50}, default_rate=20)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("doc_id").alias("sum_id"),
+    )
 
 
 # -------------------------------------------------------------- oracle
@@ -926,5 +944,22 @@ QUERIES = [
         qx20_chargram_jaccard,
         _ORACLE_QX20,
         tags=("ext", "dedup"),
+    ),
+    Query(
+        "qx21_deterministic_sample",
+        "deterministic stratified sample (50% en / 20% rest) by hash",
+        qx21_deterministic_sample,
+        f"""
+        SELECT lang,
+               count(*) AS n_sampled,
+               min(doc_id) AS min_id,
+               max(doc_id) AS max_id,
+               CAST(sum(doc_id) AS BIGINT) AS sum_id
+        FROM documents
+        WHERE ({_sql_word_hash31("'sample_' || CAST(doc_id AS VARCHAR)")} % 100)
+              < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+        GROUP BY lang
+        """,
+        tags=("ext", "sampling"),
     ),
 ]
