@@ -246,7 +246,15 @@ def lsh_candidate_pairs(
     shuffles on those uniform keys instead of exploding n².
 
     Output: doc_a < doc_b candidate pairs (distinct).
+
+    Shingle-less docs (empty/too-short text) carry the sentinel
+    signature (every element = p, a value unreachable for any real
+    shingle hash) and are EXCLUDED from banding: they are not
+    near-duplicates of anything, and at corpus scale every such doc
+    would land in the same bucket — a quadratic skew bomb (billions of
+    empty docs → one bucket → n² pairs).
     """
+    sigs = sigs.filter(F.col("minhash")[0] != MERSENNE31)
     band_cols = []
     for b in range(bands):
         acc = F.lit(0).cast("long")

@@ -201,3 +201,66 @@ def test_resize_images_plumbing(spark):
         "Exchange"
         not in full._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_deterministic_sample_is_layout_invariant(spark):
+    """The sample must be a pure function of (salt, id): any
+    repartitioning of the input yields the SAME rows, and a different
+    salt draws a different (here: provably not identical) sample."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        deterministic_sample,
+    )
+    from gh_archive_clickhouse_spark.plans.common import read
+    from tests.conftest import SF_DIR
+
+    docs = read(spark, SF_DIR, "documents")
+    base = {
+        r.doc_id
+        for r in deterministic_sample(docs, {"en": 50}).select("doc_id").collect()
+    }
+    reparted = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(7), {"en": 50})
+        .select("doc_id")
+        .collect()
+    }
+    assert base == reparted
+    assert 0 < len(base) < docs.count()
+    other = {
+        r.doc_id
+        for r in deterministic_sample(docs, {"en": 50}, salt="other")
+        .select("doc_id")
+        .collect()
+    }
+    assert other != base
+
+
+def test_char_minhash_short_and_empty_docs(spark):
+    """Docs shorter than the shingle size (incl. empty) must get the
+    sentinel signature (all p) and never collide into LSH buckets with
+    real docs."""
+    from pyspark.sql import functions as F
+
+    from gh_archive_clickhouse_spark.functions.hashing import MERSENNE31
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "abc"), (3, "abcdefgh"), (4, "abcdefgh")],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(df, shingle_k=4, kind="char")
+    rows = {r.doc_id: r.minhash for r in sigs.collect()}
+    assert rows[1] == [MERSENNE31] * 16  # empty
+    assert rows[2] == [MERSENNE31] * 16  # len 3 < k=4
+    assert rows[3] == rows[4] != [MERSENNE31] * 16
+    pairs = {
+        (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(sigs).collect()
+    }
+    # the exact-duplicate pair is found; sentinel docs pair with no
+    # one — not even each other (they are excluded from banding, which
+    # at corpus scale prevents the all-empty-docs-in-one-bucket skew)
+    assert (3, 4) in pairs
+    assert all(a not in (1, 2) and b not in (1, 2) for a, b in pairs)
