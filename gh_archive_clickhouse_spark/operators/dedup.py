@@ -304,6 +304,12 @@ def simhash_candidate_pairs(
     then filters candidates; both steps are codegen'd JVM expressions.
 
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b, distinct.
+
+    Skew note: empty docs all carry fingerprint 0 and so all meet in
+    the same buckets — semantically right (empty ≡ empty, hamming 0),
+    but a corpus with many empty docs should drop/shunt them before
+    pairing (cf. the sentinel exclusion in lsh_candidate_pairs) or
+    rely on AQE skew-join splitting for the 0-bucket.
     """
     mask = (1 << band_bits) - 1
     banded = sigs.select(
