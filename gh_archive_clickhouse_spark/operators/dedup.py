@@ -8,13 +8,16 @@ merge time) and additionally dedups in-flight against a seen-id frontier
 operators; the fuzzy variants (MinHash/SimHash) are the LLM-pipeline
 extensions, built shuffle-lean for 100 TB:
 
-- Signatures are computed **per row with higher-order functions** (no
-  explode, no shuffle, no Python) — a doc's minhash signature is
-  ``array_min(transform(shingles, h_i))`` for each of K hash functions.
+- Signatures are computed by **explode + whole-stage-codegen hash
+  aggregation** (higher-order lambdas are CodegenFallback/interpreted
+  in Spark): shingle rows are hashed in a codegen projection and
+  collapsed map-side, so the shuffle carries one signature row per doc
+  — n_docs rows at any corpus size, never n_shingles.
 - Candidate generation is **banded LSH**: only docs sharing a band
   bucket ever meet in a join, so the O(n²) pair space never
   materializes; the bucket join shuffles on (band, band_hash), which is
-  uniformly distributed by construction.
+  uniformly distributed by construction (shingle-less docs excluded —
+  see lsh_candidate_pairs).
 """
 
 from __future__ import annotations
@@ -218,17 +221,6 @@ def shingle_sets(
     return toks.select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col("__t"), shingle_k)).alias("__sh"),
-    )
-
-
-def shingle_hashes(
-    df: DataFrame, text_col: str, id_col: str, shingle_k: int
-) -> DataFrame:
-    """(id, __sh_hash): 31-bit hashes of the distinct shingle set."""
-    sh = shingle_sets(df, text_col, id_col, shingle_k)
-    return sh.select(
-        F.col(id_col),
-        F.transform(F.col("__sh"), lambda s: word_hash31(s)).alias("__sh_hash"),
     )
 
 
