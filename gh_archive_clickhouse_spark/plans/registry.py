@@ -12,12 +12,18 @@ from gh_archive_clickhouse_spark.plans import (
 )
 from gh_archive_clickhouse_spark.plans.common import Query
 
+# Order matters operationally: the round driver verifies the first ~50
+# oracle-checkable entries in enumeration order. Families whose queries
+# have never had a driver-verified correctness row come FIRST (round 1
+# verified the first 50 and left the entire ext/multimodal surface —
+# the LLM-pipeline mandate — unverified); the TPC-H batteries, fully
+# verified in round 1, sit at the tail.
 _ALL: list[Query] = [
+    *ext_queries.QUERIES,
+    *relational_queries.QUERIES,
     *events_queries.QUERIES,
     *tpch_queries.QUERIES,
     *tpch2_queries.QUERIES,
-    *relational_queries.QUERIES,
-    *ext_queries.QUERIES,
     *streaming_queries.QUERIES,
 ]
 
