@@ -15,6 +15,7 @@ from gh_archive_clickhouse_spark.functions.vectors import (
     dot,
     l2_norm,
 )
+from gh_archive_clickhouse_spark.functions.time import ts_micros
 from gh_archive_clickhouse_spark.functions.text import (
     token_count,
     tokens,
@@ -28,5 +29,6 @@ __all__ = [
     "dot",
     "l2_norm",
     "token_count",
+    "ts_micros",
     "tokens",
 ]

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gh_archive_clickhouse_spark.functions.time import ts_micros
+
 
 def asof_join(
     left: DataFrame,
@@ -53,7 +55,7 @@ def asof_join(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__is_left"),
-        F.unix_micros(F.col(right_ts)).alias("__r_us"),
+        ts_micros(right_ts).alias("__r_us"),
         F.lit(None)
         .cast(l_tag.schema["__payload"].dataType)
         .alias("__payload"),
@@ -95,8 +97,8 @@ def range_join_count(
     appears (count 0) via the final left join back.
     """
     w_us = width_seconds * 1_000_000
-    l_us = F.unix_micros(F.col(left_ts))
-    r_us = F.unix_micros(F.col(right_ts))
+    l_us = ts_micros(left_ts)
+    r_us = ts_micros(right_ts)
     l = left.select(
         F.col(key).alias("__k"), F.col(left_id).alias("__lid"), l_us.alias("__l_us")
     )

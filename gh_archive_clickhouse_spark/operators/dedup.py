@@ -194,8 +194,16 @@ def _shingle_hash_rows(
         F.col(id_col), F.col("__t"), F.explode_outer(offsets).alias("__i")
     ).select(
         F.col(id_col),
-        word_hash31(
-            F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), shingle_k))
+        # The NULL guard is load-bearing: concat_ws maps a NULL slice to
+        # '' (it never returns NULL), so without it every shingle-less
+        # doc would hash to word_hash31('') — one shared signature for
+        # all short/empty docs instead of the sentinel, i.e. the exact
+        # one-bucket skew bomb the sentinel exclusion defuses.
+        F.when(
+            F.col("__i").isNotNull(),
+            word_hash31(
+                F.concat_ws(" ", F.slice(F.col("__t"), F.col("__i"), shingle_k))
+            ),
         ).alias("__x"),
     )
 
@@ -308,12 +316,14 @@ def simhash_candidate_pairs(
 
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b, distinct.
 
-    Skew note: empty docs all carry fingerprint 0 and so all meet in
-    the same buckets — semantically right (empty ≡ empty, hamming 0),
-    but a corpus with many empty docs should drop/shunt them before
-    pairing (cf. the sentinel exclusion in lsh_candidate_pairs) or
-    rely on AQE skew-join splitting for the 0-bucket.
+    Fingerprint 0 is the degenerate/sentinel value (every empty doc
+    hashes to it — explode_outer's NULL row zeroes all votes) and is
+    EXCLUDED from banding, mirroring lsh_candidate_pairs' sentinel
+    exclusion: empty docs are exact duplicates (exact dedup's job, not
+    near-dup detection's), and at corpus scale billions of them would
+    meet in one bucket — a quadratic skew bomb.
     """
+    sigs = sigs.filter(F.col(sig_col) != 0)
     mask = (1 << band_bits) - 1
     banded = sigs.select(
         F.col(id_col),

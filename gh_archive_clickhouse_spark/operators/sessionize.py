@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from gh_archive_clickhouse_spark.functions.time import ts_micros
+
 
 def sessionize(
     df: DataFrame,
@@ -31,7 +33,7 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(order_tiebreak).asc()
     )
-    us = F.unix_micros(F.col(ts_col))
+    us = ts_micros(ts_col)
     prev_us = F.lag(us).over(w)
     new_sess = F.when(
         prev_us.isNull() | ((us - prev_us) > F.lit(gap_us)), 1

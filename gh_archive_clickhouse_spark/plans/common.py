@@ -174,4 +174,11 @@ def read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif f_.dataType.simpleString() == "timestamp_ntz":
+            # Fixtures written as timestamp[us] without a tz annotation
+            # surface as TIMESTAMP_NTZ, which watermarks and
+            # unix_micros reject. With the session tz pinned UTC the
+            # NTZ→LTZ cast is a pure reinterpretation (identical
+            # wall-clock values, matching DuckDB's naive reading).
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
     return df

@@ -538,8 +538,12 @@ _BANDS, _RPB = 4, 4
 _mh_cols = ",\n         ".join(
     f"{e} AS mh{i}" for i, e in enumerate(_mh_elems)
 )
+# Shingle-less docs carry the sentinel signature and are excluded from
+# banding on the Spark side (operators/dedup.py lsh_candidate_pairs);
+# the oracle must mirror that or short/empty docs would pair here.
 _band_rows = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_id, {_sql_band_key(b, _RPB)} AS band_key FROM sigs"
+    f"SELECT doc_id, {b} AS band_id, {_sql_band_key(b, _RPB)} AS band_key "
+    f"FROM sigs WHERE len(shs) >= 1"
     for b in range(_BANDS)
 )
 _ORACLE_QX9 = f"""
@@ -571,10 +575,12 @@ JOIN sigs b ON b.doc_id = doc_b
 """
 
 _SIM_BANDS, _SIM_BAND_BITS, _SIM_MAXHAM = 4, 15, 3
+# fingerprint 0 is the empty-doc sentinel, excluded from banding on the
+# Spark side (operators/dedup.py simhash_candidate_pairs) — mirror it.
 _sim_band_rows = " UNION ALL ".join(
     f"SELECT doc_id, simhash, {b} AS band_id, "
     f"(simhash >> {b * _SIM_BAND_BITS}) & {(1 << _SIM_BAND_BITS) - 1} AS band_key "
-    f"FROM fp"
+    f"FROM fp WHERE simhash <> 0"
     for b in range(_SIM_BANDS)
 )
 _ORACLE_QX13 = f"""
@@ -693,8 +699,10 @@ def _sql_char_shingles(col: str, k: int) -> str:
 
 
 _CG_BANDS, _CG_RPB = 2, 8
+# Same sentinel exclusion as _band_rows: gram-less docs never band.
 _cg_band_rows = " UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_id, {_sql_band_key(b, _CG_RPB)} AS band_key FROM sigs"
+    f"SELECT doc_id, {b} AS band_id, {_sql_band_key(b, _CG_RPB)} AS band_key "
+    f"FROM sigs WHERE len(shs) >= 1"
     for b in range(_CG_BANDS)
 )
 _ORACLE_QX20 = f"""

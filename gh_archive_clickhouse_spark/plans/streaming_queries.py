@@ -36,10 +36,15 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     stream = spark.readStream.schema(raw_schema).parquet(
         f"{sf_dir}/events*.parquet"
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_dtype == "timestamp_ntz":
+        # tz-less fixture parquet: reinterpret as UTC instant so the
+        # watermark (which requires TIMESTAMP) accepts it.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

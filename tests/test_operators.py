@@ -264,3 +264,34 @@ def test_char_minhash_short_and_empty_docs(spark):
     # at corpus scale prevents the all-empty-docs-in-one-bucket skew)
     assert (3, 4) in pairs
     assert all(a not in (1, 2) and b not in (1, 2) for a, b in pairs)
+
+
+def test_simhash_empty_docs_excluded_from_pairing(spark):
+    """Empty docs all hash to fingerprint 0 (the sentinel); they must
+    be excluded from banding — at corpus scale billions of empty docs
+    in one bucket is a quadratic skew bomb, and empty==empty is exact
+    dedup's job, not near-dup detection's."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, ""),
+            (3, "same words in this doc okay"),
+            (4, "same words in this doc okay"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = simhash(df)
+    fp = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert fp[1] == 0 and fp[2] == 0
+    assert fp[3] == fp[4] != 0
+    pairs = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_candidate_pairs(sigs).collect()
+    }
+    assert (3, 4, 0) in pairs
+    assert all(a not in (1, 2) and b not in (1, 2) for a, b, _ in pairs)

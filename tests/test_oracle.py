@@ -35,3 +35,49 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() >= 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+# Short/empty docs never appear in the driver fixtures, so the banding
+# sentinel semantics (Spark excludes shingle-less / fingerprint-0 docs;
+# the oracle SQL must mirror it) only get exercised here.
+_SHORT_DOC_QUERIES = [
+    "qx9_lsh_candidates",
+    "qx13_simhash_neardup",
+    "qx20_chargram_jaccard",
+]
+
+
+@pytest.mark.parametrize("name", _SHORT_DOC_QUERIES)
+def test_banding_oracle_parity_on_short_docs(spark, tmp_path, name):
+    import duckdb
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 7],
+            "text": [
+                "",
+                "",
+                "a b",
+                "b c",
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",
+                "completely different text with several other words",
+            ],
+        }
+    )
+    path = tmp_path / "documents.parquet"
+    docs.to_parquet(path)
+    q = QUERIES[name]
+    spark_pdf = q.builder(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')"
+    )
+    oracle_pdf = con.execute(q.oracle).fetchdf()
+    con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+    # the duplicate real pair is present; no sentinel doc ever pairs
+    assert ((spark_pdf.doc_a == 5) & (spark_pdf.doc_b == 6)).any()
+    assert not spark_pdf.doc_a.isin([1, 2, 3, 4]).any()
+    assert not spark_pdf.doc_b.isin([1, 2, 3, 4]).any()

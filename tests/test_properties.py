@@ -94,7 +94,9 @@ def test_range_join_count_property(spark, left, right, width):
 @_SET
 def test_simhash_pairs_complete_and_sound(spark, sigs, max_h):
     """Pigeonhole completeness: EVERY pair within max_hamming <= 3 of
-    4x15-bit bands must be returned; nothing above max_hamming is."""
+    4x15-bit bands must be returned; nothing above max_hamming is.
+    Fingerprint 0 is the empty-doc sentinel and never pairs (the
+    quadratic-skew exclusion mirrored in the qx13 oracle)."""
     from gh_archive_clickhouse_spark.operators.dedup import (
         simhash_candidate_pairs,
     )
@@ -109,6 +111,8 @@ def test_simhash_pairs_complete_and_sound(spark, sigs, max_h):
     want = {}
     for i in range(len(sigs)):
         for j in range(i + 1, len(sigs)):
+            if sigs[i] == 0 or sigs[j] == 0:
+                continue  # sentinel: excluded from banding
             h = bin(sigs[i] ^ sigs[j]).count("1")
             if h <= max_h:
                 want[(i, j)] = h
