@@ -51,13 +51,12 @@ def main() -> None:
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
-        if "streaming" in q.tags:
-            # Structured-Streaming contract queries: their wall time is
-            # stream-machinery startup (checkpoint, memory sink), not
-            # engine throughput; benched via tests instead.
-            continue
         best = float("inf")
-        for _ in range(runs):
+        # Streaming contract queries run the whole stream (checkpoint,
+        # state store, memory sink) inside the builder; one timed run
+        # is the honest startup-inclusive number.
+        n_runs = 1 if "streaming" in q.tags else runs
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             q.builder(spark, sf_dir).write.mode("overwrite").format(
                 "noop"
@@ -65,18 +64,32 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # The driver snapshots only the LAST 2000 chars of stdout; full
+    # registry names blow that budget and decapitate the JSON line
+    # (BENCH_r01 "parsed": null). Key by the short qNN prefix, falling
+    # back to the full name only on prefix collisions (qt3/qt6/qt11
+    # variants), and emit with compact separators.
+    prefix_counts: dict[str, int] = {}
+    for name in timings:
+        p = name.split("_", 1)[0]
+        prefix_counts[p] = prefix_counts.get(p, 0) + 1
+    short = {
+        (name.split("_", 1)[0]
+         if prefix_counts[name.split("_", 1)[0]] == 1 else name): t
+        for name, t in timings.items()
+    }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": short,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    print(line)
 
 
 if __name__ == "__main__":

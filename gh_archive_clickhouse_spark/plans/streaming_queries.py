@@ -3,11 +3,17 @@ contract.
 
 These run a real micro-batch stream (file source → watermark →
 windowed/stateful aggregation → memory sink, availableNow trigger)
-and return the materialized result. They have NO oracle_sql — the
-semantics (watermarks, incremental state) are not SQL-expressible —
-so the driver records rows-only checks; the batch-equivalent shapes
-(qe4) are oracle-checked separately, and tests/test_streaming_analytics
-asserts stream == batch on the same data.
+and return the materialized result.
+
+Oracle story: on a STATIC single-file fixture with an availableNow
+trigger, the whole input arrives as one micro-batch, the watermark
+never advances mid-run, and complete/update-mode final state is
+EXACTLY the batch aggregation — deterministic and SQL-expressible.
+So these carry real oracle SQL (hash-verified), while still running
+the genuine streaming machinery (file stream source, watermark,
+incremental state store, memory sink). Unbounded-input semantics
+(late-data drop, state eviction) are covered by
+tests/test_streaming_analytics.py instead, where they are observable.
 """
 
 from __future__ import annotations
@@ -111,13 +117,47 @@ def qs3_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-window end = last event ts + gap; events merge into one
+# session when the gap to the previous event is <= gapDuration
+# (empirically: two events exactly 30 min apart share a session) —
+# identical convention to the batch sessionize operator, so the
+# gap-island SQL mirrors qe7 with end = max(ts) + INTERVAL 30 MINUTE.
+_ORACLE_QS2 = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM ordered
+), sess AS (
+  SELECT *, CAST(sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_s,
+       strftime(max(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S.%f') AS end_s,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+"""
+
 QUERIES = [
     Query(
         "qs1_stream_hourly_counts",
         "Structured Streaming: watermarked hourly windowed counts "
         "(availableNow micro-batch run over the fixture)",
         qs1_stream_hourly_counts,
-        oracle=None,
+        """
+        SELECT strftime(date_trunc('hour', ts),
+                        '%Y-%m-%d %H:%M:%S.%f') AS hour_s,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+        """,
         tags=("streaming",),
     ),
     Query(
@@ -125,7 +165,7 @@ QUERIES = [
         "Structured Streaming: native session windows per user "
         "(availableNow micro-batch run over the fixture)",
         qs2_stream_session_windows,
-        oracle=None,
+        _ORACLE_QS2,
         tags=("streaming",),
     ),
     Query(
@@ -133,7 +173,11 @@ QUERIES = [
         "Structured Streaming: custom stateful per-user totals "
         "(applyInPandasWithState, update mode)",
         qs3_stream_running_totals,
-        oracle=None,
+        """
+        SELECT user_id, count(*) AS n,
+               round(sum(value), 6) AS total_r
+        FROM events GROUP BY user_id
+        """,
         tags=("streaming",),
     ),
 ]
