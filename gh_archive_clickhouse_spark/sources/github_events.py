@@ -47,7 +47,6 @@ from pyspark.sql.types import StructType
 DEFAULT_API_URL = "https://api.github.com/events"
 PER_PAGE = 100  # main.go:102
 MAX_PAGES = 10  # main.go:103
-SEEN_CAP = PER_PAGE * (MAX_PAGES + 2)  # bounded frontier memory
 
 
 @dataclass
@@ -72,13 +71,13 @@ class RateLimit:
     def pacing_sleep(self, now: float) -> float:
         """Seconds to sleep before the next poll (main.go:183-194)."""
         if self.remaining <= 0 and self.reset <= 0:
-            return 0.0
+            return 0.0  # no rate info at all: poll freely
         until_reset = max(self.reset - now, 0.0)
-        if 0 < self.remaining < 10:  # main.go:190-193
+        if self.remaining < 10:  # main.go:190-193; includes remaining==0
+            # budget (nearly) exhausted: sleep through the reset — the
+            # one moment NOT to hammer the API.
             return until_reset + 1.0
-        if self.remaining > 0:
-            return until_reset / self.remaining
-        return 0.0
+        return until_reset / self.remaining
 
 
 @dataclass
@@ -102,7 +101,6 @@ class GitHubEventsStreamReader(SimpleDataSourceStreamReader):
         self.pace = options.get("pace", "true").lower() == "true"
         self._etag: str | None = None
         self._latest_met: set[int] = set()
-        self._seen_order: list[int] = []
         self._request_count = 0
         self._next_sleep = 0.0
 
@@ -186,11 +184,15 @@ class GitHubEventsStreamReader(SimpleDataSourceStreamReader):
         return result
 
     def _remember(self, ids: set[int]) -> None:
-        """Adopt this poll's ids as the next poll's frontier, bounded."""
+        """Adopt this poll's ids as the next poll's frontier.
+
+        Memory is bounded structurally, not by an explicit cap: a poll
+        sees at most per_page * (max_pages + 1) ids, and the frontier
+        is REPLACED (not unioned) each poll — main.go:207 does the same.
+        """
         if not ids:
             return
         self._latest_met = set(ids)
-        self._seen_order = list(ids)[:SEEN_CAP]
 
     # -- Spark contract ----------------------------------------------
     def read(self, start: dict) -> tuple:

@@ -69,26 +69,87 @@ def compact(spark: SparkSession, path: str, out_path: str) -> None:
     )
 
 
-def clickhouse_writer(table: str, **client_kwargs):
+CLICKHOUSE_BATCH_ROWS = 10_000  # reference cut: cmd/gh-load/main.go:143-146
+
+
+def partition_inserter(
+    table: str,
+    columns: list[str],
+    client_factory,
+    batch_rows: int = CLICKHOUSE_BATCH_ROWS,
+):
+    """Executor-side kernel for the ClickHouse sink: one client per
+    partition, rows buffered and flushed every ``batch_rows`` — the
+    reference's columnar-block cut (cmd/gh-load/main.go:143-146).
+
+    Factored out of ``clickhouse_writer`` so the batching contract is
+    unit-testable with a fake client (no server in this container).
+    ``client_factory`` must be picklable (top-level callable/partial):
+    it is shipped to executors and invoked once per partition.
+    """
+
+    def _insert(rows) -> None:
+        client = client_factory()
+        try:
+            buf: list[tuple] = []
+            for row in rows:
+                buf.append(tuple(row))
+                if len(buf) >= batch_rows:
+                    client.insert(table, buf, column_names=columns)
+                    buf = []
+            if buf:
+                client.insert(table, buf, column_names=columns)
+        finally:
+            close = getattr(client, "close", None)
+            if close is not None:
+                close()
+
+    return _insert
+
+
+def clickhouse_writer(
+    table: str,
+    batch_rows: int = CLICKHOUSE_BATCH_ROWS,
+    client_factory=None,
+    **client_kwargs,
+):
     """foreachBatch sink streaming into ClickHouse (the reference's
-    target, INSERT at cmd/gh-archived/main.go:63). Returns a
+    target, INSERT at cmd/gh-archived/main.go:62-93). Returns a
     (DataFrame, epoch_id) callable for ``writeStream.foreachBatch``.
 
-    Gated on ``clickhouse_connect`` being installed; raises a clear
-    error otherwise (the container ships no ClickHouse client).
-    """
-    try:
-        import clickhouse_connect  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - not in container
-        raise ImportError(
-            "clickhouse-connect is not installed; use the Parquet sink "
-            "(write_events) or install the client to target ClickHouse"
-        ) from exc
+    Inserts run PER PARTITION on the executors (``foreachPartition``,
+    one client per partition task, rows cut into ``batch_rows`` blocks)
+    — the driver never materializes a batch, so backfill throughput
+    scales with executors and driver memory is flat, unlike a
+    ``toPandas``-then-insert sink which serializes everything through
+    one process.
 
-    def _write(batch_df: DataFrame, epoch_id: int) -> None:  # pragma: no cover
-        client = clickhouse_connect.get_client(**client_kwargs)
-        pdf = batch_df.toPandas()
-        client.insert_df(table, pdf)
+    ``client_factory`` (picklable, e.g. a ``functools.partial``) lets
+    tests inject a fake; by default it is built from ``client_kwargs``
+    and gated on ``clickhouse_connect`` being installed (the container
+    ships no ClickHouse client).
+    """
+    if client_factory is None:
+        try:
+            import clickhouse_connect  # noqa: F401
+        except ImportError as exc:  # pragma: no cover - not in container
+            raise ImportError(
+                "clickhouse-connect is not installed; use the Parquet "
+                "sink (write_events) or install the client to target "
+                "ClickHouse"
+            ) from exc
+        import functools
+
+        client_factory = functools.partial(
+            clickhouse_connect.get_client, **client_kwargs
+        )
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.foreachPartition(
+            partition_inserter(
+                table, batch_df.columns, client_factory, batch_rows
+            )
+        )
 
     return _write
 

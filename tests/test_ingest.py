@@ -204,3 +204,107 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+# ---- ClickHouse sink (S10): fake-client contract tests ---------------
+
+
+class _FakeCHClient:
+    """Records inserts to a JSONL file: survives the executor->driver
+    process boundary that an in-memory list would not."""
+
+    def __init__(self, log_path):
+        self.log_path = log_path
+        self.closed = False
+
+    def insert(self, table, rows, column_names):
+        import json as _json
+
+        with open(self.log_path, "a") as f:
+            f.write(
+                _json.dumps(
+                    {
+                        "table": table,
+                        "n": len(rows),
+                        "cols": list(column_names),
+                        "rows": [list(r) for r in rows],
+                    }
+                )
+                + "\n"
+            )
+
+    def close(self):
+        self.closed = True
+
+
+def test_partition_inserter_batch_cut(tmp_path):
+    """Rows are flushed in blocks of batch_rows — the reference's
+    10 000-row block cut (cmd/gh-load/main.go:143-146) — and the
+    client is closed even on the short final block."""
+    from gh_archive_clickhouse_spark.sources.sinks import partition_inserter
+
+    log = tmp_path / "inserts.jsonl"
+    made = []
+
+    def factory():
+        c = _FakeCHClient(str(log))
+        made.append(c)
+        return c
+
+    ins = partition_inserter("t", ["id", "v"], factory, batch_rows=3)
+    ins(iter([(i, i * 2) for i in range(8)]))
+    recs = [json.loads(line) for line in log.read_text().splitlines()]
+    assert [r["n"] for r in recs] == [3, 3, 2]
+    assert all(r["table"] == "t" and r["cols"] == ["id", "v"] for r in recs)
+    flat = [tuple(row) for r in recs for row in r["rows"]]
+    assert flat == [(i, i * 2) for i in range(8)]
+    assert len(made) == 1 and made[0].closed
+
+
+def test_clickhouse_writer_per_partition_executor_side(spark, tmp_path):
+    """The foreachBatch callable inserts from EXECUTOR tasks (one
+    client per partition), never via driver toPandas: every input row
+    lands exactly once, across >= npartitions client sessions."""
+    from gh_archive_clickhouse_spark.sources.sinks import clickhouse_writer
+
+    log = str(tmp_path / "inserts.jsonl")
+
+    # Defined in function scope (no module-level bases) so cloudpickle
+    # ships it BY VALUE to the executor workers — the test module is
+    # not importable there, exactly the constraint a real
+    # client_factory must satisfy too.
+    class _ExecFake:
+        def __init__(self, path):
+            self.path = path
+
+        def insert(self, table, rows, column_names):
+            import json as _json
+
+            with open(self.path, "a") as f:
+                f.write(
+                    _json.dumps(
+                        {
+                            "table": table,
+                            "n": len(rows),
+                            "cols": list(column_names),
+                            "rows": [list(r) for r in rows],
+                        }
+                    )
+                    + "\n"
+                )
+
+        def close(self):
+            pass
+
+    def factory(path=log):
+        return _ExecFake(path)
+
+    writer = clickhouse_writer("events_ch", batch_rows=40, client_factory=factory)
+    df = spark.range(100).selectExpr("id", "id * id AS sq").repartition(4)
+    writer(df, epoch_id=0)
+    recs = [json.loads(line) for line in Path(log).read_text().splitlines()]
+    assert sum(r["n"] for r in recs) == 100
+    assert all(r["n"] <= 40 for r in recs)
+    assert len(recs) >= 4  # at least one block per partition
+    got = sorted(tuple(row) for r in recs for row in r["rows"])
+    assert got == [(i, i * i) for i in range(100)]

@@ -164,3 +164,65 @@ def test_running_totals_tws_or_env_skip(spark, tmp_path):
     q.awaitTermination()
     out = spark.table("tws_test")
     assert out.count() > 0
+
+
+def test_tws_kernel_logic_with_fake_handle():
+    """The transformWithStateInPandas processor kernel, driven by a
+    dict-backed fake ValueState handle: accumulates across calls like
+    micro-batches, independent of protobuf/RocksDB availability."""
+    import pandas as pd
+
+    from gh_archive_clickhouse_spark.streaming.analytics import (
+        _RunningTotalsProcessor,
+    )
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema):
+            return self.states.setdefault(name, FakeValueState())
+
+    proc = _RunningTotalsProcessor()
+    handle = FakeHandle()
+    proc.init(handle)
+    assert set(handle.states) == {"totals"}
+
+    out1 = pd.concat(
+        proc.handleInputRows(
+            (7,), iter([pd.DataFrame({"value": [1.0, 2.0]})]), None
+        )
+    )
+    assert out1.to_dict("records") == [
+        {"user_id": 7, "n": 2, "total": 3.0}
+    ]
+    # second micro-batch: state carries over, two chunks in one call
+    out2 = pd.concat(
+        proc.handleInputRows(
+            (7,),
+            iter(
+                [
+                    pd.DataFrame({"value": [4.0]}),
+                    pd.DataFrame({"value": [5.0, 6.0]}),
+                ]
+            ),
+            None,
+        )
+    )
+    assert out2.to_dict("records") == [
+        {"user_id": 7, "n": 5, "total": 18.0}
+    ]
+    proc.close()
