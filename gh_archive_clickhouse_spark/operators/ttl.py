@@ -14,7 +14,7 @@ from __future__ import annotations
 import shutil
 from pathlib import Path
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -22,8 +22,14 @@ def expire_older_than(
     df: DataFrame, ts_col: str = "ts", days: int = 3, now: Column | None = None
 ) -> DataFrame:
     """Retention read-view: rows younger than ``days`` relative to
-    ``now`` (default: the dataset's own max(ts), which makes the view
-    deterministic for tests and oracles)."""
+    ``now``.
+
+    Production callers should pass ``now`` explicitly (e.g.
+    ``F.current_timestamp()`` or the job's logical date): that keeps
+    the view a single pushed-down filter. The ``now=None`` default
+    anchors at the dataset's own max(ts) — deterministic for tests and
+    oracles — at the cost of one extra aggregate scan to find it, so
+    it is a fixture convenience, not the retention-job path."""
     if now is None:
         mx = df.agg(F.max(ts_col).alias("__now"))
         return df.crossJoin(F.broadcast(mx)).filter(
@@ -51,4 +57,33 @@ def drop_expired_partitions(
         if value < cutoff_yyyymmdd:
             shutil.rmtree(child)
             dropped.append(child.name)
+    return dropped
+
+
+def drop_expired_partitions_catalog(
+    spark: SparkSession,
+    table: str,
+    cutoff_yyyymmdd: str,
+    partition_col: str = "dt",
+) -> list[str]:
+    """Catalog-native TTL: enumerate via ``SHOW PARTITIONS`` and drop
+    expired ones with ``ALTER TABLE ... DROP PARTITION``.
+
+    This is the object-store-safe form of ``drop_expired_partitions``:
+    partition discovery and removal go through the catalog/manifest
+    layer (Hive metastore, or table-format metadata on Delta/Iceberg),
+    never a filesystem walk — the only form that works when the table
+    root is ``s3://...`` and "directories" are a fiction. Still an
+    O(expired-partitions) metadata operation, no data rewrite.
+    """
+    dropped = []
+    for row in spark.sql(f"SHOW PARTITIONS {table}").collect():
+        spec = row[0]  # e.g. 'dt=20240101'
+        col, _, value = spec.partition("=")
+        if col == partition_col and value < cutoff_yyyymmdd:
+            spark.sql(
+                f"ALTER TABLE {table} "
+                f"DROP IF EXISTS PARTITION ({partition_col}='{value}')"
+            )
+            dropped.append(spec)
     return dropped

@@ -152,6 +152,31 @@ class Query:
     tags: tuple[str, ...] = field(default=())
 
 
+def materialize(df: DataFrame, name: str) -> DataFrame:
+    """Compute-once materialization for frames consumed by both sides
+    of a self-join (LSH signatures, IVF assignments): Spark plans each
+    side of a self-join independently, so an unmaterialized input runs
+    its whole pipeline twice.
+
+    Default: lazy ``localCheckpoint`` — block-manager-backed, zero
+    extra I/O, ideal for interactive/bench runs; its blocks die with
+    their executors. Set ``SPARK_GRAFT_MATERIALIZE_DIR`` to a
+    cluster-visible path to instead WRITE the frame as a parquet index
+    table and read it back — the durable form for multi-stage jobs on
+    real clusters where executor loss is routine (and the natural
+    persistence point: a signature/index table written once is probed
+    by every later dedup/ANN run, not just this query).
+    """
+    import os
+
+    base = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
+    if base:
+        path = f"{base}/{name}"
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    return df.localCheckpoint(eager=False)
+
+
 def read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a fixture table, normalizing nanosecond timestamps.
 

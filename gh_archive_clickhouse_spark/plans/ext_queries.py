@@ -51,7 +51,7 @@ from gh_archive_clickhouse_spark.functions.text import (
     tokens,
     word_shingles,
 )
-from gh_archive_clickhouse_spark.plans.common import Query, read
+from gh_archive_clickhouse_spark.plans.common import Query, materialize, read
 
 # ---------------------------------------------------------------- SQL
 # generators: DuckDB fragments mirroring functions/hashing + text.
@@ -170,10 +170,10 @@ def qx9_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize signatures before the bucket self-join: Spark plans
     # each side of a self-join independently (no ReusedExchange across
     # the aliases here), so without this the full tokenize+hash+agg
-    # pipeline runs twice. A lazy localCheckpoint computes it once and
-    # serves both sides; at cluster scale this is the "write the
-    # signature table" step of a real LSH index build.
-    sigs = minhash_signatures(docs).localCheckpoint(eager=False)
+    # pipeline runs twice. `materialize` computes it once and serves
+    # both sides — the "write the signature table" step of a real LSH
+    # index build (durable parquet form via SPARK_GRAFT_MATERIALIZE_DIR).
+    sigs = materialize(minhash_signatures(docs), "qx9_sigs")
     # The band self-join re-derives from the MATERIALIZED signatures
     # per consumer (candidate-id scan + verify join) — that recompute
     # is a cheap bucket join, and skipping a second checkpoint barrier
@@ -225,7 +225,7 @@ def qx12_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The assignment is the (one-off) index build — materialize it so
     # the probe's two uses (query row + cluster members) don't run the
     # centroid-scoring aggregate twice.
-    assigned = qx11_ivf_assign(spark, sf_dir).localCheckpoint(eager=False)
+    assigned = materialize(qx11_ivf_assign(spark, sf_dir), "qx12_ivf_assign")
     with_cluster = emb.join(assigned, "vec_id")
     qrow = with_cluster.filter(F.col("vec_id") == 42).select(
         F.col("embedding").alias("q"), F.col("cluster_id").alias("qc")
@@ -262,13 +262,13 @@ SRP_SIGNS: list[list[int]] = [
 def qx13_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded blocking + Hamming ≤ 3 verify.
 
-    Signatures are materialized (lazy localCheckpoint) before the
+    Signatures are materialized (see plans/common.materialize) before the
     banded self-join so the fingerprint aggregate runs once, not once
     per join side — the scale analog of persisting the fingerprint
     table before pairing.
     """
-    sigs = simhash(read(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
+    sigs = materialize(
+        simhash(read(spark, sf_dir, "documents")), "qx13_fingerprints"
     )
     return simhash_candidate_pairs(sigs)
 
@@ -374,13 +374,13 @@ def qx20_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     char grams catch near-dups that word shingles miss: punctuation
     edits, concatenations, whitespace damage).
 
-    Signatures materialize once (lazy localCheckpoint) before the
+    Signatures materialize once (plans/common.materialize) before the
     banded self-join; candidates then verify with the exact char-gram
     Jaccard."""
     docs = read(spark, sf_dir, "documents")
-    sigs = minhash_signatures(
-        docs, shingle_k=4, kind="char"
-    ).localCheckpoint(eager=False)
+    sigs = materialize(
+        minhash_signatures(docs, shingle_k=4, kind="char"), "qx20_sigs"
+    )
     # Char grams are far less selective than word shingles, so the
     # banding is 2 bands x 8 rows (LSH threshold (1/2)^(1/8) ~ 0.92)
     # instead of qx9's 4x4 (~0.71) — candidate volume stays near the

@@ -308,3 +308,38 @@ def test_clickhouse_writer_per_partition_executor_side(spark, tmp_path):
     assert len(recs) >= 4  # at least one block per partition
     got = sorted(tuple(row) for r in recs for row in r["rows"])
     assert got == [(i, i * i) for i in range(100)]
+
+
+def test_catalog_partition_ttl(spark, tmp_path):
+    """Object-store-safe TTL: partitions enumerated and dropped through
+    the CATALOG (SHOW PARTITIONS / ALTER TABLE DROP PARTITION), never a
+    filesystem walk — the form that works on s3:// table roots."""
+    from gh_archive_clickhouse_spark.operators.ttl import (
+        drop_expired_partitions_catalog,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "20240101"), (2, "20240102"), (3, "20240103")],
+        "id long, dt string",
+    )
+    spark.sql("DROP TABLE IF EXISTS ttl_events")
+    (
+        df.write.mode("overwrite")
+        .partitionBy("dt")
+        .format("parquet")
+        .saveAsTable("ttl_events")
+    )
+    try:
+        dropped = drop_expired_partitions_catalog(
+            spark, "ttl_events", cutoff_yyyymmdd="20240103"
+        )
+        assert dropped == ["dt=20240101", "dt=20240102"]
+        left = [r[0] for r in spark.sql("SHOW PARTITIONS ttl_events").collect()]
+        assert left == ["dt=20240103"]
+        assert spark.table("ttl_events").count() == 1
+        # idempotent: nothing left to drop below the cutoff
+        assert drop_expired_partitions_catalog(
+            spark, "ttl_events", "20240103"
+        ) == []
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ttl_events")

@@ -295,3 +295,20 @@ def test_simhash_empty_docs_excluded_from_pairing(spark):
     }
     assert (3, 4, 0) in pairs
     assert all(a not in (1, 2) and b not in (1, 2) for a, b, _ in pairs)
+
+
+def test_materialize_durable_parquet_path(spark, tmp_path, monkeypatch):
+    """With SPARK_GRAFT_MATERIALIZE_DIR set, self-join inputs persist
+    as a parquet index table (cluster-durable: survives executor loss,
+    reusable across runs) and queries return identical results."""
+    from gh_archive_clickhouse_spark.plans.ext_queries import (
+        qx13_simhash_neardup,
+    )
+    from tests.conftest import SF_DIR
+
+    base = qx13_simhash_neardup(spark, SF_DIR).collect()
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_DIR", str(tmp_path))
+    durable = qx13_simhash_neardup(spark, SF_DIR).collect()
+    assert sorted(map(tuple, durable)) == sorted(map(tuple, base))
+    written = list(tmp_path.glob("qx13_fingerprints/*.parquet"))
+    assert written, "signature table was not written"
