@@ -18,6 +18,7 @@ tests/test_streaming_analytics.py instead, where they are observable.
 
 from __future__ import annotations
 
+import contextlib
 import itertools
 
 from pyspark.sql import DataFrame, SparkSession
@@ -31,6 +32,29 @@ from gh_archive_clickhouse_spark.streaming.analytics import (
 )
 
 _SEQ = itertools.count()
+
+_STREAM_PARTITIONS = 8
+
+
+@contextlib.contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int = _STREAM_PARTITIONS):
+    """Temporarily right-size shuffle partitions for a stream run.
+
+    Every stateful streaming aggregation commits one state store PER
+    shuffle partition PER micro-batch (the count freezes into the
+    checkpoint on first run — same hazard streaming/pipeline.py:59-67
+    guards). A batch-tuned 32+ means 32+ state-store commits for a
+    fixture-sized micro-batch: pure overhead (measured ~3x wall time).
+    Scoped + restored so batch queries keep their own setting; a real
+    deployment sets this once per stream from cluster parallelism.
+    """
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
@@ -72,8 +96,9 @@ def qs1_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events fixture: one-file file-source, availableNow trigger, memory
     sink, complete mode. Returns the final materialized table.
     """
-    agg = hourly_type_counts(_events_stream(spark, sf_dir))
-    out = _run_to_table(agg, "qs1_hourly")
+    with _stream_shuffle_partitions(spark):
+        agg = hourly_type_counts(_events_stream(spark, sf_dir))
+        out = _run_to_table(agg, "qs1_hourly")
     return out.select(
         ts_fmt("hour_start").alias("hour_s"),
         "event_type",
@@ -85,8 +110,9 @@ def qs2_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows (30 min gap) computed BY A STREAM with
     native ``session_window`` state merging — the streaming twin of
     qe7's batch sessionization."""
-    agg = session_aggregates(_events_stream(spark, sf_dir))
-    out = _run_to_table(agg, "qs2_sessions")
+    with _stream_shuffle_partitions(spark):
+        agg = session_aggregates(_events_stream(spark, sf_dir))
+        out = _run_to_table(agg, "qs2_sessions")
     return out.select(
         "user_id",
         ts_fmt("sess_start").alias("start_s"),
@@ -101,17 +127,18 @@ def qs3_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     state, the template for any bespoke streaming accumulator. The
     fixture arrives as one availableNow micro-batch, so the update-mode
     memory sink holds exactly the final state row per user."""
-    agg = running_user_totals(_events_stream(spark, sf_dir))
-    name = f"qs3_totals_{next(_SEQ)}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.table(name)
+    with _stream_shuffle_partitions(spark):
+        agg = running_user_totals(_events_stream(spark, sf_dir))
+        name = f"qs3_totals_{next(_SEQ)}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
     return out.select(
         "user_id", "n", F.round(F.col("total"), 6).alias("total_r")
     )
