@@ -20,11 +20,11 @@ from gh_archive_clickhouse_spark.plans.common import Query
 # verified in round 1, sit at the tail.
 _ALL: list[Query] = [
     *ext_queries.QUERIES,
+    *streaming_queries.QUERIES,  # newly oracle-backed (round 2)
     *relational_queries.QUERIES,
     *events_queries.QUERIES,
     *tpch_queries.QUERIES,
     *tpch2_queries.QUERIES,
-    *streaming_queries.QUERIES,
 ]
 
 QUERIES: dict[str, Query] = {q.name: q for q in _ALL}
