@@ -116,11 +116,50 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+
+
 def sample_frames(
-    df: DataFrame, every_nth: int = 10, id_col: str = "doc_id"
+    df: DataFrame,
+    frame_chars: int = 64,
+    every_nth: int = 4,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Frame-sampling plumbing for video-like payloads: deterministic
-    downsample keeping every n-th row per modality — a stand-in for
-    per-video frame extraction that keeps the partition-local,
-    shuffle-free shape real."""
-    return df.filter((F.col(id_col) % every_nth) == 0)
+    """Video-style frame sampling over binary payloads: one row in →
+    one row per sampled frame out, via ``mapInPandas``.
+
+    The real kernel would hand the payload to ffmpeg and emit every
+    n-th decoded frame; with no codecs in this container the fake
+    'decode' treats the payload as a sequence of fixed-size
+    ``frame_chars`` chunks and fingerprints each sampled chunk —
+    keeping the Spark-side contract real: Arrow-batched row-exploding
+    map (no shuffle, no driver), output bounded by
+    ceil(len/frame_chars)/every_nth rows per input, schema typed
+    up-front. At 100 TB this shape is a pure scan stage whose output
+    feeds the usual dedup/similarity operators frame-wise.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids: list = []
+            idxs: list = []
+            md5s: list = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                text = bytes(payload).decode("utf-8")  # fake 'decode'
+                n_frames = -(-len(text) // frame_chars)
+                for i in range(0, n_frames, every_nth):
+                    chunk = text[i * frame_chars : (i + 1) * frame_chars]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    md5s.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_md5": pd.array(md5s, dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)

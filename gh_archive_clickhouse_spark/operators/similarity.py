@@ -277,3 +277,41 @@ def probe_vector_index(
         ).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    max-abs scale, q = round(127 * x / scale) — the 4x storage/shuffle
+    compression every billion-vector ANN index applies before
+    clustering/search.
+
+    Map-only (no shuffle): each row quantizes independently inside one
+    projection; zero-vectors quantize to all-zero (scale 0 guard).
+    Emits integer-exact checksums (sum, L1, dim) so the contract is
+    verifiable without floating-point ambiguity, plus the scale.
+    """
+    ed = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    df = df.withColumn("__e", ed).withColumn(
+        "__scale", F.array_max(F.transform(F.col("__e"), F.abs))
+    )
+    q = F.when(
+        F.col("__scale") > 0,
+        F.transform(
+            F.col("__e"),
+            lambda x: F.round(x * 127.0 / F.col("__scale"), 0).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("__e"), lambda x: F.lit(0)))
+    df = df.withColumn("__q", q)
+    return df.select(
+        F.col(id_col),
+        F.round(F.col("__scale"), 6).alias("scale_r"),
+        F.expr(
+            "aggregate(__q, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("q_sum"),
+        F.expr(
+            "aggregate(__q, CAST(0 AS BIGINT), (a, x) -> a + abs(x))"
+        ).alias("q_l1"),
+        F.size(F.col("__q")).alias("dim"),
+    )

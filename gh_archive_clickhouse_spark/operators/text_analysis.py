@@ -18,6 +18,7 @@ from gh_archive_clickhouse_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
     tokens,
+    word_shingles,
 )
 
 
@@ -182,3 +183,96 @@ def deterministic_sample(
         F.concat(F.lit(salt + "_"), F.col(id_col).cast("string"))
     ) % 100
     return df.filter(bucket < rate)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the keyword/topic signal a
+    training-data pipeline uses for domain mixing and filtering.
+
+    Distributed shape (all shuffle-minimal at corpus scale):
+      1. explode tokens → (doc, term) counts: hash agg with map-side
+         partials, shuffle carries one row per distinct (doc, term);
+      2. document frequency: second hash agg over the (already
+         aggregated) tf table, shuffle one row per distinct term;
+      3. corpus size via a broadcast one-row aggregate (no collect);
+      4. tf ⋈ df on term, then a per-doc top-k window.
+
+    Ranking is by the INTEGER pair (tf desc, df asc, term asc) — the
+    same ordering tf·idf induces within a document for fixed df, but
+    exactly reproducible across engines (a float-score sort could flip
+    on a 1-ulp ln() difference between libm implementations); the
+    tfidf VALUE is still emitted, rounded.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            "term",
+            F.col("rank").cast("int").alias("rank"),
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination check: for each corpus document, the
+    fraction of its distinct word n-grams that also appear in a
+    benchmark/eval set — THE decontamination pass every LLM training
+    pipeline runs before training (n=8..13 word overlap is the
+    standard detector).
+
+    Distributed shape: benchmark n-grams are tiny next to a 100 TB
+    corpus, so they DISTINCT down and BROADCAST; the corpus side is a
+    map-only explode joined against the broadcast set (no shuffle of
+    corpus data), then a per-doc hash aggregate. Docs shorter than n
+    tokens have no n-grams and produce no row.
+    """
+    grams = F.explode(
+        F.array_distinct(word_shingles(tokens(text_col), n))
+    ).alias("gram")
+    doc_grams = docs.select(F.col(id_col), grams)
+    bench_grams = (
+        benchmark.select(grams).distinct().withColumn("__hit", F.lit(1))
+    )
+    marked = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("rate"),
+    )

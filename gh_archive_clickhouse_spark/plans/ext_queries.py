@@ -738,6 +738,56 @@ WHERE round(CAST(len(list_filter(a.shs, s -> list_contains(b.shs, s))) AS DOUBLE
 """
 
 
+def qx22_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms — domain/keyword signal for training
+    mixes. Integer-deterministic ranking (tf desc, df asc, term asc);
+    see operators/text_analysis.tfidf_top_terms for the scale shape."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    return tfidf_top_terms(read(spark, sf_dir, "documents"), k=3)
+
+
+def qx23_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: share of each doc's distinct word
+    8-grams that appear in the 'benchmark' split (source = src0).
+    Benchmark grams broadcast; corpus side is map-only + one agg."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        ngram_contamination,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+def qx24_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (max-abs
+    scale): map-only, integer-exact checksums in the output."""
+    from gh_archive_clickhouse_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(read(spark, sf_dir, "embeddings"))
+
+
+def qm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-frame-sampling plumbing: payloads exploded into every-4th
+    64-char frame fingerprints via mapInPandas (fake decode; see
+    operators/multimodal.sample_frames)."""
+    from gh_archive_clickhouse_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    return sample_frames(
+        attach_binary_payload(docs), frame_chars=64, every_nth=4
+    )
+
+
 QUERIES = [
     Query(
         "qx1_exact_dedup",
@@ -969,5 +1019,104 @@ QUERIES = [
         GROUP BY lang
         """,
         tags=("ext", "sampling"),
+    ),
+    Query(
+        "qx22_tfidf_top_terms",
+        "per-doc top-3 TF-IDF terms (integer-deterministic ranking)",
+        qx22_tfidf_top_terms,
+        f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_SQL_TOKENS.format(col='text')}) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY 1
+        ), n AS (SELECT count(*) AS n FROM documents),
+        ranked AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC
+                 ) AS rank
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, CAST(rank AS INTEGER) AS rank, tf, df,
+               round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+        FROM ranked WHERE rank <= 3
+        """,
+        tags=("ext", "text"),
+    ),
+    Query(
+        "qx23_ngram_contamination",
+        "benchmark decontamination: distinct word-8-gram overlap rate",
+        qx23_ngram_contamination,
+        f"""
+        WITH bench AS (
+          SELECT DISTINCT unnest({_sql_shingles('text', 8)}) AS gram
+          FROM documents WHERE source = 'src0'
+        ), dg AS (
+          SELECT doc_id, unnest({_sql_shingles('text', 8)}) AS gram
+          FROM documents WHERE source <> 'src0'
+        ), marked AS (
+          SELECT doc_id,
+                 CASE WHEN gram IN (SELECT gram FROM bench)
+                      THEN 1 ELSE 0 END AS hit
+          FROM dg
+        )
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(hit) AS BIGINT) AS n_contaminated,
+               round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS rate
+        FROM marked GROUP BY doc_id
+        """,
+        tags=("ext", "text", "dedup"),
+    ),
+    Query(
+        "qx24_embedding_quantize",
+        "int8 max-abs embedding quantization with integer checksums",
+        qx24_embedding_quantize,
+        """
+        WITH e AS (
+          SELECT vec_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+          FROM embeddings
+        ), s AS (
+          SELECT vec_id, ed,
+                 list_max(list_transform(ed, x -> abs(x))) AS scale
+          FROM e
+        ), q AS (
+          SELECT vec_id, scale,
+                 CASE WHEN scale > 0 THEN
+                   list_transform(ed,
+                     x -> CAST(round(x * 127 / scale, 0) AS INTEGER))
+                 ELSE list_transform(ed, x -> 0) END AS qv
+          FROM s
+        )
+        SELECT vec_id, round(scale, 6) AS scale_r,
+               CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+               CAST(list_aggregate(list_transform(qv, x -> abs(x)),
+                                   'sum') AS BIGINT) AS q_l1,
+               CAST(len(qv) AS INTEGER) AS dim
+        FROM q
+        """,
+        tags=("ext", "similarity"),
+    ),
+    Query(
+        "qm3_frame_sample",
+        "mapInPandas frame sampling: every-4th 64-char frame fingerprint",
+        qm3_frame_sample,
+        """
+        WITH idx AS (
+          SELECT doc_id, text,
+                 unnest(range(0,
+                        CAST(ceil(length(text) / 64.0) AS BIGINT), 4)) AS i
+          FROM documents
+        )
+        SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+               md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64))
+                 AS frame_md5
+        FROM idx
+        """,
+        tags=("ext", "multimodal"),
     ),
 ]

@@ -44,9 +44,28 @@ def test_decode_stub_declares_missing_codecs():
 
 
 def test_sample_frames(spark):
-    docs = _docs(spark)
-    sampled = sample_frames(docs, every_nth=10)
-    assert sampled.count() == docs.filter(F.col("doc_id") % 10 == 0).count()
+    """Frame explode: every 4th fixed-size chunk of each payload comes
+    back as one typed row, matching a pure-Python reference."""
+    import hashlib
+
+    from gh_archive_clickhouse_spark.operators.multimodal import (
+        attach_binary_payload,
+    )
+
+    docs = _docs(spark).limit(20)
+    sampled = sample_frames(
+        attach_binary_payload(docs), frame_chars=64, every_nth=4
+    )
+    got = {
+        (r.doc_id, r.frame_idx): r.frame_md5 for r in sampled.collect()
+    }
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        n_frames = -(-len(r.text) // 64)
+        for i in range(0, n_frames, 4):
+            chunk = r.text[i * 64 : (i + 1) * 64]
+            want[(r.doc_id, i)] = hashlib.md5(chunk.encode()).hexdigest()
+    assert got == want and got
 
 
 def test_expire_older_than_view(spark):
