@@ -64,3 +64,69 @@ class ProgressLogger(StreamingQueryListener):
 
     def onQueryTerminated(self, event) -> None:
         self._emit(json.dumps({"event": "terminated", "id": str(event.id)}))
+
+
+class MetricsExporter(StreamingQueryListener):
+    """OTel-shaped metrics export — the engine's analog of the
+    reference's OTLP meters (events_fetched_count, fetch-miss counter,
+    rate-limit gauges: cmd/gh-archived/main.go:30-37,218-267).
+
+    Counter/gauge updates derive from streaming progress events:
+      - ``events_ingested_count``  (counter)  ← numInputRows
+      - ``ingest_rows_per_sec``    (gauge)    ← processedRowsPerSecond
+      - ``batch_duration_ms``      (gauge)    ← triggerExecution
+
+    If ``opentelemetry`` is installed, instruments are created on the
+    provided (or global) MeterProvider and updates flow to whatever
+    OTLP exporter the host app configured — identical posture to the
+    reference, which also leaves endpoint wiring to the environment.
+    Without it (this container), the same updates go to an in-process
+    dict, so the metric surface stays testable.
+    """
+
+    def __init__(self, meter_provider=None):
+        self.fallback: dict[str, float] = {}
+        self._counter = self._rows_gauge = self._dur_gauge = None
+        try:  # pragma: no cover - opentelemetry absent in container
+            from opentelemetry import metrics as otel_metrics
+
+            provider = meter_provider or otel_metrics.get_meter_provider()
+            meter = provider.get_meter("gh_archive_clickhouse_spark")
+            self._counter = meter.create_counter(
+                "events_ingested_count", unit="1"
+            )
+            self._rows_gauge = meter.create_gauge("ingest_rows_per_sec")
+            self._dur_gauge = meter.create_gauge("batch_duration_ms")
+        except ImportError:
+            pass
+
+    # -- metric updates ------------------------------------------------
+    def _record(self, rows: float, rows_per_sec: float, dur_ms: float):
+        if self._counter is not None:  # pragma: no cover - needs otel
+            self._counter.add(rows)
+            self._rows_gauge.set(rows_per_sec)
+            self._dur_gauge.set(dur_ms)
+        else:
+            self.fallback["events_ingested_count"] = (
+                self.fallback.get("events_ingested_count", 0.0) + rows
+            )
+            self.fallback["ingest_rows_per_sec"] = rows_per_sec
+            self.fallback["batch_duration_ms"] = dur_ms
+
+    # -- listener protocol ---------------------------------------------
+    def onQueryStarted(self, event) -> None:
+        pass
+
+    def onQueryProgress(self, event) -> None:
+        p = event.progress
+        self._record(
+            float(p.numInputRows or 0),
+            float(p.processedRowsPerSecond or 0.0),
+            float(p.durationMs.get("triggerExecution") or 0.0),
+        )
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        pass

@@ -226,3 +226,36 @@ def test_tws_kernel_logic_with_fake_handle():
         {"user_id": 7, "n": 5, "total": 18.0}
     ]
     proc.close()
+
+
+def test_metrics_exporter_fallback(spark, events_stream_dir):
+    """MetricsExporter accumulates the reference's metric surface from
+    real streaming progress events (in-process fallback here; with
+    opentelemetry installed the same updates flow to OTLP)."""
+    from gh_archive_clickhouse_spark.streaming.analytics import (
+        hourly_type_counts,
+    )
+    from gh_archive_clickhouse_spark.streaming.telemetry import (
+        MetricsExporter,
+    )
+
+    exp = MetricsExporter()
+    spark.streams.addListener(exp)
+    try:
+        stream = _read_stream(spark, events_stream_dir)
+        _run_stream(
+            spark, hourly_type_counts(stream), "metrics_hourly", mode="update"
+        )
+        # listener delivery is async; progress arrives within a beat
+        import time
+
+        total = spark.read.parquet(events_stream_dir).count()
+        for _ in range(60):
+            if exp.fallback.get("events_ingested_count", 0) >= total:
+                break
+            time.sleep(0.5)
+        assert exp.fallback["events_ingested_count"] >= total
+        assert "ingest_rows_per_sec" in exp.fallback
+        assert "batch_duration_ms" in exp.fallback
+    finally:
+        spark.streams.removeListener(exp)
