@@ -38,6 +38,13 @@ def default_configs() -> dict[str, str]:
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
         "spark.sql.parquet.compression.codec": "zstd",
         "spark.sql.files.maxPartitionBytes": "128m",
+        # File-split floor: the 4 MB default makes any file under ~4 MB
+        # a single task, serializing CPU-heavy scans (minhash/simhash
+        # builds) on small inputs. 128 KB lets the planner split down
+        # to spark.sql.files.minPartitionNum (= default parallelism) on
+        # small tables; at cluster scale bytesPerCore dwarfs this floor
+        # and the 128 MB cap above still governs.
+        "spark.sql.files.openCostInBytes": "131072",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
         # Broadcast threshold: dims (region/nation/supplier/customer at
