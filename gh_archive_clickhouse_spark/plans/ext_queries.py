@@ -788,6 +788,25 @@ def qm3_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qm4_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas resize contract (binary-in/binary-out, stub kernel):
+    verified via payload length + stamped output dims — the schema a
+    real codec kernel drops into (operators/multimodal.resize_images)."""
+    from gh_archive_clickhouse_spark.operators.multimodal import (
+        attach_binary_payload,
+        resize_images,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    resized = resize_images(attach_binary_payload(docs), 224, 224)
+    return resized.select(
+        "doc_id",
+        "out_width",
+        "out_height",
+        F.octet_length("payload").alias("n_bytes"),
+    )
+
+
 QUERIES = [
     Query(
         "qx1_exact_dedup",
@@ -1116,6 +1135,18 @@ QUERIES = [
                md5(substring(text, CAST(i * 64 + 1 AS INTEGER), 64))
                  AS frame_md5
         FROM idx
+        """,
+        tags=("ext", "multimodal"),
+    ),
+    Query(
+        "qm4_resize_plumbing",
+        "mapInPandas binary resize plumbing: stamped dims + payload bytes",
+        qm4_resize_plumbing,
+        """
+        SELECT doc_id, CAST(224 AS INTEGER) AS out_width,
+               CAST(224 AS INTEGER) AS out_height,
+               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        FROM documents
         """,
         tags=("ext", "multimodal"),
     ),
