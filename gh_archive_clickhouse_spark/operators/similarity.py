@@ -315,3 +315,78 @@ def quantize_int8(
         ).alias("q_l1"),
         F.size(F.col("__q")).alias("dim"),
     )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Distributed spherical k-means (Lloyd) — the REAL IVF coarse-
+    quantizer build that `ivf_assign` presupposes.
+
+    Per iteration, exactly two distributed stages:
+      1. assignment: centroids broadcast, per-vector argmax cosine
+         (``ivf_assign`` — map-only over the corpus);
+      2. update: posexplode members → hash agg per (cluster, pos) —
+         shuffle volume k·dim rows, independent of corpus size.
+
+    Determinism (the property that makes the result oracle-checkable
+    and run-to-run stable under AQE re-partitioning):
+      - deterministic init: the k vectors with id < k;
+      - assignment ties break on lowest cluster id (ivf_assign);
+      - means accumulate in DECIMAL(38,20) — exact, order-independent
+        addition — then round to 6 decimals, so centroid floats never
+        depend on partial-aggregation order.
+    Iteration lineage is left unmaterialized (fine for the small
+    ``iters`` of a coarse quantizer); a long-running production loop
+    would persist centroids per round via ``plans.common.materialize``.
+
+    Returns the final update as flat rows:
+    (cluster_id, pos, c_val, n_members). Clusters that lose all
+    members disappear (standard Lloyd degeneracy; deterministic).
+    """
+    centroids = emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("centroid_id"),
+        F.col(vec_col).alias("c"),
+    )
+    out = None
+    for _ in range(iters):
+        assigned = ivf_assign(
+            emb, centroids, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+        members = emb.join(assigned, id_col).select(
+            "cluster_id",
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "pos", "x"
+            ),
+        )
+        out = members.groupBy("cluster_id", "pos").agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(38,20)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c_val"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        centroids = (
+            out.groupBy("cluster_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "c_val"))
+                ).alias("__pc")
+            )
+            .select(
+                F.col("cluster_id").alias("centroid_id"),
+                F.transform(F.col("__pc"), lambda s: s.c_val).alias("c"),
+            )
+        )
+    return out.select(
+        "cluster_id",
+        F.col("pos").cast("int").alias("pos"),
+        "c_val",
+        "n_members",
+    )

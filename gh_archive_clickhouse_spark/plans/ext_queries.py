@@ -807,6 +807,17 @@ def qm4_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx25_kmeans_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer BUILD: 2 Lloyd iterations of spherical
+    k-means (k=8, deterministic init/ties, DECIMAL-exact means) —
+    the iterative-algorithm surface of the engine. Output: final
+    centroid components + cluster sizes."""
+    from gh_archive_clickhouse_spark.operators.similarity import kmeans_fit
+
+    emb = read(spark, sf_dir, "embeddings")
+    return kmeans_fit(emb, k=8, iters=2, dim=EMB_DIM)
+
+
 QUERIES = [
     Query(
         "qx1_exact_dedup",
@@ -1149,5 +1160,81 @@ QUERIES = [
         FROM documents
         """,
         tags=("ext", "multimodal"),
+    ),
+    Query(
+        "qx25_kmeans_ivf_build",
+        "IVF coarse-quantizer build: 2 deterministic Lloyd iterations",
+        qx25_kmeans_ivf_build,
+        """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), en AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS n
+  FROM e
+), c0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, v AS cv,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS cn
+  FROM e WHERE vec_id < 8
+),
+scored1 AS (
+  SELECT en.vec_id, c0.cid,
+         round(list_aggregate(list_transform(en.v, (x,j) -> x * c0.cv[j]),
+                              'sum') / (en.n * c0.cn), 6) AS sim
+  FROM en CROSS JOIN c0
+), best1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk
+    FROM scored1
+  ) WHERE rk = 1
+), mem1 AS (
+  SELECT b.cid, unnest(en.v) AS x,
+         unnest(range(1, len(en.v) + 1)) AS pos
+  FROM best1 b JOIN en USING (vec_id)
+), m1 AS (
+  SELECT cid, pos,
+         round(CAST(sum(CAST(x AS DECIMAL(38,20))) AS DOUBLE)
+               / count(*), 6) AS c_val,
+         count(*) AS n_members
+  FROM mem1 GROUP BY 1, 2
+), c1 AS (
+  SELECT cid, list(c_val ORDER BY pos) AS cv,
+         sqrt(list_aggregate(list_transform(list(c_val ORDER BY pos),
+                                            x -> x * x), 'sum')) AS cn
+  FROM m1 GROUP BY cid
+),
+scored2 AS (
+  SELECT en.vec_id, c1.cid,
+         round(list_aggregate(list_transform(en.v, (x,j) -> x * c1.cv[j]),
+                              'sum') / (en.n * c1.cn), 6) AS sim
+  FROM en CROSS JOIN c1
+), best2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (
+             PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rk
+    FROM scored2
+  ) WHERE rk = 1
+), mem2 AS (
+  SELECT b.cid, unnest(en.v) AS x,
+         unnest(range(1, len(en.v) + 1)) AS pos
+  FROM best2 b JOIN en USING (vec_id)
+), m2 AS (
+  SELECT cid, pos,
+         round(CAST(sum(CAST(x AS DECIMAL(38,20))) AS DOUBLE)
+               / count(*), 6) AS c_val,
+         count(*) AS n_members
+  FROM mem2 GROUP BY 1, 2
+), c2 AS (
+  SELECT cid, list(c_val ORDER BY pos) AS cv,
+         sqrt(list_aggregate(list_transform(list(c_val ORDER BY pos),
+                                            x -> x * x), 'sum')) AS cn
+  FROM m2 GROUP BY cid
+)
+SELECT cid AS cluster_id, CAST(pos - 1 AS INTEGER) AS pos, c_val, n_members
+FROM m2
+""",
+        tags=("ext", "similarity", "iterative"),
     ),
 ]

@@ -331,3 +331,60 @@ def test_materialize_durable_parquet_path(spark, tmp_path, monkeypatch):
     assert sorted(map(tuple, durable)) == sorted(map(tuple, base))
     written = list(tmp_path.glob("qx13_fingerprints/*.parquet"))
     assert written, "signature table was not written"
+
+
+def test_kmeans_fit_matches_numpy_reference(spark):
+    """kmeans_fit == a literal numpy Lloyd implementation with the
+    same determinism rules (id<k init, cosine argmax with lowest-id
+    ties, 6-dp rounded means/sims)."""
+    import numpy as np
+
+    from gh_archive_clickhouse_spark.operators.similarity import kmeans_fit
+    from gh_archive_clickhouse_spark.plans.common import read
+    from tests.conftest import SF_DIR
+
+    emb = read(spark, SF_DIR, "embeddings")
+    got = {
+        (r.cluster_id, r.pos): (r.c_val, r.n_members)
+        for r in kmeans_fit(emb, k=4, iters=2, dim=64).collect()
+    }
+
+    rows = sorted(
+        (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        for r in emb.collect()
+    )
+    ids = [i for i, _ in rows]
+    X = np.stack([v for _, v in rows])
+    cents = {i: X[ids.index(i)] for i in range(4)}
+    for _ in range(2):
+        assign = {}
+        for vid, x in zip(ids, X):
+            xn = np.sqrt((x * x).sum())
+            best = None
+            for cid in sorted(cents):
+                c = cents[cid]
+                cn = np.sqrt((c * c).sum())
+                sim = round(float(x @ c) / float(xn * cn), 6)
+                if best is None or sim > best[0] or (
+                    sim == best[0] and cid < best[1]
+                ):
+                    best = (sim, cid)
+            assign[vid] = best[1]
+        new = {}
+        for cid in set(assign.values()):
+            members = np.stack(
+                [x for vid, x in zip(ids, X) if assign[vid] == cid]
+            )
+            new[cid] = np.round(members.mean(axis=0), 6)
+        cents = new
+    want = {}
+    for cid, c in cents.items():
+        n = sum(1 for v in assign.values() if v == cid)
+        for pos, val in enumerate(c):
+            want[(cid, pos)] = (float(val), n)
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][1] == want[key][1], key
+        assert abs(got[key][0] - want[key][0]) < 2e-6, (
+            key, got[key], want[key],
+        )

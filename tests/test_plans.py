@@ -158,3 +158,35 @@ def test_qx10_scoring_parallelized(spark):
     df = _Q["qx10_embedding_neardup"].builder(spark, SF_DIR)
     # physical check: > 1 partition entering the join stage
     assert df.rdd.getNumPartitions() > 1
+
+
+def test_qx23_benchmark_grams_broadcast(spark):
+    """Decontamination: the benchmark gram set must BROADCAST — the
+    corpus side (100 TB at scale) must not shuffle for the join."""
+    plan = _plan(spark, "qx23_ngram_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_qx24_quantize_is_map_only(spark):
+    """int8 quantization is per-row: the plan must contain NO exchange
+    at all (pure scan -> project)."""
+    plan = _plan(spark, "qx24_embedding_quantize")
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_qm3_frame_sample_no_shuffle(spark):
+    """Frame explode is partition-local mapInPandas: no exchange."""
+    plan = _plan(spark, "qm3_frame_sample")
+    assert "Exchange" not in plan, plan[:2000]
+    assert "MapInPandas" in plan
+
+
+def test_qx22_tfidf_single_doc_window(spark):
+    """TF-IDF: tf and df are hash aggregates (map-side partials) and
+    the corpus count is a broadcast, not a collected scalar."""
+    plan = _plan(spark, "qx22_tfidf_top_terms")
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
