@@ -163,3 +163,64 @@ def sample_frames(
             )
 
     return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, win int, n_samples int, mean_code double, rms double"
+)
+
+
+def audio_frame_features(
+    df: DataFrame, window: int = 256, id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio-style windowed feature extraction over binary payloads:
+    per fixed-size sample window, mean amplitude and RMS energy — the
+    silence-trim / loudness-normalize precursor of any audio pipeline.
+
+    Real ffmpeg/soundfile decode would produce PCM samples; the fake
+    'decode' reads the payload's unicode code points as the sample
+    stream, keeping the contract real: Arrow-batched mapInPandas
+    row-explode (one row per window), partition-local, typed schema,
+    deterministic — and therefore oracle-checkable.
+    """
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        def round6(x: float) -> float:
+            # Half-AWAY-from-zero at 6 dp (SQL round semantics). Python's
+            # round() is half-even, and window=256 makes exact halves
+            # routine: sum(int)/256 is dyadic, so its decimal expansion
+            # regularly terminates in ...5 at the 7th digit.
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        for pdf in batches:
+            ids: list = []
+            wins: list = []
+            ns: list = []
+            means: list = []
+            rmss: list = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                codes = [ord(ch) for ch in bytes(payload).decode("utf-8")]
+                n_win = -(-len(codes) // window)
+                for w in range(n_win):
+                    chunk = codes[w * window : (w + 1) * window]
+                    n = len(chunk)
+                    ids.append(doc_id)
+                    wins.append(w)
+                    ns.append(n)
+                    means.append(round6(sum(chunk) / n))
+                    rmss.append(
+                        round6(math.sqrt(sum(c * c for c in chunk) / n))
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "win": pd.array(wins, dtype="int32"),
+                    "n_samples": pd.array(ns, dtype="int32"),
+                    "mean_code": pd.array(means, dtype="float64"),
+                    "rms": pd.array(rmss, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(_features, schema=AUDIO_FEATURES_SCHEMA)

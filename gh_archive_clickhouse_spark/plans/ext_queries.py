@@ -818,6 +818,19 @@ def qx25_kmeans_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_fit(emb, k=8, iters=2, dim=EMB_DIM)
 
 
+def qm5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: per-256-sample-window mean/RMS features
+    via mapInPandas row-explode (fake decode reads code points as the
+    sample stream — operators/multimodal.audio_frame_features)."""
+    from gh_archive_clickhouse_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_frame_features,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    return audio_frame_features(attach_binary_payload(docs), window=256)
+
+
 QUERIES = [
     Query(
         "qx1_exact_dedup",
@@ -1236,5 +1249,36 @@ SELECT cid AS cluster_id, CAST(pos - 1 AS INTEGER) AS pos, c_val, n_members
 FROM m2
 """,
         tags=("ext", "similarity", "iterative"),
+    ),
+    Query(
+        "qm5_audio_features",
+        "mapInPandas audio-window features: per-256-sample mean/RMS",
+        qm5_audio_features,
+        """
+        WITH w AS (
+          SELECT doc_id, text,
+                 unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT),
+                              1)) AS win
+          FROM documents
+        ), c AS (
+          SELECT doc_id, win,
+                 unnest(range(1, least(256,
+                        length(text) - win * 256) + 1)) AS j,
+                 text
+          FROM w
+        ), s AS (
+          SELECT doc_id, win,
+                 ord(substring(text, CAST(win * 256 + j AS INTEGER), 1))
+                   AS code
+          FROM c
+        )
+        SELECT doc_id, CAST(win AS INTEGER) AS win,
+               CAST(count(*) AS INTEGER) AS n_samples,
+               round(CAST(sum(code) AS DOUBLE) / count(*), 6) AS mean_code,
+               round(sqrt(CAST(sum(code * code) AS DOUBLE) / count(*)), 6)
+                 AS rms
+        FROM s GROUP BY 1, 2
+        """,
+        tags=("ext", "multimodal"),
     ),
 ]

@@ -143,3 +143,92 @@ def test_latest_by_key_agg_equals_window_form(spark, rows):
     a = sorted(tuple(r) for r in via_agg.collect())
     b = sorted(tuple(r) for r in via_win.collect())
     assert a == b
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-2.0, 2.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_SET
+def test_quantize_int8_contract(spark, vecs):
+    """Quantized components stay in [-127, 127]; zero vectors quantize
+    to all-zero; checksums match a python reference."""
+    from gh_archive_clickhouse_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantize_int8(df).collect()}
+    import math
+
+    for i, v in enumerate(vecs):
+        fv = [float(__import__("numpy").float32(x)) for x in v]
+        scale = max(abs(x) for x in fv)
+        if scale == 0:
+            q = [0] * len(fv)
+        else:
+            q = [
+                int(math.floor(abs(x) * 127.0 / scale + 0.5))
+                * (1 if x >= 0 else -1)
+                for x in fv
+            ]
+        r = got[i]
+        assert r.dim == len(fv)
+        assert r.q_l1 <= 127 * len(fv)
+        assert r.q_sum == sum(q), (fv, q, r.q_sum)
+        assert r.q_l1 == sum(abs(x) for x in q)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=12).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    n=st.integers(2, 3),
+)
+@_SET
+def test_ngram_contamination_matches_python(spark, docs, n):
+    """Contamination rate == brute-force distinct-n-gram overlap; docs
+    shorter than n tokens produce no row."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        ngram_contamination,
+    )
+
+    half = max(1, len(docs) // 2)
+    corpus, bench = docs[:half], docs[half:]
+    cdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_contaminated)
+        for r in ngram_contamination(cdf, bdf, n=n).collect()
+    }
+
+    def grams(t):
+        toks = [x for x in t.split(" ") if x]
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    bg = set().union(*(grams(t) for t in bench)) if bench else set()
+    want = {}
+    for i, t in enumerate(corpus):
+        g = grams(t)
+        if g:
+            want[i] = (len(g), len(g & bg))
+    assert got == want
