@@ -447,3 +447,79 @@ def simhash(
         )
     fingerprint = F.expr(" + ".join(fp_terms))
     return votes.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Duplicate-CLUSTER construction over near-dup pairs: connected
+    components by iterative min-label propagation — the step between
+    pair detection (LSH/SimHash) and canonical-document election that
+    every dedup pipeline needs (pairs (a,b),(b,c) must collapse to ONE
+    surviving doc, not two independent drops).
+
+    Algorithm (the standard distributed CC): every node starts labeled
+    with itself; each round takes the min label over itself and its
+    neighbors; stop when no label changes. Rounds needed = graph
+    diameter — for near-dup clusters (tiny, dense) a handful. Each
+    round is one join + one aggregate on (edges ⋈ labels), shuffle
+    volume O(|E|); lineage is truncated per round (localCheckpoint) so
+    plans stay flat — the GraphFrames/GraphX CC shape without the
+    dependency.
+
+    Deterministic (min over ints), so oracle-checkable against a
+    recursive-CTE transitive closure. Returns (node, cluster_rep) for
+    every node that appears in a pair; cluster_rep = min doc_id of the
+    component — the canonical survivor under keep-smallest-id policy.
+    """
+    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("dlabel")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dlabel").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(
+                nbr_min.select(F.col("src").alias("node"), "nlabel"),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )

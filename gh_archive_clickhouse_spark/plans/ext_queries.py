@@ -831,6 +831,20 @@ def qm5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_features(attach_binary_payload(docs), window=256)
 
 
+def qx26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components over the verified LSH
+    near-dup pairs (jaccard >= 0.7) — pair detection to canonical-doc
+    election (operators/dedup.connected_components)."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = qx9_lsh_candidates(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.7
+    )
+    return connected_components(pairs)
+
+
 QUERIES = [
     Query(
         "qx1_exact_dedup",
@@ -1280,5 +1294,29 @@ FROM m2
         FROM s GROUP BY 1, 2
         """,
         tags=("ext", "multimodal"),
+    ),
+    Query(
+        "qx26_dedup_clusters",
+        "connected components over verified LSH pairs (duplicate clusters)",
+        qx26_dedup_clusters,
+        """
+        WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b FROM ({qx9}) WHERE jaccard >= 0.7
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM edges
+        ), reach AS (
+          SELECT node, node AS label FROM nodes
+          UNION
+          SELECT e.src AS node, r.label
+          FROM edges e JOIN reach r ON e.dst = r.node
+        )
+        SELECT node AS doc_id, min(label) AS cluster_rep
+        FROM reach GROUP BY node
+""".format(qx9=_ORACLE_QX9),
+        tags=("ext", "dedup", "iterative"),
     ),
 ]

@@ -388,3 +388,30 @@ def test_kmeans_fit_matches_numpy_reference(spark):
         assert abs(got[key][0] - want[key][0]) < 2e-6, (
             key, got[key], want[key],
         )
+
+
+def test_connected_components_multihop(spark):
+    """Chains collapse transitively: (1-2),(2-3),(3-4) is ONE cluster
+    with rep 1; disjoint components keep their own reps; isolated
+    pairs work; nodes appear exactly once."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),      # chain: diameter 3
+            (10, 11),                     # isolated pair
+            (20, 21), (21, 22), (20, 22), # triangle
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
