@@ -845,6 +845,83 @@ def qx26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+# Dialect-portable PII patterns (same semantics in Java regex and
+# DuckDB's RE2): no lookarounds, no \b word boundaries.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+_PII_PHONE = "[+][0-9]{7,15}"
+
+
+def qx27_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass — the compliance scrub every training-data
+    pipeline runs before anything else. Map-only codegen: per-doc
+    match counts per class and the scrubbed text's hash (emails ->
+    <EMAIL>, IPv4 -> <IP>, then +intl phone -> <PHONE>)."""
+    docs = read(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(f"regexp_count(text, '{_PII_EMAIL}')")
+        .cast("int")
+        .alias("n_email"),
+        F.expr(f"regexp_count(text, '{_PII_IPV4}')")
+        .cast("int")
+        .alias("n_ip"),
+        F.expr(f"regexp_count(text, '{_PII_PHONE}')")
+        .cast("int")
+        .alias("n_phone"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"),
+    )
+
+
+def qx28_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-(source, lang) counts, corpus
+    share, and the resampling weight that would flatten sources to a
+    uniform target — the mixing computation behind every training-data
+    recipe. Two tiny aggregates + a broadcast of the totals row."""
+    docs = read(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_source")
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    return (
+        per.join(per_source, "source")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "lang",
+            "n",
+            F.round(F.col("n") / F.col("n_total").cast("double"), 6).alias(
+                "share"
+            ),
+            # weight to flatten sources: target per-source share is
+            # 1/n_sources of the corpus; weight = target / actual.
+            F.round(
+                F.col("n_total")
+                / (
+                    F.col("n_sources").cast("double")
+                    * F.col("n_source")
+                ),
+                6,
+            ).alias("source_weight"),
+        )
+    )
+
+
 QUERIES = [
     Query(
         "qx1_exact_dedup",
@@ -1318,5 +1395,52 @@ FROM m2
         FROM reach GROUP BY node
 """.format(qx9=_ORACLE_QX9),
         tags=("ext", "dedup", "iterative"),
+    ),
+    Query(
+        "qx27_pii_scrub",
+        "PII redaction: per-class match counts + scrubbed-text hash",
+        qx27_pii_scrub,
+        """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}'))
+                 AS INTEGER) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                 '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}'))
+                 AS INTEGER) AS n_ip,
+               CAST(len(regexp_extract_all(text, '[+][0-9]{7,15}'))
+                 AS INTEGER) AS n_phone,
+               md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+                 '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}',
+                 '<IP>', 'g'),
+                 '[+][0-9]{7,15}', '<PHONE>', 'g')) AS scrubbed_md5
+        FROM documents
+        """,
+        tags=("ext", "text"),
+    ),
+    Query(
+        "qx28_mixture_weights",
+        "domain-mixture reweighting: per-(source,lang) share + weight",
+        qx28_mixture_weights,
+        """
+        WITH per AS (
+          SELECT source, lang, count(*) AS n
+          FROM documents GROUP BY 1, 2
+        ), per_source AS (
+          SELECT source, count(*) AS n_source
+          FROM documents GROUP BY 1
+        ), totals AS (
+          SELECT count(*) AS n_total, count(DISTINCT source) AS n_sources
+          FROM documents
+        )
+        SELECT per.source, per.lang, per.n,
+               round(per.n / CAST(n_total AS DOUBLE), 6) AS share,
+               round(n_total / (CAST(n_sources AS DOUBLE) * n_source), 6)
+                 AS source_weight
+        FROM per JOIN per_source USING (source) CROSS JOIN totals
+        """,
+        tags=("ext", "text", "sampling"),
     ),
 ]

@@ -415,3 +415,44 @@ def test_connected_components_multihop(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_pii_scrub_on_synthetic_hits(spark, tmp_path):
+    """The fixture corpus has no PII, so exercise qx27's scrub on
+    synthetic docs WITH hits — counts and scrubbed hashes must match
+    DuckDB running the same oracle SQL on the same parquet."""
+    import duckdb
+    import pandas as pd
+
+    from gh_archive_clickhouse_spark.plans.registry import QUERIES
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "contact me at alice.smith+x@example.co.uk today",
+                "server 10.0.255.3 and 192.168.1.1 rebooted",
+                "call +4915123456789 or mail bob@x.io from 8.8.8.8",
+                "nothing sensitive here",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [47, 42, 49, 22],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    q = QUERIES["qx27_pii_scrub"]
+    spdf = q.builder(spark, str(tmp_path)).toPandas()
+    got = spdf.set_index("doc_id").sort_index()
+    assert list(got.n_email) == [1, 0, 1, 0]
+    assert list(got.n_ip) == [0, 2, 1, 0]
+    assert list(got.n_phone) == [0, 0, 1, 0]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    opdf = con.execute(q.oracle).fetchdf().set_index("doc_id").sort_index()
+    con.close()
+    assert list(got.scrubbed_md5) == list(opdf.scrubbed_md5)
+    assert (got.reset_index().astype(str) == opdf.reset_index().astype(str)).all().all()
