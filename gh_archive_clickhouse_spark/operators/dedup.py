@@ -466,26 +466,33 @@ def connected_components(
     neighbors; stop when no label changes. Rounds needed = graph
     diameter — for near-dup clusters (tiny, dense) a handful. Each
     round is one join + one aggregate on (edges ⋈ labels), shuffle
-    volume O(|E|); lineage is truncated per round (localCheckpoint) so
-    plans stay flat — the GraphFrames/GraphX CC shape without the
-    dependency.
+    volume O(|E|); lineage is truncated per round via
+    ``plans.common.materialize`` (localCheckpoint by default; a written
+    table per round under SPARK_GRAFT_MATERIALIZE_DIR for clusters
+    where executor loss is routine) so plans stay flat — the
+    GraphFrames/GraphX CC shape without the dependency.
 
     Deterministic (min over ints), so oracle-checkable against a
     recursive-CTE transitive closure. Returns (node, cluster_rep) for
     every node that appears in a pair; cluster_rep = min doc_id of the
     component — the canonical survivor under keep-smallest-id policy.
     """
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
     fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    edges = fwd.union(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
-    labels = (
+    edges = materialize(
+        fwd.union(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ),
+        "cc_edges",
+    )
+    labels = materialize(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
+        .withColumn("label", F.col("node")),
+        "cc_labels_init",
     )
-    for _ in range(max_iters):
+    for _i in range(max_iters):
         nbr_min = (
             edges.join(
                 labels.select(
@@ -508,8 +515,8 @@ def connected_components(
                     F.col("label"), F.coalesce("nlabel", "label")
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
+        new_labels = materialize(new_labels, f"cc_labels_{_i}")
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -341,9 +341,10 @@ def kmeans_fit(
       - means accumulate in DECIMAL(38,20) — exact, order-independent
         addition — then round to 6 decimals, so centroid floats never
         depend on partial-aggregation order.
-    Iteration lineage is left unmaterialized (fine for the small
-    ``iters`` of a coarse quantizer); a long-running production loop
-    would persist centroids per round via ``plans.common.materialize``.
+    Centroids are materialized per round via
+    ``plans.common.materialize`` (lazy localCheckpoint by default, a
+    written table per round under SPARK_GRAFT_MATERIALIZE_DIR) so a
+    cluster run records each completed round durably.
 
     Returns the final update as flat rows:
     (cluster_id, pos, c_val, n_members). Clusters that lose all
@@ -372,7 +373,9 @@ def kmeans_fit(
             ).alias("c_val"),
             F.count(F.lit(1)).alias("n_members"),
         )
-        centroids = (
+        from gh_archive_clickhouse_spark.plans.common import materialize
+
+        centroids = materialize(
             out.groupBy("cluster_id")
             .agg(
                 F.array_sort(
@@ -382,7 +385,8 @@ def kmeans_fit(
             .select(
                 F.col("cluster_id").alias("centroid_id"),
                 F.transform(F.col("__pc"), lambda s: s.c_val).alias("c"),
-            )
+            ),
+            f"kmeans_centroids_{_}",
         )
     return out.select(
         "cluster_id",
