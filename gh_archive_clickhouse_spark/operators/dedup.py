@@ -265,18 +265,7 @@ def lsh_candidate_pairs(
     would land in the same bucket — a quadratic skew bomb (billions of
     empty docs → one bucket → n² pairs).
     """
-    sigs = sigs.filter(F.col("minhash")[0] != MERSENNE31)
-    band_cols = []
-    for b in range(bands):
-        acc = F.lit(0).cast("long")
-        for r in range(rows_per_band):
-            acc = (acc * F.lit(31) + F.col("minhash")[b * rows_per_band + r]) % F.lit(
-                MERSENNE31
-            )
-        band_cols.append(F.struct(F.lit(b).alias("band_id"), acc.alias("band_key")))
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_key")
+    banded = _banded(sigs, id_col, bands, rows_per_band)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -294,6 +283,62 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def _banded(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band_id, band_key) rows for LSH bucketing; sentinel
+    (shingle-less) signatures excluded — see lsh_candidate_pairs."""
+    sigs = sigs.filter(F.col("minhash")[0] != MERSENNE31)
+    band_cols = []
+    for b in range(bands):
+        acc = F.lit(0).cast("long")
+        for r in range(rows_per_band):
+            acc = (acc * F.lit(31) + F.col("minhash")[b * rows_per_band + r]) % F.lit(
+                MERSENNE31
+            )
+        band_cols.append(F.struct(F.lit(b).alias("band_id"), acc.alias("band_key")))
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_key")
+
+
+def lsh_candidate_pairs_between(
+    new_sigs: DataFrame,
+    all_sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate pairs with AT LEAST ONE side in ``new_sigs`` — the
+    incremental form of ``lsh_candidate_pairs`` for continuous dedup:
+    per micro-batch, only new×all bucket joins run, never a full
+    all×all re-pair. With ``all_sigs`` ⊇ ``new_sigs`` and each doc
+    arriving exactly once, the union of per-batch outputs equals the
+    batch operator's pair set: a pair is found exactly when its later
+    doc arrives (both-new pairs surface within that batch because
+    ``all_sigs`` already contains them).
+
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct within the
+    call. At scale the all-side is the persisted signature table,
+    bucket-joined on the same uniform (band_id, band_key) keys.
+    """
+    n = _banded(new_sigs, id_col, bands, rows_per_band).alias("l")
+    a = _banded(all_sigs, id_col, bands, rows_per_band).alias("r")
+    joined = n.join(
+        a,
+        on=[
+            F.col("l.band_id") == F.col("r.band_id"),
+            F.col("l.band_key") == F.col("r.band_key"),
+            F.col(f"l.{id_col}") != F.col(f"r.{id_col}"),
+        ],
+    )
+    lo = F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}"))
+    hi = F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}"))
+    return joined.select(
+        lo.alias("doc_a"), hi.alias("doc_b")
+    ).distinct()
 
 
 def simhash_candidate_pairs(

@@ -1444,3 +1444,25 @@ FROM m2
         tags=("ext", "text", "sampling"),
     ),
 ]
+
+# LSH candidate pairs WITHOUT the jaccard verify — the banding prefix
+# of _ORACLE_QX9, exported for the incremental-stream query (qs4),
+# whose per-batch union must equal exactly this set.
+ORACLE_LSH_CANDIDATES = f"""
+WITH shl AS (
+  SELECT doc_id, {_sql_shingles('text', 3)} AS shs FROM documents
+), hashed AS (
+  SELECT doc_id, shs, list_transform(shs, s -> {_sql_word_hash31('s')}) AS sh
+  FROM shl
+), sigs AS (
+  SELECT doc_id, shs,
+         {_mh_cols}
+  FROM hashed
+), bands AS (
+  {_band_rows}
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM bands l JOIN bands r
+  ON l.band_id = r.band_id AND l.band_key = r.band_key
+ AND l.doc_id < r.doc_id
+"""

@@ -25,6 +25,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gh_archive_clickhouse_spark.plans.common import Query, read, ts_fmt
+from gh_archive_clickhouse_spark.plans.ext_queries import (
+    ORACLE_LSH_CANDIDATES as _ORACLE_QS4,
+)
 from gh_archive_clickhouse_spark.streaming.analytics import (
     hourly_type_counts,
     running_user_totals,
@@ -173,6 +176,49 @@ SELECT user_id,
 FROM sess GROUP BY user_id, session_id
 """
 
+def qs4_stream_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL LSH dedup as a stream: the documents fixture split
+    into two files arrives as two micro-batches (maxFilesPerTrigger=1);
+    each batch appends its minhash signatures to a persisted signature
+    table and bucket-joins only new-vs-table for candidates
+    (streaming/dedup_stream.py). The unioned per-batch pair log must
+    equal the BATCH operator's pair set — which is exactly what the
+    oracle (the qx9 banding SQL) asserts."""
+    import tempfile
+
+    from gh_archive_clickhouse_spark.plans.common import read
+    from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        incremental_lsh_sink,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="qs4_")
+    src = f"{base}/docs"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    with _stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                incremental_lsh_sink(f"{base}/sigs", f"{base}/pairs")
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(f"{base}/pairs").distinct()
+
+
 QUERIES = [
     Query(
         "qs1_stream_hourly_counts",
@@ -206,5 +252,13 @@ QUERIES = [
         FROM events GROUP BY user_id
         """,
         tags=("streaming",),
+    ),
+    Query(
+        "qs4_stream_incremental_lsh",
+        "incremental streaming LSH dedup: per-batch new-vs-index "
+        "bucket join; union of batches == batch pair set",
+        qs4_stream_incremental_lsh,
+        _ORACLE_QS4,
+        tags=("streaming", "dedup"),
     ),
 ]

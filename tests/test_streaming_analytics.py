@@ -259,3 +259,28 @@ def test_metrics_exporter_fallback(spark, events_stream_dir):
         assert "batch_duration_ms" in exp.fallback
     finally:
         spark.streams.removeListener(exp)
+
+
+def test_incremental_lsh_equals_batch(spark, tmp_path):
+    """Union of per-micro-batch incremental LSH pairs == the batch
+    operator's pair set over the same corpus (each doc arrives once,
+    split across two batches)."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from gh_archive_clickhouse_spark.plans.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    docs = read(spark, SF_DIR, "documents")
+    batch_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    stream_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["qs4_stream_incremental_lsh"]
+        .builder(spark, SF_DIR)
+        .collect()
+    }
+    assert stream_pairs == batch_pairs and batch_pairs
