@@ -49,3 +49,52 @@ def sessionize(
             "start_s"
         ),
     )
+
+
+def funnel_levels(
+    df: DataFrame,
+    steps: list[str],
+    window_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Greedy event funnel — the engine's ``windowFunnel`` analog
+    (ClickHouse's funnel analytic over the archived events table).
+
+    Semantics (deterministic, documented): t1 = user's earliest step-1
+    event; t_{i+1} = earliest step-(i+1) event at/after t_i; level =
+    number of steps reached with t_level - t1 <= window. Greedy
+    earliest-match rather than ClickHouse's chain-maximizing search —
+    identical on well-separated funnels, and exactly mirrorable in SQL.
+
+    Plan shape: one shuffle total. Each step is a windowed min over
+    the SAME partitionBy(user) — consecutive window stages reuse one
+    exchange; the final per-user collapse is a groupBy on the already
+    co-partitioned data.
+    """
+    w = Window.partitionBy(user_col)
+    us = ts_micros(ts_col)
+    out = df
+    prev = None
+    for i, step in enumerate(steps, start=1):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (us >= F.col(prev))
+        out = out.withColumn(f"__t{i}", F.min(F.when(cond, us)).over(w))
+        prev = f"__t{i}"
+    lvl = F.lit(0)
+    win_us = F.lit(window_seconds * 1_000_000)
+    for i in range(1, len(steps) + 1):
+        ok = F.col(f"__t{i}").isNotNull() & (
+            (F.col(f"__t{i}") - F.col("__t1")) <= win_us
+        )
+        lvl = F.when(ok, F.lit(i)).otherwise(lvl) if i == 1 else F.when(
+            ok & (lvl == i - 1), F.lit(i)
+        ).otherwise(lvl)
+    return (
+        out.groupBy(user_col)
+        .agg(F.max(lvl).alias("level"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

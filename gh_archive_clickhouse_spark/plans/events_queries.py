@@ -13,7 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gh_archive_clickhouse_spark.operators.dedup import latest_by_key_agg
-from gh_archive_clickhouse_spark.operators.sessionize import sessionize
+from gh_archive_clickhouse_spark.operators.sessionize import (
+    funnel_levels,
+    sessionize,
+)
 from gh_archive_clickhouse_spark.plans.common import (
     Query,
     dec_avg,
@@ -158,6 +161,16 @@ def qe12_variant_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dec_sum("value").alias("sum_value"),
         dec_avg("value").alias("avg_value"),
+    )
+
+
+def qe13_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel analog: per-user greedy view->click->purchase
+    funnel within 3 days; histogram of levels reached
+    (operators/sessionize.funnel_levels)."""
+    ev = read(spark, sf_dir, "events")
+    return funnel_levels(
+        ev, ["view", "click", "purchase"], window_seconds=3 * 86400
     )
 
 
@@ -317,5 +330,41 @@ QUERIES = [
         GROUP BY k_mod
         """,
         tags=("events", "json", "variant"),
+    ),
+    Query(
+        "qe13_funnel",
+        "windowFunnel analog: greedy view->click->purchase levels",
+        qe13_funnel,
+        """
+        WITH s1 AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        ), w1 AS (
+          SELECT *, min(CASE WHEN event_type = 'view' THEN us END)
+                      OVER (PARTITION BY user_id) AS t1
+          FROM s1
+        ), w2 AS (
+          SELECT *, min(CASE WHEN event_type = 'click' AND us >= t1
+                             THEN us END)
+                      OVER (PARTITION BY user_id) AS t2
+          FROM w1
+        ), w3 AS (
+          SELECT *, min(CASE WHEN event_type = 'purchase' AND us >= t2
+                             THEN us END)
+                      OVER (PARTITION BY user_id) AS t3
+          FROM w2
+        ), lv AS (
+          SELECT user_id, max(CASE
+            WHEN t3 IS NOT NULL AND t3 - t1 <= 259200000000
+                 AND t2 IS NOT NULL AND t2 - t1 <= 259200000000 THEN 3
+            WHEN t2 IS NOT NULL AND t2 - t1 <= 259200000000 THEN 2
+            WHEN t1 IS NOT NULL THEN 1
+            ELSE 0 END) AS level
+          FROM w3 GROUP BY user_id
+        )
+        SELECT CAST(level AS INTEGER) AS level,
+               count(*) AS n_users
+        FROM lv GROUP BY level
+        """,
+        tags=("events", "funnel", "window"),
     ),
 ]

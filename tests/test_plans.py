@@ -190,3 +190,12 @@ def test_qx22_tfidf_single_doc_window(spark):
     assert "HashAggregate" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_qe13_funnel_single_user_shuffle(spark):
+    """All funnel steps are windows over the SAME partitionBy(user) and
+    the per-user collapse reuses that partitioning: exactly one
+    user-keyed exchange plus the tiny final level histogram's."""
+    plan = _plan(spark, "qe13_funnel")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
