@@ -21,8 +21,8 @@ from gh_archive_clickhouse_spark.plans.common import Query
 _ALL: list[Query] = [
     *ext_queries.QUERIES,
     *streaming_queries.QUERIES,  # newly oracle-backed (round 2)
+    *events_queries.QUERIES,  # contains round-2 additions (qe13)
     *relational_queries.QUERIES,
-    *events_queries.QUERIES,
     *tpch_queries.QUERIES,
     *tpch2_queries.QUERIES,
 ]
