@@ -922,6 +922,42 @@ def qx28_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx29_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the pre-aggregation design that makes
+    distinct-count dashboards affordable at 100 TB: per-day Datasketches
+    HLL sketches of the user set (``hll_sketch_agg``, storable as a tiny
+    binary column per partition), then ``hll_union_agg`` merges the
+    daily sketches into the period estimate WITHOUT rescanning events.
+
+    Sketch binaries differ across engines, so (like qt7) the
+    oracle-checkable contract is: per-day exact distinct counts, the
+    period's exact distinct, and a flag that the merged-sketch estimate
+    lands within 5% of it.
+    """
+    ev = read(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").alias("exact_day_users"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("__est"),
+        F.sum("exact_day_users").alias("sum_day_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact_total = ev.agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return merged.crossJoin(F.broadcast(exact_total)).select(
+        "n_days",
+        "sum_day_users",
+        "exact_users",
+        (
+            F.abs(F.col("__est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("merged_est_within_5pct"),
+    )
+
+
 QUERIES = [
     Query(
         "qx1_exact_dedup",
@@ -1442,6 +1478,25 @@ FROM m2
         FROM per JOIN per_source USING (source) CROSS JOIN totals
         """,
         tags=("ext", "text", "sampling"),
+    ),
+    Query(
+        "qx29_sketch_rollup",
+        "mergeable HLL sketch rollup: daily sketches -> period union, "
+        "tolerance-checked",
+        qx29_sketch_rollup,
+        """
+        WITH daily AS (
+          SELECT CAST(ts AS DATE) AS day,
+                 count(DISTINCT user_id) AS exact_day_users
+          FROM events GROUP BY 1
+        )
+        SELECT count(*) AS n_days,
+               CAST(sum(exact_day_users) AS BIGINT) AS sum_day_users,
+               (SELECT count(DISTINCT user_id) FROM events) AS exact_users,
+               true AS merged_est_within_5pct
+        FROM daily
+        """,
+        tags=("ext", "sketch", "agg"),
     ),
 ]
 
