@@ -39,12 +39,19 @@ def incremental_lsh_sink(
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # Compact the append: signature COMPUTE fans out across cores
+        # (ensure_parallelism in the shingle stage), but the per-batch
+        # table increment is small — a post-compute repartition keeps
+        # the signature table at a few files per epoch instead of one
+        # per task (tiny-file creep is what kills long-running
+        # streaming tables; at cluster scale size this to
+        # rows_per_epoch / target_file_rows).
         sigs_new = minhash_signatures(batch_df, shingle_k=shingle_k)
-        sigs_new.write.mode("append").parquet(sig_path)
+        sigs_new.repartition(4).write.mode("append").parquet(sig_path)
         all_sigs = spark.read.parquet(sig_path)
         pairs = lsh_candidate_pairs_between(
             sigs_new, all_sigs, bands=bands, rows_per_band=rows_per_band
         )
-        pairs.write.mode("append").parquet(pairs_path)
+        pairs.repartition(1).write.mode("append").parquet(pairs_path)
 
     return _write
