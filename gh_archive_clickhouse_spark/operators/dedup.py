@@ -562,16 +562,21 @@ def connected_components(
             )
         )
         new_labels = materialize(new_labels, f"cc_labels_{_i}")
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # Round 0 always changes something when any edge exists (every
+        # max-id endpoint adopts a smaller neighbor label), so the
+        # convergence probe — an extra job per round — starts at round 1.
+        if _i > 0:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
         labels = new_labels
-        if changed == 0:
-            break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
     )

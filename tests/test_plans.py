@@ -199,3 +199,22 @@ def test_qe13_funnel_single_user_shuffle(spark):
     plan = _plan(spark, "qe13_funnel")
     assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_qx25_kmeans_broadcasts_centroids(spark):
+    """k-means assignment must broadcast the centroid side every
+    round — the corpus side never shuffles for scoring."""
+    plan = _plan(spark, "qx25_kmeans_ivf_build")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_qx29_sketch_rollup_two_level_agg(spark):
+    """Sketch rollup: daily partial hash aggregates (map-side HLL
+    partials) merged by a second aggregate — no joins over events."""
+    plan = _plan(spark, "qx29_sketch_rollup")
+    assert "HashAggregate" in plan
+    assert "partial_hllsketchagg" in plan.lower().replace("_", "") or \
+        "hll_sketch_agg" in plan or "hllsketchagg" in plan.lower()
+    assert "SortMergeJoin" not in plan
