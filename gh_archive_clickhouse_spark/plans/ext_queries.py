@@ -958,6 +958,31 @@ def qx29_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx30_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition — the Gopher-style quality filter
+    (high duplicate-n-gram fraction => boilerplate/spam): per doc, all
+    word-3-grams vs distinct word-3-grams and the duplicate fraction.
+    Map-only codegen; docs under 3 tokens have no grams and no row."""
+    docs = read(spark, sf_dir, "documents")
+    grams = word_shingles(tokens(F.col("text")), 3)
+    n_all = F.size(grams)
+    n_dist = F.size(F.array_distinct(grams))
+    return (
+        docs.select("doc_id", n_all.alias("n_grams"),
+                    n_dist.alias("n_distinct"))
+        .filter(F.col("n_grams") >= 1)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_grams").cast("double"),
+                6,
+            ).alias("rep_ratio"),
+        )
+    )
+
+
 QUERIES = [
     Query(
         "qx1_exact_dedup",
@@ -1497,6 +1522,30 @@ FROM m2
         FROM daily
         """,
         tags=("ext", "sketch", "agg"),
+    ),
+    Query(
+        "qx30_repetition_ratio",
+        "within-doc duplicate word-3-gram fraction (quality filter)",
+        qx30_repetition_ratio,
+        f"""
+        WITH t AS (
+          SELECT doc_id, {{toks}} AS toks FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= 3 THEN
+                   list_transform(generate_series(1, len(toks) - 2),
+                     i -> array_to_string(toks[i:i+2], ' '))
+                 ELSE [] END AS grams
+          FROM t
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS INTEGER) AS n_grams,
+               CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
+               round(1.0 - len(list_distinct(grams))
+                     / CAST(len(grams) AS DOUBLE), 6) AS rep_ratio
+        FROM g WHERE len(grams) >= 1
+        """.format(toks=_SQL_TOKENS.format(col='text')),
+        tags=("ext", "text", "quality"),
     ),
 ]
 

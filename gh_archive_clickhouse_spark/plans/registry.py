@@ -18,13 +18,19 @@ from gh_archive_clickhouse_spark.plans.common import Query
 # verified the first 50 and left the entire ext/multimodal surface —
 # the LLM-pipeline mandate — unverified); the TPC-H batteries, fully
 # verified in round 1, sit at the tail.
+# Round-2 additions in round-1-verified families have no driver row
+# yet; hoist them ahead of the fully-verified batteries.
+_R2_NEW = ("qt30_waiting_suppliers", "qt31_top_revenue_supplier", "qe13_funnel")
+
 _ALL: list[Query] = [
     *ext_queries.QUERIES,
     *streaming_queries.QUERIES,  # newly oracle-backed (round 2)
-    *events_queries.QUERIES,  # contains round-2 additions (qe13)
+    *[q for q in tpch2_queries.QUERIES if q.name in _R2_NEW],
+    *[q for q in events_queries.QUERIES if q.name in _R2_NEW],
+    *[q for q in events_queries.QUERIES if q.name not in _R2_NEW],
     *relational_queries.QUERIES,
     *tpch_queries.QUERIES,
-    *tpch2_queries.QUERIES,
+    *[q for q in tpch2_queries.QUERIES if q.name not in _R2_NEW],
 ]
 
 QUERIES: dict[str, Query] = {q.name: q for q in _ALL}

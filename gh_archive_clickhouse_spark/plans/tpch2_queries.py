@@ -398,6 +398,81 @@ def qt29_array_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qt30_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted: fixtures carry no commit/receipt
+    dates, so "late" = shipped > 60 days after order date): suppliers
+    who were the ONLY late shipper in a finished multi-supplier order.
+
+    The hard part is the double correlation — EXISTS (another supplier
+    in the order) AND NOT EXISTS (another LATE supplier in the order)
+    — expressed as a left-semi then left-anti self-join of lineitem on
+    the order key with a supplier-inequality condition; both sides
+    pre-filtered before the shuffle. Top-10 by violation count.
+    """
+    li = read(spark, sf_dir, "lineitem")
+    o = read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s_ = read(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    cand = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    )
+    lone = cand.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    return (
+        lone.join(s_, lone.l_suppkey == s_.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+def qt31_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly per-supplier revenue view, then the
+    supplier(s) whose revenue equals the maximum — the view + scalar
+    max-subquery pattern. The max is a 1-row broadcast; revenue sums
+    are DECIMAL-exact so the equality join is engine-stable."""
+    li = read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s_ = read(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(s_, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 QUERIES = [
     Query(
         "qt19_forecast_revenue",
@@ -612,5 +687,57 @@ QUERIES = [
         FROM t
         """,
         tags=("tpch", "scalar", "array", "map"),
+    ),
+    Query(
+        "qt30_waiting_suppliers",
+        "TPC-H Q21 shape: sole-late-supplier in multi-supplier orders "
+        "(EXISTS + NOT EXISTS double correlation)",
+        qt30_waiting_suppliers,
+        """
+        WITH late AS (
+          SELECT l.l_orderkey, l.l_suppkey
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        )
+        SELECT s.s_name, count(*) AS numwait
+        FROM late l1
+        JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name ASC
+        LIMIT 10
+        """,
+        tags=("tpch", "join", "correlated"),
+    ),
+    Query(
+        "qt31_top_revenue_supplier",
+        "TPC-H Q15 shape: revenue view + scalar max subquery",
+        qt31_top_revenue_supplier,
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(18,6))), 2) AS DOUBLE)
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM revenue r JOIN supplier s ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        tags=("tpch", "agg", "subquery"),
     ),
 ]
