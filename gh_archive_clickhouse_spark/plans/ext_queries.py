@@ -964,12 +964,20 @@ def qx30_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-3-grams vs distinct word-3-grams and the duplicate fraction.
     Map-only codegen; docs under 3 tokens have no grams and no row."""
     docs = read(spark, sf_dir, "documents")
-    grams = word_shingles(tokens(F.col("text")), 3)
-    n_all = F.size(grams)
-    n_dist = F.size(F.array_distinct(grams))
+    # Stage the gram array as a column so both consumers (size,
+    # distinct-size) read one evaluation. Cost is dominated by the
+    # shingle HOF itself (CodegenFallback transform); the explode+
+    # codegen alternative (cf. minhash) would trade that for a 440k-row
+    # shuffle + count_distinct — not worth it for this output shape.
+    staged = docs.select(
+        "doc_id", word_shingles(tokens(F.col("text")), 3).alias("__g")
+    )
     return (
-        docs.select("doc_id", n_all.alias("n_grams"),
-                    n_dist.alias("n_distinct"))
+        staged.select(
+            "doc_id",
+            F.size("__g").alias("n_grams"),
+            F.size(F.array_distinct("__g")).alias("n_distinct"),
+        )
         .filter(F.col("n_grams") >= 1)
         .select(
             "doc_id",
