@@ -216,7 +216,11 @@ def qs4_stream_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(f"{base}/pairs").distinct()
+    return (
+        spark.read.parquet(f"{base}/pairs")
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
 
 
 QUERIES = [

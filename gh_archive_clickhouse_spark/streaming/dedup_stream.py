@@ -16,6 +16,7 @@ later of a, b arrives — the union of per-batch pair sets equals
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from gh_archive_clickhouse_spark.operators.dedup import (
     lsh_candidate_pairs_between,
@@ -31,27 +32,39 @@ def incremental_lsh_sink(
     rows_per_band: int = 4,
 ):
     """foreachBatch callable maintaining the signature table and the
-    discovered-pairs log. Append-only on both sides: exactly-once per
-    pair follows from each doc arriving in exactly one batch (Spark's
-    foreachBatch replays a failed epoch; idempotence then needs the
-    epoch-partitioned overwrite variant — noted, not needed for the
-    availableNow contract runs)."""
+    discovered-pairs log.
+
+    REPLAY-IDEMPOTENT: Spark re-runs a failed epoch through
+    foreachBatch, so both tables are partitioned by epoch and written
+    with DYNAMIC partition overwrite — a replay rewrites its own
+    epoch's partition instead of appending duplicates; other epochs
+    are untouched. Per-epoch increments are also compacted to a few
+    files (post-compute repartition) so the long-running tables don't
+    accrete one tiny file per task per epoch.
+    """
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        # Compact the append: signature COMPUTE fans out across cores
-        # (ensure_parallelism in the shingle stage), but the per-batch
-        # table increment is small — a post-compute repartition keeps
-        # the signature table at a few files per epoch instead of one
-        # per task (tiny-file creep is what kills long-running
-        # streaming tables; at cluster scale size this to
-        # rows_per_epoch / target_file_rows).
         sigs_new = minhash_signatures(batch_df, shingle_k=shingle_k)
-        sigs_new.repartition(4).write.mode("append").parquet(sig_path)
+        (
+            sigs_new.withColumn("epoch", F.lit(int(epoch_id)))
+            .repartition(4)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(sig_path)
+        )
         all_sigs = spark.read.parquet(sig_path)
         pairs = lsh_candidate_pairs_between(
             sigs_new, all_sigs, bands=bands, rows_per_band=rows_per_band
         )
-        pairs.repartition(1).write.mode("append").parquet(pairs_path)
+        (
+            pairs.withColumn("epoch", F.lit(int(epoch_id)))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(pairs_path)
+        )
 
     return _write

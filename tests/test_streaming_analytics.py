@@ -284,3 +284,32 @@ def test_incremental_lsh_equals_batch(spark, tmp_path):
         .collect()
     }
     assert stream_pairs == batch_pairs and batch_pairs
+
+
+def test_incremental_lsh_sink_replay_idempotent(spark, tmp_path):
+    """Re-running an epoch (foreachBatch replay after failure) must
+    leave both tables exactly as a single run would — dynamic
+    epoch-partition overwrite, not append."""
+    from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        incremental_lsh_sink,
+    )
+
+    docs = read(spark, SF_DIR, "documents").limit(50)
+    sink = incremental_lsh_sink(
+        str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    )
+    sink(docs, epoch_id=0)
+    sigs1 = spark.read.parquet(str(tmp_path / "sigs")).count()
+    pairs1 = (
+        spark.read.parquet(str(tmp_path / "pairs"))
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    sink(docs, epoch_id=0)  # replay
+    assert spark.read.parquet(str(tmp_path / "sigs")).count() == sigs1
+    pairs2 = (
+        spark.read.parquet(str(tmp_path / "pairs"))
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    assert sorted(map(tuple, pairs2)) == sorted(map(tuple, pairs1))
