@@ -223,6 +223,20 @@ def qs4_stream_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qs5_stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window event rate BY A STREAM (10 min window, 1 min
+    slide) — the S12 progress-meter analog as a declarative stream.
+    Each event lands in 10 overlapping windows; complete-mode final
+    state on the static fixture equals the batch expansion the oracle
+    computes by unnesting the 10 slide offsets per event."""
+    from gh_archive_clickhouse_spark.streaming.analytics import sliding_rates
+
+    with _stream_shuffle_partitions(spark):
+        agg = sliding_rates(_events_stream(spark, sf_dir))
+        out = _run_to_table(agg, "qs5_rates")
+    return out.select(ts_fmt("win_start").alias("win_s"), "n")
+
+
 QUERIES = [
     Query(
         "qs1_stream_hourly_counts",
@@ -264,5 +278,22 @@ QUERIES = [
         qs4_stream_incremental_lsh,
         _ORACLE_QS4,
         tags=("streaming", "dedup"),
+    ),
+    Query(
+        "qs5_stream_sliding_rates",
+        "Structured Streaming: sliding-window event rate "
+        "(10 min window / 1 min slide, availableNow run)",
+        qs5_stream_sliding_rates,
+        """
+        WITH expanded AS (
+          SELECT date_trunc('minute', ts)
+                   - to_minutes(unnest(range(0, 10))) AS win_start
+          FROM events
+        )
+        SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S.%f') AS win_s,
+               count(*) AS n
+        FROM expanded GROUP BY win_start
+        """,
+        tags=("streaming",),
     ),
 ]
