@@ -232,3 +232,66 @@ def test_ngram_contamination_matches_python(spark, docs, n):
         if g:
             want[i] = (len(g), len(g & bg))
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # user
+            st.integers(0, 40),         # seconds offset
+            st.sampled_from(["a", "b", "c", "x"]),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    window=st.integers(5, 30),
+)
+@_SET
+def test_funnel_levels_matches_bruteforce(spark, rows, window):
+    """funnel_levels == the literal greedy definition: t1 = earliest
+    'a'; t_{i+1} = earliest next-step event at/after t_i; level counts
+    steps with t_i - t1 <= window. Ties, same-timestamp steps, and
+    missing steps are all in the strategy's range."""
+    from gh_archive_clickhouse_spark.operators.sessionize import (
+        funnel_levels,
+    )
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [
+            (i, u, _BASE + dt.timedelta(seconds=s), t)
+            for i, (u, s, t) in enumerate(rows)
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r.level: r.n_users
+        for r in funnel_levels(df, ["a", "b", "c"], window).collect()
+    }
+
+    per_user: dict = {}
+    for (u, s, t) in rows:
+        per_user.setdefault(u, []).append((s, t))
+    want: dict = {}
+    for u, evs in per_user.items():
+        t1 = min((s for s, t in evs if t == "a"), default=None)
+        t2 = (
+            min((s for s, t in evs if t == "b" and s >= t1), default=None)
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            min((s for s, t in evs if t == "c" and s >= t2), default=None)
+            if t2 is not None
+            else None
+        )
+        level = 0
+        if t1 is not None:
+            level = 1
+            if t2 is not None and t2 - t1 <= window:
+                level = 2
+                if t3 is not None and t3 - t1 <= window:
+                    level = 3
+        want[level] = want.get(level, 0) + 1
+    assert got == want
