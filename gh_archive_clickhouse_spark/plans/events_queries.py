@@ -174,6 +174,46 @@ def qe13_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qe14_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their
+    first 'signup' event; for each (cohort week, weeks since), the
+    number of distinct cohort members active that week.
+
+    Shape: per-user min-aggregate for the cohort anchor (one shuffle on
+    user_id), broadcast-joined back to the events scan (cohort table ≪
+    events at any scale), then one count-distinct aggregate on the
+    (cohort, offset) pair — no self-joins, no windows over the fact.
+    """
+    ev = read(spark, sf_dir, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    acts = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    joined = acts.join(F.broadcast(cohorts), "user_id").filter(
+        F.col("act_week") >= F.col("cohort_week")
+    )
+    weeks_since = (
+        (
+            F.unix_micros(F.col("act_week"))
+            - F.unix_micros(F.col("cohort_week"))
+        )
+        / F.lit(7 * 86400 * 1_000_000)
+    ).cast("int")
+    return (
+        joined.select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_w"),
+            weeks_since.alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_w", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 QUERIES = [
     Query(
         "qe11_json_battery",
@@ -366,5 +406,28 @@ QUERIES = [
         FROM lv GROUP BY level
         """,
         tags=("events", "funnel", "window"),
+    ),
+    Query(
+        "qe14_cohort_retention",
+        "weekly cohort retention matrix (signup-anchored)",
+        qe14_cohort_retention,
+        """
+        WITH cohorts AS (
+          SELECT user_id,
+                 date_trunc('week', min(ts)) AS cohort_week
+          FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ), acts AS (
+          SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week
+          FROM events
+        )
+        SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_w,
+               CAST((epoch_us(a.act_week) - epoch_us(c.cohort_week))
+                    / 604800000000 AS INTEGER) AS weeks_since,
+               count(DISTINCT a.user_id) AS n_active
+        FROM acts a JOIN cohorts c USING (user_id)
+        WHERE a.act_week >= c.cohort_week
+        GROUP BY 1, 2
+        """,
+        tags=("events", "agg", "cohort"),
     ),
 ]

@@ -20,7 +20,12 @@ from gh_archive_clickhouse_spark.plans.common import Query
 # verified in round 1, sit at the tail.
 # Round-2 additions in round-1-verified families have no driver row
 # yet; hoist them ahead of the fully-verified batteries.
-_R2_NEW = ("qt30_waiting_suppliers", "qt31_top_revenue_supplier", "qe13_funnel")
+_R2_NEW = (
+    "qt30_waiting_suppliers",
+    "qt31_top_revenue_supplier",
+    "qe13_funnel",
+    "qe14_cohort_retention",
+)
 
 _ALL: list[Query] = [
     *ext_queries.QUERIES,
