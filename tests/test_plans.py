@@ -218,3 +218,23 @@ def test_qx29_sketch_rollup_two_level_agg(spark):
     assert "partial_hllsketchagg" in plan.lower().replace("_", "") or \
         "hll_sketch_agg" in plan or "hllsketchagg" in plan.lower()
     assert "SortMergeJoin" not in plan
+
+
+def test_qe14_cohort_join_broadcasts(spark):
+    """Cohort retention: the per-user cohort anchor table must
+    broadcast — the weekly-activity fact side never shuffles for the
+    join."""
+    plan = _plan(spark, "qe14_cohort_retention")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_qt30_correlations_are_semi_anti_joins(spark):
+    """Q21 shape: the EXISTS/NOT EXISTS double correlation must
+    compile to semi + anti hash joins, never nested loops over the
+    fact."""
+    plan = _plan(spark, "qt30_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
