@@ -501,21 +501,37 @@ def connected_components(
     max_iters: int = 20,
 ) -> DataFrame:
     """Duplicate-CLUSTER construction over near-dup pairs: connected
-    components by iterative min-label propagation — the step between
-    pair detection (LSH/SimHash) and canonical-document election that
-    every dedup pipeline needs (pairs (a,b),(b,c) must collapse to ONE
-    surviving doc, not two independent drops).
+    components by min-label propagation WITH pointer jumping — the step
+    between pair detection (LSH/SimHash) and canonical-document
+    election that every dedup pipeline needs (pairs (a,b),(b,c) must
+    collapse to ONE surviving doc, not two independent drops).
 
-    Algorithm (the standard distributed CC): every node starts labeled
-    with itself; each round takes the min label over itself and its
-    neighbors; stop when no label changes. Rounds needed = graph
-    diameter — for near-dup clusters (tiny, dense) a handful. Each
-    round is one join + one aggregate on (edges ⋈ labels), shuffle
-    volume O(|E|); lineage is truncated per round via
-    ``plans.common.materialize`` (localCheckpoint by default; a written
-    table per round under SPARK_GRAFT_MATERIALIZE_DIR for clusters
-    where executor loss is routine) so plans stay flat — the
-    GraphFrames/GraphX CC shape without the dependency.
+    Algorithm: every node starts labeled with itself; each round is
+    (1) PROPAGATE — take the min label over self and neighbors, then
+    (2) POINTER-JUMP — replace each label with its label's label
+    (label(u) is always the id of a node in u's component, so the
+    lookup is a 1:1 self-join on the label table). The jump doubles
+    the effective propagation distance per round, so convergence takes
+    O(log diameter) rounds instead of O(diameter) — ``max_iters=20``
+    covers diameters up to ~2^20, far beyond any near-dup graph. Both
+    steps only ever DECREASE labels (label(v) <= v for all v), so "a
+    full round changed nothing" certifies a propagation fixed point,
+    i.e. labels uniform per component.
+
+    Per round: one edge⋈labels join + aggregate (O(|E|) shuffle) and
+    one labels⋈labels self-join (O(|V|)); lineage is truncated per
+    round via ``plans.common.materialize`` (localCheckpoint by
+    default; a written table per round under
+    SPARK_GRAFT_MATERIALIZE_DIR for clusters where executor loss is
+    routine) so plans stay flat — the GraphFrames/GraphX CC shape
+    without the dependency.
+
+    Raises ``RuntimeError`` if the loop exhausts ``max_iters`` without
+    a certified fixed point AND a final O(|E|) post-condition check
+    (any edge whose endpoints carry different labels?) finds the
+    labeling still split — silent partial clusters (one true component
+    reported as several reps) are a correctness hazard, never an
+    acceptable return value.
 
     Deterministic (min over ints), so oracle-checkable against a
     recursive-CTE transitive closure. Returns (node, cluster_rep) for
@@ -537,6 +553,7 @@ def connected_components(
         .withColumn("label", F.col("node")),
         "cc_labels_init",
     )
+    converged = False
     for _i in range(max_iters):
         nbr_min = (
             edges.join(
@@ -548,7 +565,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dlabel").alias("nlabel"))
         )
-        new_labels = (
+        prop = (
             labels.join(
                 nbr_min.select(F.col("src").alias("node"), "nlabel"),
                 "node",
@@ -560,6 +577,16 @@ def connected_components(
                     F.col("label"), F.coalesce("nlabel", "label")
                 ).alias("label"),
             )
+        )
+        # Pointer jump: label := label(label). Every label value is a
+        # node id present in the label table (initialization + both
+        # update rules preserve it), so the lookup matches exactly one
+        # row; the left-join + coalesce is belt-and-braces.
+        jump = prop.select(
+            F.col("node").alias("label"), F.col("label").alias("jlabel")
+        )
+        new_labels = prop.join(jump, "label", "left").select(
+            "node", F.coalesce("jlabel", "label").alias("label")
         )
         new_labels = materialize(new_labels, f"cc_labels_{_i}")
         # Round 0 always changes something when any edge exists (every
@@ -575,8 +602,36 @@ def connected_components(
             )
             if changed == 0:
                 labels = new_labels
+                converged = True
                 break
         labels = new_labels
+    if not converged:
+        # Loop exhausted without a certified fixed point (or max_iters
+        # was too small for the probe to ever run). Post-condition: at
+        # a true fixed point every edge's endpoints share a label.
+        split = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("label").alias("slabel")
+                ),
+                "src",
+            )
+            .join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("dlabel")
+                ),
+                "dst",
+            )
+            .filter(F.col("slabel") != F.col("dlabel"))
+            .limit(1)
+            .count()
+        )
+        if split:
+            raise RuntimeError(
+                "connected_components did not converge within "
+                f"max_iters={max_iters}: at least one component is "
+                "still split across labels; raise max_iters"
+            )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
     )

@@ -417,6 +417,41 @@ def test_connected_components_multihop(spark):
     }
 
 
+def test_connected_components_pointer_jumping_long_chain(spark):
+    """Pointer jumping converges in O(log diameter): a 41-node chain
+    (diameter 40) collapses to one cluster within 10 rounds, where
+    plain per-round min-label propagation would need 40 and previously
+    returned silently-split clusters."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in connected_components(chain, max_iters=10).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """An exhausted iteration budget with components still split must
+    RAISE, never silently return partial labels (the round-2/3 ADVICE
+    medium defect): one propagate+jump round over a 9-node chain
+    cannot reach uniform labels."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=1).collect()
+
+
 def test_pii_scrub_on_synthetic_hits(spark, tmp_path):
     """The fixture corpus has no PII, so exercise qx27's scrub on
     synthetic docs WITH hits — counts and scrubbed hashes must match
