@@ -13,29 +13,55 @@ from gh_archive_clickhouse_spark.plans import (
 from gh_archive_clickhouse_spark.plans.common import Query
 
 # Order matters operationally: the round driver verifies the first ~50
-# oracle-checkable entries in enumeration order. Families whose queries
-# have never had a driver-verified correctness row come FIRST (round 1
-# verified the first 50 and left the entire ext/multimodal surface —
-# the LLM-pipeline mandate — unverified); the TPC-H batteries, fully
-# verified in round 1, sit at the tail.
-# Round-2 additions in round-1-verified families have no driver row
-# yet; hoist them ahead of the fully-verified batteries.
-_R2_NEW = (
-    "qt30_waiting_suppliers",
-    "qt31_top_revenue_supplier",
-    "qe13_funnel",
+# oracle-checkable entries in enumeration order. Rotation policy: the
+# queries whose latest driver-verified row is OLDEST come first, so no
+# query's freshest official correctness row ages more than a round or
+# two. Round-4 rotation: rounds 2-3 verified ext+streaming+the round-2
+# additions (50 entries), leaving the 39 round-1-verified qt/qe
+# families two rounds stale — they lead now. Immediately after them:
+# the queries whose code changed THIS round (fresh verification beats
+# re-verifying unchanged code), then the rest of the recently-green
+# set.
+_R1_STALE_EVENTS = (
+    "qe5_ttl_survivors",
+    "qe6_topk_users",
+    "qe7_sessionization",
+    "qe12_variant_projection",
+)
+_R2_NEW_TPCH2 = ("qt30_waiting_suppliers", "qt31_top_revenue_supplier")
+_CHANGED_R4 = (
+    "qx22_tfidf_top_terms",
+    "qx26_dedup_clusters",
+    "qs4_stream_incremental_lsh",
     "qe14_cohort_retention",
 )
 
+
+def _named(queries: list[Query], names: tuple[str, ...]) -> list[Query]:
+    return [q for q in queries if q.name in names]
+
+
+def _except_named(queries: list[Query], names: tuple[str, ...]) -> list[Query]:
+    return [q for q in queries if q.name not in names]
+
+
 _ALL: list[Query] = [
-    *ext_queries.QUERIES,
-    *streaming_queries.QUERIES,  # newly oracle-backed (round 2)
-    *[q for q in tpch2_queries.QUERIES if q.name in _R2_NEW],
-    *[q for q in events_queries.QUERIES if q.name in _R2_NEW],
-    *[q for q in events_queries.QUERIES if q.name not in _R2_NEW],
+    # --- two-rounds-stale round-1 families (39) ---
+    *_named(events_queries.QUERIES, _R1_STALE_EVENTS),
     *relational_queries.QUERIES,
     *tpch_queries.QUERIES,
-    *[q for q in tpch2_queries.QUERIES if q.name not in _R2_NEW],
+    *_except_named(tpch2_queries.QUERIES, _R2_NEW_TPCH2),
+    # --- changed this round (4) ---
+    *_named(ext_queries.QUERIES, _CHANGED_R4),
+    *_named(streaming_queries.QUERIES, _CHANGED_R4),
+    *_named(events_queries.QUERIES, _CHANGED_R4),
+    # --- verified green in round 3, unchanged ---
+    *_except_named(ext_queries.QUERIES, _CHANGED_R4),
+    *_except_named(streaming_queries.QUERIES, _CHANGED_R4),
+    *_named(tpch2_queries.QUERIES, _R2_NEW_TPCH2),
+    *_except_named(
+        events_queries.QUERIES, _R1_STALE_EVENTS + _CHANGED_R4
+    ),
 ]
 
 QUERIES: dict[str, Query] = {q.name: q for q in _ALL}
