@@ -11,6 +11,7 @@ never a row-level rewrite.
 
 from __future__ import annotations
 
+import re
 import shutil
 from pathlib import Path
 
@@ -75,12 +76,42 @@ def drop_expired_partitions_catalog(
     never a filesystem walk — the only form that works when the table
     root is ``s3://...`` and "directories" are a fiction. Still an
     O(expired-partitions) metadata operation, no data rewrite.
+
+    Contract guards (all inputs end up inside SQL text, so they are
+    validated, not trusted):
+
+    - ``table`` and ``partition_col`` must be plain (optionally
+      dot-qualified) identifiers — raises ``ValueError`` otherwise.
+    - ``cutoff_yyyymmdd`` must be an 8-digit date string.
+    - A multi-column partition spec (``dt=20240101/hour=05``) raises
+      ``ValueError``: this function's TTL contract is single-column
+      date partitioning, and naively splitting the spec on the first
+      ``=`` would compare (and DROP by) the corrupt value
+      ``'20240101/hour=05'``.
+    - Partition values that are not 8-digit dates are SKIPPED, never
+      interpolated into the DROP statement.
     """
+    ident = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+    if not ident.match(table):
+        raise ValueError(f"not a valid table identifier: {table!r}")
+    if not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", partition_col):
+        raise ValueError(f"not a valid column identifier: {partition_col!r}")
+    if not re.match(r"^\d{8}$", cutoff_yyyymmdd):
+        raise ValueError(f"cutoff must be yyyyMMdd: {cutoff_yyyymmdd!r}")
     dropped = []
     for row in spark.sql(f"SHOW PARTITIONS {table}").collect():
         spec = row[0]  # e.g. 'dt=20240101'
-        col, _, value = spec.partition("=")
-        if col == partition_col and value < cutoff_yyyymmdd:
+        parts = spec.split("/")
+        if len(parts) != 1:
+            raise ValueError(
+                f"multi-column partition spec {spec!r}: catalog TTL "
+                "requires a table partitioned by the single date "
+                f"column {partition_col!r}"
+            )
+        col, _, value = parts[0].partition("=")
+        if col != partition_col or not re.match(r"^\d{8}$", value):
+            continue
+        if value < cutoff_yyyymmdd:
             spark.sql(
                 f"ALTER TABLE {table} "
                 f"DROP IF EXISTS PARTITION ({partition_col}='{value}')"

@@ -343,3 +343,44 @@ def test_catalog_partition_ttl(spark, tmp_path):
         ) == []
     finally:
         spark.sql("DROP TABLE IF EXISTS ttl_events")
+
+
+def test_catalog_partition_ttl_guards(spark):
+    """Catalog TTL validates everything it interpolates into SQL and
+    refuses multi-column partition specs instead of comparing/dropping
+    the corrupt first-'='-split value (round-2 ADVICE defect)."""
+    from gh_archive_clickhouse_spark.operators.ttl import (
+        drop_expired_partitions_catalog,
+    )
+
+    with pytest.raises(ValueError, match="table identifier"):
+        drop_expired_partitions_catalog(
+            spark, "x; DROP TABLE y", "20240101"
+        )
+    with pytest.raises(ValueError, match="column identifier"):
+        drop_expired_partitions_catalog(
+            spark, "t", "20240101", partition_col="dt') --"
+        )
+    with pytest.raises(ValueError, match="yyyyMMdd"):
+        drop_expired_partitions_catalog(spark, "t", "2024-01-01")
+
+    df = spark.createDataFrame(
+        [(1, "20240101", "05"), (2, "20240103", "06")],
+        "id long, dt string, hour string",
+    )
+    spark.sql("DROP TABLE IF EXISTS ttl_events_mc")
+    (
+        df.write.mode("overwrite")
+        .partitionBy("dt", "hour")
+        .format("parquet")
+        .saveAsTable("ttl_events_mc")
+    )
+    try:
+        with pytest.raises(ValueError, match="multi-column"):
+            drop_expired_partitions_catalog(
+                spark, "ttl_events_mc", "20240103"
+            )
+        # nothing was dropped
+        assert spark.table("ttl_events_mc").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ttl_events_mc")
