@@ -202,11 +202,16 @@ def tfidf_top_terms(
       3. corpus size via a broadcast one-row aggregate (no collect);
       4. tf ⋈ df on term, then a per-doc top-k window.
 
-    Ranking is by the INTEGER pair (tf desc, df asc, term asc) — the
-    same ordering tf·idf induces within a document for fixed df, but
-    exactly reproducible across engines (a float-score sort could flip
-    on a 1-ulp ln() difference between libm implementations); the
-    tfidf VALUE is still emitted, rounded.
+    Ranking is by the ROUNDED tf·idf score itself (tfidf desc, then
+    df asc, term asc as deterministic tiebreaks): tfidf = tf ·
+    ln((N+1)/(df+1)), rounded to 6 dp BEFORE the sort so the ordering
+    is reproducible across engines — the raw double could flip on a
+    1-ulp ln() difference between libm implementations, but a 6-dp
+    rounded value only flips if two engines disagree across a rounding
+    boundary, which the (already hash-verified) emitted tfidf column
+    proves they don't. (An earlier revision ranked by the integer pair
+    (tf desc, df asc), which is NOT the tf·idf order when both tf and
+    df differ — e.g. tf=2/df=2 must outrank tf=3/df=100.)
     """
     toks = df.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
@@ -218,11 +223,21 @@ def tfidf_top_terms(
 
     w = (
         Window.partitionBy(id_col)
-        .orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("term").asc())
+        .orderBy(
+            F.col("tfidf").desc(), F.col("df").asc(), F.col("term").asc()
+        )
     )
     return (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -231,11 +246,7 @@ def tfidf_top_terms(
             F.col("rank").cast("int").alias("rank"),
             "tf",
             "df",
-            F.round(
-                F.col("tf")
-                * F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0)),
-                6,
-            ).alias("tfidf"),
+            "tfidf",
         )
     )
 

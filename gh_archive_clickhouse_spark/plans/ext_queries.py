@@ -740,8 +740,9 @@ WHERE round(CAST(len(list_filter(a.shs, s -> list_contains(b.shs, s))) AS DOUBLE
 
 def qx22_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 TF-IDF terms — domain/keyword signal for training
-    mixes. Integer-deterministic ranking (tf desc, df asc, term asc);
-    see operators/text_analysis.tfidf_top_terms for the scale shape."""
+    mixes. Ranked by the 6-dp-rounded tf·idf score (df, term
+    tiebreaks); see operators/text_analysis.tfidf_top_terms for the
+    scale shape."""
     from gh_archive_clickhouse_spark.operators.text_analysis import (
         tfidf_top_terms,
     )
@@ -1225,7 +1226,7 @@ QUERIES = [
     ),
     Query(
         "qx22_tfidf_top_terms",
-        "per-doc top-3 TF-IDF terms (integer-deterministic ranking)",
+        "per-doc top-3 TF-IDF terms (ranked by rounded tf*idf score)",
         qx22_tfidf_top_terms,
         f"""
         WITH toks AS (
@@ -1236,16 +1237,19 @@ QUERIES = [
         ), dfreq AS (
           SELECT term, count(*) AS df FROM tf GROUP BY 1
         ), n AS (SELECT count(*) AS n FROM documents),
-        ranked AS (
-          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df, n.n,
-                 row_number() OVER (
-                   PARTITION BY tf.doc_id
-                   ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC
-                 ) AS rank
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 round(tf.tf * ln((n.n + 1.0) / (dfreq.df + 1.0)), 6)
+                   AS tfidf
           FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ), ranked AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id
+                   ORDER BY tfidf DESC, df ASC, term ASC
+                 ) AS rank
+          FROM scored
         )
-        SELECT doc_id, term, CAST(rank AS INTEGER) AS rank, tf, df,
-               round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+        SELECT doc_id, term, CAST(rank AS INTEGER) AS rank, tf, df, tfidf
         FROM ranked WHERE rank <= 3
         """,
         tags=("ext", "text"),

@@ -452,6 +452,37 @@ def test_connected_components_raises_on_nonconvergence(spark):
         connected_components(chain, max_iters=1).collect()
 
 
+def test_tfidf_ranks_by_true_score(spark):
+    """Ranking must follow tf·idf, not the integer pair (tf desc, df
+    asc): a rare term with tf=2/df=2 outranks a stopword-like term
+    with tf=3/df=N even though its tf is lower (the round-2 ADVICE
+    defect — the old ordering put 'common' first for doc 1)."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare rare common common common"),
+            (2, "rare common"),
+            (3, "common"),
+            (4, "common"),
+            (5, "common"),
+            (6, "common"),
+        ],
+        "doc_id long, text string",
+    )
+    top1 = {
+        r.doc_id: r.term
+        for r in tfidf_top_terms(docs, k=1).collect()
+    }
+    # common: tfidf = tf * ln(7/7) = 0 for every doc; rare: 2*ln(7/3)
+    assert top1[1] == "rare"
+    assert top1[2] == "rare"
+    # docs with only zero-score terms still emit their best (tiebreak)
+    assert top1[3] == "common"
+
+
 def test_pii_scrub_on_synthetic_hits(spark, tmp_path):
     """The fixture corpus has no PII, so exercise qx27's scrub on
     synthetic docs WITH hits — counts and scrubbed hashes must match
