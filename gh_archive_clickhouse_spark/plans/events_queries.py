@@ -180,9 +180,14 @@ def qe14_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     number of distinct cohort members active that week.
 
     Shape: per-user min-aggregate for the cohort anchor (one shuffle on
-    user_id), broadcast-joined back to the events scan (cohort table ≪
-    events at any scale), then one count-distinct aggregate on the
-    (cohort, offset) pair — no self-joins, no windows over the fact.
+    user_id), equi-joined back to the distinct weekly-activity table on
+    user_id, then one count-distinct aggregate on the (cohort, offset)
+    pair — no self-joins, no windows over the fact. The join carries NO
+    broadcast hint: the cohort table is one row per signed-up user —
+    O(users), unbounded at corpus scale — so forcing a broadcast would
+    OOM the executors at 100 TB. AQE picks broadcast at runtime when
+    the anchor side is actually small (it is at fixture scale) and
+    falls back to a shuffled join when it isn't.
     """
     ev = read(spark, sf_dir, "events")
     cohorts = (
@@ -193,7 +198,7 @@ def qe14_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     acts = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
     ).distinct()
-    joined = acts.join(F.broadcast(cohorts), "user_id").filter(
+    joined = acts.join(cohorts, "user_id").filter(
         F.col("act_week") >= F.col("cohort_week")
     )
     weeks_since = (

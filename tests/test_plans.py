@@ -220,14 +220,22 @@ def test_qx29_sketch_rollup_two_level_agg(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_qe14_cohort_join_broadcasts(spark):
-    """Cohort retention: the per-user cohort anchor table must
-    broadcast — the weekly-activity fact side never shuffles for the
-    join."""
+def test_qe14_cohort_join_unhinted(spark):
+    """Cohort retention: the per-user cohort anchor is O(users) —
+    unbounded at corpus scale — so the plan must carry NO forced
+    broadcast hint; the join strategy is AQE's runtime call (broadcast
+    at fixture scale, shuffled join when the anchor is big). The join
+    stays an equi-join either way."""
+    df = QUERIES["qe14_cohort_retention"].builder(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "broadcast" not in analyzed.lower()
     plan = _plan(spark, "qe14_cohort_retention")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
 
 
 def test_qt30_correlations_are_semi_anti_joins(spark):
