@@ -184,43 +184,55 @@ def qs4_stream_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (streaming/dedup_stream.py). The unioned per-batch pair log must
     equal the BATCH operator's pair set — which is exactly what the
     oracle (the qx9 banding SQL) asserts."""
+    import shutil
     import tempfile
 
     from gh_archive_clickhouse_spark.plans.common import read
     from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        PAIRS_SCHEMA,
         incremental_lsh_sink,
     )
 
     docs = read(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="qs4_")
-    src = f"{base}/docs"
-    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    with _stream_shuffle_partitions(spark):
-        q = (
-            stream.writeStream.foreachBatch(
-                incremental_lsh_sink(f"{base}/sigs", f"{base}/pairs")
-            )
-            .trigger(availableNow=True)
-            .option("checkpointLocation", f"{base}/ckpt")
-            .start()
+    try:
+        src = f"{base}/docs"
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
         )
-        q.awaitTermination()
-    return (
-        spark.read.parquet(f"{base}/pairs")
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(
+                    incremental_lsh_sink(f"{base}/sigs", f"{base}/pairs")
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .start()
+            )
+            q.awaitTermination()
+        # Explicit schema: a zero-candidate corpus leaves the pairs log
+        # with no data files, where schema inference would throw; the
+        # read then yields the correct EMPTY frame. Eager checkpoint
+        # pins the result in the block manager so the scratch dir can
+        # be deleted before the caller consumes the frame.
+        return (
+            spark.read.schema(PAIRS_SCHEMA)
+            .parquet(f"{base}/pairs")
+            .select("doc_a", "doc_b")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def qs5_stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -313,3 +313,85 @@ def test_incremental_lsh_sink_replay_idempotent(spark, tmp_path):
         .collect()
     )
     assert sorted(map(tuple, pairs2)) == sorted(map(tuple, pairs1))
+
+
+def test_incremental_lsh_log_compaction_bounds_files(spark, tmp_path):
+    """Committed epochs fold into the consolidated epoch=-1 partition:
+    across many epochs the pair log and signature index keep O(1)
+    files/partitions instead of one partition per epoch forever — and
+    folding loses no rows."""
+    from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        PAIRS_SCHEMA,
+        incremental_lsh_sink,
+    )
+
+    docs = read(spark, SF_DIR, "documents").limit(120)
+    sink = incremental_lsh_sink(
+        str(tmp_path / "sigs"), str(tmp_path / "pairs"), keep_epochs=2
+    )
+    n_epochs = 7
+    for e in range(n_epochs):
+        sink(docs.filter(F.col("doc_id") % n_epochs == e), epoch_id=e)
+
+    def epoch_dirs(p):
+        return sorted(
+            d.name for d in (tmp_path / p).iterdir()
+            if d.is_dir() and d.name.startswith("epoch=")
+        )
+
+    # keep_epochs=2 ⇒ at most: consolidated + 2 uncompacted + current
+    for p in ("pairs", "sigs"):
+        dirs = epoch_dirs(p)
+        assert len(dirs) <= 4, dirs
+        assert "epoch=-1" in dirs, dirs
+    files = [
+        f for f in (tmp_path / "pairs").rglob("*.parquet")
+    ]
+    assert len(files) <= 4, files
+
+    # folding lost nothing: the log still equals the batch pair set
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.schema(PAIRS_SCHEMA)
+        .parquet(str(tmp_path / "pairs"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    assert got == want and want
+
+
+def test_incremental_lsh_zero_candidate_corpus(spark, tmp_path):
+    """A corpus with no shingles (every doc shorter than k tokens)
+    produces an EMPTY pair log; the explicit-schema read returns an
+    empty frame instead of throwing schema-inference errors (round-2
+    ADVICE defect)."""
+    from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        PAIRS_SCHEMA,
+        incremental_lsh_sink,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tiny") for i in range(10)], "doc_id long, text string"
+    )
+    sink = incremental_lsh_sink(
+        str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    )
+    sink(docs, epoch_id=0)
+    out = (
+        spark.read.schema(PAIRS_SCHEMA)
+        .parquet(str(tmp_path / "pairs"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_a", "doc_b"]
