@@ -9,10 +9,11 @@ Design (the part that matters at 100 TB):
   payload bytes never round-trip through Python row objects, and batch
   size bounds executor memory (`spark.sql.execution.arrow.
   maxRecordsPerBatch`).
-- The actual codec calls are STUBBED (no image/audio libs in this
-  container): ``decode_image_meta`` parses only deterministic header
-  fields; ``_decode_pixels`` raises NotImplementedError and documents
-  the real implementation point.
+- Image decode is REAL for PNG: ``_decode_pixels`` tries Pillow when
+  installed (any format), and falls back to the pure-stdlib PNG codec
+  (operators/png_codec.py) otherwise; only formats neither path can
+  handle raise NotImplementedError (audio/video codecs remain declared
+  stubs — no ffmpeg in this container).
 """
 
 from __future__ import annotations
@@ -47,13 +48,38 @@ def attach_binary_payload(
 
 
 def _decode_pixels(payload: bytes) -> "object":
-    """Real image decode would go here (PIL/libvips/ffmpeg). The
-    container ships no media libraries, so this is a declared stub —
-    the Spark-side contract (signature, batching, schema) is the part
-    under test."""
+    """Image bytes → uint8 pixel array (height, width, channels).
+
+    Tries Pillow first (any format it knows) behind an optional
+    import; without it, PNG payloads decode through the pure-stdlib
+    codec in operators/png_codec.py. Formats neither path can handle
+    raise NotImplementedError (plug libvips/ffmpeg in here)."""
+    data = bytes(payload)
+    try:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(data))
+        img.load()
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        return arr
+    except ImportError:
+        pass
+    from gh_archive_clickhouse_spark.operators.png_codec import (
+        PNG_SIG,
+        decode_png,
+    )
+
+    if data[:8] == PNG_SIG:
+        return decode_png(data)
     raise NotImplementedError(
-        "media decoding requires an image/audio library not present in "
-        "this environment; plug PIL/torchvision/ffmpeg in here"
+        "no decoder for this format in this environment: Pillow is not "
+        "installed and the payload is not a PNG; plug "
+        "PIL/torchvision/ffmpeg in here"
     )
 
 
@@ -89,25 +115,42 @@ RESIZED_SCHEMA = (
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """mapInPandas resize plumbing: batch-transform binary payloads to
-    a target (width, height).
+    """mapInPandas resize: batch-transform binary payloads to a target
+    (width, height).
 
-    The real kernel would decode via `_decode_pixels`, resample, and
-    re-encode; with no codecs in this container the stub passes the
-    payload through and stamps the target dimensions — keeping the
-    Spark-side contract (binary-in/binary-out schema, Arrow batching,
-    partition-local, no shuffle) real and testable. At scale this is a
+    PNG payloads take the REAL kernel: decode via ``_decode_pixels``,
+    nearest-neighbor resample, re-encode. Non-image payloads (the
+    fixture attaches text bytes) pass through with the target
+    dimensions stamped — preserving the plumbing contract
+    (binary-in/binary-out schema, Arrow batching, partition-local, no
+    shuffle) for corpora without media columns. At scale this is a
     pure map stage: co-partitioned with the source read, bounded by
     `spark.sql.execution.arrow.maxRecordsPerBatch`.
     """
+    import numpy as np
+
+    from gh_archive_clickhouse_spark.operators.png_codec import (
+        PNG_SIG,
+        encode_png,
+    )
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # real path: _decode_pixels(payload) -> resample -> encode
+            out = []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                if data[:8] == PNG_SIG:
+                    arr = _decode_pixels(data)
+                    h, w = arr.shape[:2]
+                    ys = (np.arange(height) * h) // height
+                    xs = (np.arange(width) * w) // width
+                    out.append(encode_png(arr[ys][:, xs]))
+                else:
+                    out.append(data)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": pdf["payload"],
+                    "payload": out,
                     "out_width": width,
                     "out_height": height,
                 }
@@ -224,3 +267,74 @@ def audio_frame_features(
             )
 
     return df.mapInPandas(_features, schema=AUDIO_FEATURES_SCHEMA)
+
+
+PNG_SIDE = 8
+
+
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL image payloads: an 8×8 grayscale PNG per row
+    whose pixel i is ``(doc_id*31 + i) % 256`` — encoded with the
+    pure-stdlib codec, so downstream decode operators exercise genuine
+    bytes→pixels work with an arithmetically closed-form oracle. Pure
+    Arrow-batched map stage, no shuffle."""
+    import numpy as np
+
+    from gh_archive_clickhouse_spark.operators.png_codec import encode_png
+
+    n_px = PNG_SIDE * PNG_SIDE
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                px = (
+                    (int(doc_id) * 31 + np.arange(n_px)) % 256
+                ).astype(np.uint8).reshape(PNG_SIDE, PNG_SIDE, 1)
+                payloads.append(encode_png(px))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(
+        _make, schema="doc_id long, payload binary"
+    )
+
+
+DECODED_FEATURES_SCHEMA = (
+    "doc_id long, width int, height int, n_channels int, mean_px double"
+)
+
+
+def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode under Spark: each binary payload runs through
+    ``_decode_pixels`` (Pillow when installed, pure-stdlib PNG codec
+    otherwise) and emits actual decoded dimensions + mean pixel value.
+    Arrow-batched mapInPandas, partition-local, no shuffle — the same
+    100 TB scan-stage shape as the other multimodal kernels, but with
+    a genuine bytes→pixels kernel inside."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, chs, means = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                arr = _decode_pixels(payload)
+                h, w, ch = arr.shape
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                chs.append(ch)
+                # mean of h*w*ch uint8s: n is a power of two for the
+                # built-in payloads, so 6-dp rounding is mode-exact
+                means.append(round(float(arr.mean()), 6))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "n_channels": pd.array(chs, dtype="int32"),
+                    "mean_px": pd.array(means, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(_decode, schema=DECODED_FEATURES_SCHEMA)

@@ -832,6 +832,23 @@ def qm5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_frame_features(attach_binary_payload(docs), window=256)
 
 
+def qm6_real_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: per row, build an 8×8 grayscale
+    PNG whose pixel i is (doc_id*31 + i) % 256, then decode the BYTES
+    back through the actual codec path (Pillow when installed, the
+    pure-stdlib PNG decoder otherwise) and emit decoded dims + mean
+    pixel. Two chained Arrow map stages, no shuffle; the oracle is the
+    closed form of the pixel generator — so any decode error (wrong
+    filter reconstruction, stride bug, channel mixup) hash-fails."""
+    from gh_archive_clickhouse_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_image_features,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    return decode_image_features(attach_png_payload(docs))
+
+
 def qx26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the verified LSH
     near-dup pairs (jaccard >= 0.7) — pair detection to canonical-doc
@@ -1442,6 +1459,23 @@ FROM m2
                round(sqrt(CAST(sum(code * code) AS DOUBLE) / count(*)), 6)
                  AS rms
         FROM s GROUP BY 1, 2
+        """,
+        tags=("ext", "multimodal"),
+    ),
+    Query(
+        "qm6_real_image_decode",
+        "real PNG decode kernel: encode 8x8 doc-derived PNGs, decode "
+        "bytes back, emit dims + mean pixel",
+        qm6_real_image_decode,
+        """
+        SELECT d.doc_id,
+               CAST(8 AS INTEGER) AS width,
+               CAST(8 AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS n_channels,
+               round(CAST(sum((d.doc_id * 31 + r.range) % 256) AS DOUBLE)
+                     / 64, 6) AS mean_px
+        FROM documents d CROSS JOIN range(64) r
+        GROUP BY d.doc_id
         """,
         tags=("ext", "multimodal"),
     ),

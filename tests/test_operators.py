@@ -38,9 +38,125 @@ def test_multimodal_payload_and_features(spark):
     assert joined.count() == 0
 
 
-def test_decode_stub_declares_missing_codecs():
+def test_decode_unknown_format_declares_missing_codecs():
+    """Formats with no available decoder (no Pillow in-container, not
+    a PNG) still raise the declared NotImplementedError."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed: it handles JPEG itself")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
-        _decode_pixels(b"\x89PNG")
+        _decode_pixels(b"\xff\xd8\xff\xe0jpeg-ish")
+
+
+def test_png_codec_round_trip():
+    """encode→decode is identity for gray / RGB / RGBA 8-bit images."""
+    import numpy as np
+
+    from gh_archive_clickhouse_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    for ch in (1, 3, 4):
+        px = rng.randint(0, 256, size=(11, 5, ch), dtype=np.uint8)
+        back = decode_png(encode_png(px))
+        assert back.shape == (11, 5, ch)
+        assert np.array_equal(back, px)
+
+
+def test_png_decoder_all_filter_types():
+    """The decoder reconstructs every PNG scanline filter (Sub, Up,
+    Average, Paeth), verified against hand-filtered raw streams."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from gh_archive_clickhouse_spark.operators.png_codec import (
+        PNG_SIG,
+        _paeth,
+        decode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    h, w, ch = px.shape
+    stride = w * ch
+    # build one raw stream using filter type y for row y (0..4)
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = px[y].tobytes()
+        f = y  # row y uses filter type y
+        raw.append(f)
+        for i in range(stride):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                v = row[i]
+            elif f == 1:
+                v = (row[i] - a) & 0xFF
+            elif f == 2:
+                v = (row[i] - b) & 0xFF
+            elif f == 3:
+                v = (row[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                v = (row[i] - _paeth(a, b, c)) & 0xFF
+            raw.append(v)
+        prev = row
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    data = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), px)
+
+
+def test_real_decode_and_resize_under_spark(spark):
+    """qm6's kernel end-to-end: PNG payloads built per row, decoded
+    back through mapInPandas with REAL byte-level decode; resize takes
+    the real path for PNGs (decode → nearest-neighbor → re-encode)."""
+    import numpy as np
+
+    from gh_archive_clickhouse_spark.operators.multimodal import (
+        attach_png_payload,
+        decode_image_features,
+        resize_images,
+    )
+    from gh_archive_clickhouse_spark.operators.png_codec import decode_png
+
+    docs = spark.range(0, 20).selectExpr("id AS doc_id")
+    payloads = attach_png_payload(docs)
+    feats = {
+        r.doc_id: r
+        for r in decode_image_features(payloads).collect()
+    }
+    assert len(feats) == 20
+    for doc_id, r in feats.items():
+        assert (r.width, r.height, r.n_channels) == (8, 8, 1)
+        want = np.mean([(doc_id * 31 + i) % 256 for i in range(64)])
+        assert abs(r.mean_px - want) < 1e-9
+
+    resized = resize_images(payloads, 4, 4).collect()
+    for r in resized:
+        arr = decode_png(bytes(r.payload))
+        assert arr.shape == (4, 4, 1)
+        # nearest-neighbor at 2:1 keeps every other source pixel
+        src = ((r.doc_id * 31 + np.arange(64)) % 256).reshape(8, 8)
+        assert np.array_equal(arr[:, :, 0], src[::2, ::2])
 
 
 def test_sample_frames(spark):
