@@ -4,7 +4,15 @@
 
 Prints ONE JSON line:
   {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+   "batch_total": N_b, "stream_total": N_s,
    "queries": {name: sec, ...}, "sf": 0.1}
+
+``value`` = batch_total + stream_total. The split matters for reading
+rounds against each other: stream_total is dominated by stream-startup
+machinery (checkpoint dirs, state-store commits, memory-sink
+round-trips), not engine throughput, and the round-2/3 comparison
+showed the combined number carries >=15% environment variance on
+byte-identical code — keep regressions analyses on batch_total.
 
 Each query is materialized with the `noop` sink (full execution, no
 driver-side collect) — the number measures the engine, not pandas
@@ -47,6 +55,18 @@ def main() -> None:
             _read(spark, sf_dir, t).count()
         except Exception:
             pass
+    # Untimed warm-up QUERY: one representative join+agg pipeline to
+    # JIT the whole-stage-codegen/compiler paths before any timed run
+    # (proven round-2/3 hazard: the first queries of a cold JVM run
+    # ~2x slow, which masqueraded as per-query regressions).
+    for warm in ("qt1_pricing_summary", "qt2_regional_revenue"):
+        if warm in QUERIES:
+            try:
+                QUERIES[warm].builder(spark, sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+            except Exception:
+                pass
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
@@ -79,11 +99,20 @@ def main() -> None:
         for name, t in timings.items()
     }
     total = round(sum(timings.values()), 3)
+    stream_total = round(
+        sum(
+            t for n, t in timings.items()
+            if "streaming" in QUERIES[n].tags
+        ),
+        3,
+    )
     line = json.dumps(
         {
             "metric": "total_query_wall_sec",
             "value": total,
             "unit": "sec",
+            "batch_total": round(total - stream_total, 3),
+            "stream_total": stream_total,
             "queries": short,
             "sf": sf,
         },
