@@ -257,6 +257,124 @@ def test_streaming_end_to_end(spark, mock_server, tmp_path):
     assert all(r.ts is not None and r.raw for r in rows)
 
 
+class MockArchiveFlow(http.server.BaseHTTPRequestHandler):
+    """One scripted lifecycle exercising every protocol behavior in a
+    single stream run:
+
+    poll 1: page1 ids 0..4 (full) + page2 ids 3..7 (within-poll
+            overlap) → emits 0..7
+    poll 2: If-None-Match hit → 304 (empty batch)
+    poll 3: page1 ids 5..9 (3 in poll-1's frontier) → emits 8,9
+    poll 4: page1 ids 10..14 (all new, full) → page2 → 422 cut
+    poll 5+: 304 forever
+    """
+
+    polls = 0
+    requests_seen: list[tuple[int, int]] = []
+    not_modified = 0
+    ETAG = '"etag-flow"'
+
+    def do_GET(self):
+        q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+        page = int(q.get("page", ["1"])[0])
+        cls = type(self)
+        if page == 1:
+            cls.polls += 1
+        cls.requests_seen.append((cls.polls, page))
+        if page == 1 and (cls.polls == 2 or cls.polls >= 5):
+            if self.headers.get("If-None-Match") == cls.ETAG:
+                cls.not_modified += 1
+                self.send_response(304)
+                self.end_headers()
+                return
+        if cls.polls == 4 and page >= 2:
+            self.send_response(422)
+            self.end_headers()
+            return
+        if cls.polls == 1:
+            ids = range(0, 5) if page == 1 else range(3, 8)
+        elif cls.polls == 3:
+            ids = range(5, 10)
+        else:  # poll 4 page 1
+            ids = range(10, 15)
+        self.send_response(200)
+        self.send_header("ETag", cls.ETAG)
+        self.end_headers()
+        self.wfile.write(json.dumps(_events(ids)).encode())
+
+    def log_message(self, *a):
+        pass
+
+
+def test_archive_pipeline_end_to_end(spark, tmp_path):
+    """The COMPLETE reference dataflow, hermetically: the production
+    entrypoint ``start_archive`` (real spark.readStream
+    format('github_events') → watermark dedup → partitioned parquet
+    sink with checkpoint) against a scripted server covering
+    pagination-with-overlap, ETag/304, frontier dedup across polls,
+    and a 422 cut — the reference's one live-API test
+    (internal/gh/gh_test.go:11-21) plus its main loop, end to end.
+    Exact emitted-id set asserted across the overlapping polls."""
+    import time as _time
+
+    from gh_archive_clickhouse_spark.sources.sinks import (
+        dedup_view,
+        read_events,
+    )
+    from gh_archive_clickhouse_spark.streaming.pipeline import start_archive
+
+    MockArchiveFlow.polls = 0
+    MockArchiveFlow.requests_seen = []
+    MockArchiveFlow.not_modified = 0
+    server = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), MockArchiveFlow
+    )
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    out = str(tmp_path / "archive")
+    q = start_archive(
+        spark,
+        out_path=out,
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+        url=f"http://127.0.0.1:{server.server_port}/events",
+        per_page="5",
+        max_pages="3",
+        pace="false",
+    )
+    try:
+        deadline = _time.time() + 60
+        want = set(range(15))
+        got: set[int] = set()
+        while _time.time() < deadline:
+            try:
+                got = {
+                    r.id for r in read_events(spark, out).select("id").collect()
+                }
+            except Exception:
+                got = set()
+            if got >= want and MockArchiveFlow.not_modified >= 1:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+        server.shutdown()
+
+    # exact id set: overlaps (3,4 within poll 1; 5-7 across polls 1/3;
+    # 8,9 across polls 3/4) emitted exactly once
+    stored = read_events(spark, out)
+    assert {r.id for r in stored.select("id").collect()} == want
+    assert stored.count() == len(want)
+    # MergeTree layout contract: daily partition dirs, dedup_view clean
+    assert (tmp_path / "archive" / "dt=20200101").is_dir()
+    assert dedup_view(stored).count() == len(want)
+    # protocol evidence: 304 taken at least once; 422 cut poll 4 at
+    # page 2; pagination never ran past the scripted depth
+    assert MockArchiveFlow.not_modified >= 1
+    assert (4, 2) in MockArchiveFlow.requests_seen
+    assert (1, 3) not in MockArchiveFlow.requests_seen
+    assert (3, 2) not in MockArchiveFlow.requests_seen
+
+
 def test_rate_limit_pacing_rules():
     now = 1000.0
     # healthy budget: spread requests until reset (main.go:187)
