@@ -1,0 +1,195 @@
+"""Scale-evidence properties for the dedup/ANN surface (SURVEY §4.3).
+
+A 10×-inflated corpus with seed-deterministic PLANTED near-dup
+families provides the evidence the 100 TB mandate asks for: candidate
+volume must track TRUE near-dups (additively), never the corpus size
+quadratically; LSH buckets must stay bounded; and no operator plan may
+degenerate into a cartesian / broadcast-nested-loop join when the
+input grows.
+
+Corpus construction (pure column expressions, fully deterministic):
+every base doc spawns 10 variants. Variant 0 keeps the original text;
+for family docs (doc_id % 5 == 0) variants 1-2 append one distinct
+token (word-3-shingle Jaccard ≈ (K-2)/K ≈ 0.95 — guaranteed LSH
+catches); every other variant gets filler from a doc/variant-strided
+integer token range, so no two filler docs share a single shingle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gh_archive_clickhouse_spark.operators.dedup import (
+    _banded,
+    connected_components,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    simhash_candidate_pairs,
+)
+from gh_archive_clickhouse_spark.plans.common import read
+from tests.conftest import SF_DIR
+
+N_VARIANTS = 10
+FAMILY_MOD = 5  # doc_id % 5 == 0 → near-dup family of {0, 1, 2}
+
+
+def _inflated(spark):
+    docs = read(spark, SF_DIR, "documents").select("doc_id", "text")
+    fam = docs.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(N_VARIANTS - 1))
+        ).alias("v"),
+    )
+    is_near_dup = (F.col("doc_id") % FAMILY_MOD == 0) & F.col("v").isin(1, 2)
+    # filler token values strided per (doc, variant): ranges can never
+    # overlap, so fillers share no shingles with anything
+    filler = F.concat_ws(
+        " ",
+        F.array(
+            *[
+                F.concat(
+                    F.lit("u"),
+                    (
+                        F.col("doc_id") * 1000 + F.col("v") * 100 + F.lit(i)
+                    ).cast("string"),
+                )
+                for i in range(12)
+            ]
+        ),
+    )
+    text = (
+        F.when(F.col("v") == 0, F.col("text"))
+        .when(
+            is_near_dup,
+            F.concat(F.col("text"), F.lit(" tail"), F.col("v").cast("string")),
+        )
+        .otherwise(filler)
+    )
+    return fam.select(
+        (F.col("doc_id") * N_VARIANTS + F.col("v")).alias("doc_id"),
+        text.alias("text"),
+    )
+
+
+def _family(doc_id: int) -> int:
+    return doc_id // N_VARIANTS
+
+
+def _is_family_doc(doc_id: int) -> bool:
+    return _family(doc_id) % FAMILY_MOD == 0 and doc_id % N_VARIANTS <= 2
+
+
+def test_lsh_candidate_volume_tracks_true_neardups(spark):
+    """10× the corpus must cost ~(planted pairs) extra candidates —
+    additive growth, not the ~45× a quadratic blow-up would give —
+    and the planted families must actually be found."""
+    base_pairs = lsh_candidate_pairs(
+        minhash_signatures(read(spark, SF_DIR, "documents"))
+    ).count()
+
+    inflated = _inflated(spark)
+    pairs = lsh_candidate_pairs(minhash_signatures(inflated)).collect()
+
+    n_families = read(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % FAMILY_MOD == 0
+    ).count()
+    # each family plants ≤ C(3,2)=3 true pairs
+    planted_max = n_families * 3
+    assert len(pairs) <= base_pairs + planted_max + 50, (
+        len(pairs), base_pairs, planted_max,
+    )
+
+    found_fams = {
+        _family(r.doc_a)
+        for r in pairs
+        if _family(r.doc_a) == _family(r.doc_b)
+        and _is_family_doc(r.doc_a)
+        and _is_family_doc(r.doc_b)
+    }
+    assert len(found_fams) >= int(n_families * 0.9), len(found_fams)
+
+
+def test_lsh_bucket_volume_stays_bounded(spark):
+    """No bucket blow-up on the inflated corpus: the largest LSH band
+    bucket stays family-sized — the property that keeps the bucket
+    join linear at 100 TB (the sentinel exclusion already defuses the
+    empty-doc bucket; this pins the rest)."""
+    sigs = minhash_signatures(_inflated(spark))
+    biggest = (
+        _banded(sigs, "doc_id", 4, 4)
+        .groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("mx"))
+        .first()
+        .mx
+    )
+    assert biggest <= 12, biggest
+
+
+def test_dedup_plans_never_go_quadratic(spark):
+    """Physical plans of the dedup operators over the inflated corpus:
+    equi-joins only — no CartesianProduct, no BroadcastNestedLoopJoin
+    (either would be a scale-killer the moment the corpus grows)."""
+    inflated = _inflated(spark)
+    plans = {
+        "lsh": lsh_candidate_pairs(minhash_signatures(inflated)),
+        "simhash": simhash_candidate_pairs(simhash(inflated)),
+    }
+    for name, df in plans.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_simhash_candidates_ignore_the_inflation(spark):
+    """SimHash banding on the inflated corpus: the 7×-volume filler
+    contributes ZERO candidate pairs (no shared tokens → Hamming ≫ 3),
+    so candidate volume is a function of TRUE near-dup structure only
+    — the original-vs-original pair set is bit-identical to the base
+    corpus's, and every emitted pair touches only real-text docs
+    (originals or planted variants)."""
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs(
+            simhash(read(spark, SF_DIR, "documents"))
+        ).collect()
+    }
+    inflated_pairs = simhash_candidate_pairs(
+        simhash(_inflated(spark))
+    ).collect()
+
+    def real_text(doc_id: int) -> bool:
+        return doc_id % N_VARIANTS == 0 or _is_family_doc(doc_id)
+
+    assert all(
+        real_text(r.doc_a) and real_text(r.doc_b) for r in inflated_pairs
+    )
+    originals = {
+        (r.doc_a // N_VARIANTS, r.doc_b // N_VARIANTS)
+        for r in inflated_pairs
+        if r.doc_a % N_VARIANTS == 0 and r.doc_b % N_VARIANTS == 0
+    }
+    assert originals == base and base
+
+
+def test_planted_families_collapse_to_one_cluster_each(spark):
+    """qx26 shape at 10× volume: connected components over the planted
+    intra-family pairs elect exactly ONE canonical doc per family (the
+    min id), with pointer-jumping convergence well inside the budget."""
+    pairs = lsh_candidate_pairs(minhash_signatures(_inflated(spark)))
+    intra = pairs.filter(
+        (F.col("doc_a").cast("long") / N_VARIANTS).cast("long")
+        == (F.col("doc_b").cast("long") / N_VARIANTS).cast("long")
+    )
+    labels = connected_components(intra).collect()
+    by_family: dict[int, set[int]] = {}
+    for r in labels:
+        assert _family(r.doc_id) == _family(r.cluster_rep)
+        by_family.setdefault(_family(r.doc_id), set()).add(r.cluster_rep)
+    assert by_family
+    for fam, reps in by_family.items():
+        assert len(reps) == 1, (fam, reps)
+        assert min(reps) % N_VARIANTS == 0  # variant 0 is the min id
