@@ -578,6 +578,27 @@ def connected_components(
                 ).alias("label"),
             )
         )
+        # Materialized BEFORE the jump self-join: both sides of the
+        # jump (and the probe) read the same computed-once frame
+        # instead of re-running the propagation join per consumer.
+        prop = materialize(prop, f"cc_prop_{_i}")
+        # Probe on the PROPAGATION output (an extra job per round, so
+        # it starts at round 1 — round 0 always changes something when
+        # any edge exists): prop == labels certifies a propagation
+        # fixed point, at which the jump is the identity — the final
+        # round skips its self-join entirely.
+        if _i > 0:
+            changed = (
+                prop.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = prop
+                converged = True
+                break
         # Pointer jump: label := label(label). Every label value is a
         # node id present in the label table (initialization + both
         # update rules preserve it), so the lookup matches exactly one
@@ -588,23 +609,7 @@ def connected_components(
         new_labels = prop.join(jump, "label", "left").select(
             "node", F.coalesce("jlabel", "label").alias("label")
         )
-        new_labels = materialize(new_labels, f"cc_labels_{_i}")
-        # Round 0 always changes something when any edge exists (every
-        # max-id endpoint adopts a smaller neighbor label), so the
-        # convergence probe — an extra job per round — starts at round 1.
-        if _i > 0:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                labels = new_labels
-                converged = True
-                break
-        labels = new_labels
+        labels = materialize(new_labels, f"cc_labels_{_i}")
     if not converged:
         # Loop exhausted without a certified fixed point (or max_iters
         # was too small for the probe to ever run). Post-condition: at
