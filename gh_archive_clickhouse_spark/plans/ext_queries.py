@@ -1009,6 +1009,31 @@ def qx30_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx31_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END PRODUCT — the canonical corpus: LSH
+    near-dup pairs → connected components → drop every cluster member
+    except the elected representative (min doc_id), keeping all
+    never-paired docs. One left-anti join of the corpus against the
+    (small: O(duplicate docs)) drop list on uniform doc_id keys — no
+    broadcast hint; the drop side can be a large corpus fraction at
+    100 TB, so the join strategy is AQE's runtime call."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    pairs = qx9_lsh_candidates(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.7
+    )
+    cc = connected_components(pairs)
+    drops = cc.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        "doc_id"
+    )
+    return docs.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
+
+
 QUERIES = [
     Query(
         "qx1_exact_dedup",
@@ -1500,6 +1525,37 @@ FROM m2
         )
         SELECT node AS doc_id, min(label) AS cluster_rep
         FROM reach GROUP BY node
+""".format(qx9=_ORACLE_QX9),
+        tags=("ext", "dedup", "iterative"),
+    ),
+    Query(
+        "qx31_dedup_survivors",
+        "canonical corpus after fuzzy dedup: drop all but the elected "
+        "representative of every duplicate cluster",
+        qx31_dedup_survivors,
+        """
+        WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b FROM ({qx9}) WHERE jaccard >= 0.7
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM edges
+        ), reach AS (
+          SELECT node, node AS label FROM nodes
+          UNION
+          SELECT e.src AS node, r.label
+          FROM edges e JOIN reach r ON e.dst = r.node
+        ), cc AS (
+          SELECT node AS doc_id, min(label) AS cluster_rep
+          FROM reach GROUP BY node
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        WHERE d.doc_id NOT IN (
+          SELECT doc_id FROM cc WHERE doc_id <> cluster_rep
+        )
 """.format(qx9=_ORACLE_QX9),
         tags=("ext", "dedup", "iterative"),
     ),

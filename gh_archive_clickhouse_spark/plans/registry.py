@@ -32,6 +32,7 @@ _R2_NEW_TPCH2 = ("qt30_waiting_suppliers", "qt31_top_revenue_supplier")
 _CHANGED_R4 = (
     "qx22_tfidf_top_terms",
     "qx26_dedup_clusters",
+    "qx31_dedup_survivors",
     "qm6_real_image_decode",
     "qs4_stream_incremental_lsh",
     "qe14_cohort_retention",

@@ -238,6 +238,18 @@ def test_qe14_cohort_join_unhinted(spark):
     )
 
 
+def test_qx31_survivors_is_anti_join_no_cartesian(spark):
+    """The canonical-corpus cut must be a LeftAnti equi-join on doc_id
+    with no cartesian anywhere in the (LSH + CC + cut) pipeline, and
+    no forced broadcast of the drop list (a large corpus fraction at
+    scale)."""
+    df = QUERIES["qx31_dedup_survivors"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_qt30_correlations_are_semi_anti_joins(spark):
     """Q21 shape: the EXISTS/NOT EXISTS double correlation must
     compile to semi + anti hash joins, never nested loops over the
