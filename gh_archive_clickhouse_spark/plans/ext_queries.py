@@ -1009,6 +1009,30 @@ def qx30_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx32_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup over the embedding space: blocked
+    cosine near-dup pairs (label blocks here; IVF cluster blocks in a
+    production pipeline) above 0.35 → connected components → drop
+    every cluster member except the min-vec_id representative. Output:
+    the surviving (vec_id, label) — the semantically-canonical
+    embedding corpus. Same additive-candidate/anti-join shape as the
+    text pipeline (qx31), so the 100 TB properties carry over."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        near_duplicate_pairs,
+    )
+
+    emb = read(spark, sf_dir, "embeddings")
+    pairs = near_duplicate_pairs(emb, threshold=0.35, dim=EMB_DIM)
+    cc = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    drops = cc.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")
+
+
 def qx31_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's END PRODUCT — the canonical corpus: LSH
     near-dup pairs → connected components → drop every cluster member
@@ -1558,6 +1582,41 @@ FROM m2
         )
 """.format(qx9=_ORACLE_QX9),
         tags=("ext", "dedup", "iterative"),
+    ),
+    Query(
+        "qx32_semantic_dedup",
+        "SemDeDup: cosine near-dup clusters over embeddings, keep one "
+        "representative per cluster",
+        qx32_semantic_dedup,
+        f"""
+        WITH RECURSIVE e AS (
+          SELECT vec_id, label, {_ED} AS ed FROM embeddings
+        ), p AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+          WHERE round({_sql_cosine('a.ed', 'b.ed')}, 6) >= 0.35
+        ), edges AS (
+          SELECT vec_a AS src, vec_b AS dst FROM p
+          UNION ALL
+          SELECT vec_b AS src, vec_a AS dst FROM p
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM edges
+        ), reach AS (
+          SELECT node, node AS label FROM nodes
+          UNION
+          SELECT e2.src AS node, r.label
+          FROM edges e2 JOIN reach r ON e2.dst = r.node
+        ), cc AS (
+          SELECT node AS vec_id, min(label) AS cluster_rep
+          FROM reach GROUP BY node
+        )
+        SELECT em.vec_id, em.label
+        FROM embeddings em
+        WHERE em.vec_id NOT IN (
+          SELECT vec_id FROM cc WHERE vec_id <> cluster_rep
+        )
+        """,
+        tags=("ext", "dedup", "similarity", "iterative"),
     ),
     Query(
         "qx27_pii_scrub",

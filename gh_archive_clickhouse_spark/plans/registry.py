@@ -33,6 +33,7 @@ _CHANGED_R4 = (
     "qx22_tfidf_top_terms",
     "qx26_dedup_clusters",
     "qx31_dedup_survivors",
+    "qx32_semantic_dedup",
     "qm6_real_image_decode",
     "qs4_stream_incremental_lsh",
     "qe14_cohort_retention",

@@ -250,6 +250,17 @@ def test_qx31_survivors_is_anti_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_qx32_semantic_dedup_blocked_and_anti(spark):
+    """SemDeDup: the cosine pair stage must stay a blocked equi-join
+    (never all-pairs) and the survivors cut a LeftAnti join — no
+    cartesian/BNLJ anywhere in embeddings → pairs → CC → cut."""
+    df = QUERIES["qx32_semantic_dedup"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_qt30_correlations_are_semi_anti_joins(spark):
     """Q21 shape: the EXISTS/NOT EXISTS double correlation must
     compile to semi + anti hash joins, never nested loops over the
