@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from gh_archive_clickhouse_spark.functions.hashing import (
     MERSENNE31,
+    md5_long,
     word_hash31,
 )
 from gh_archive_clickhouse_spark.functions.text import tokens, word_shingles
@@ -639,4 +640,160 @@ def connected_components(
             )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+
+
+def passage_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Passage-level (chunk) duplication profile per document.
+
+    Documents are cut into consecutive ``chunk_tokens``-token passages
+    (the tail keeps its short remainder); a passage is a DUPLICATE if
+    the identical token run appeared at an earlier (id, chunk_idx)
+    anywhere in the corpus. This is the sub-document granularity that
+    catches boilerplate (headers, navbars, license blocks) that
+    document-level dedup misses entirely.
+
+    Physical shape: stage tokens -> slice into chunks -> posexplode ->
+    md5-derived chunk hash (codegen projection). First-occurrence
+    election is a min-struct WINDOW over the 60-bit chunk hash —
+    uniform keys, no skew — then one groupBy(id) rolls the per-doc
+    duplicate fraction. Shuffle volume: one row per chunk, twice —
+    linear in corpus tokens, never quadratic (no chunk-vs-chunk join).
+
+    Output: (id_col, n_chunks, n_dup_chunks, dup_frac). Token-less
+    documents produce no row (they have no passages).
+    """
+    staged = ensure_parallelism(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
+    ct = F.lit(chunk_tokens)
+    chunks = (
+        staged.filter(F.size("__t") >= 1)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("__t") / ct.cast("double")).cast(
+                            "int"
+                        )
+                        - 1,
+                    ),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("__t"), i * ct + 1, ct)
+                    ),
+                )
+            ).alias("chunk_idx", "__chunk"),
+        )
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            md5_long(F.col("__chunk")).alias("__h"),
+        )
+    )
+    w = Window.partitionBy("__h")
+    flagged = chunks.select(
+        F.col(id_col),
+        (
+            F.struct(F.col(id_col), F.col("chunk_idx"))
+            != F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).over(w)
+        ).alias("__is_dup"),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("__is_dup").cast("long")).alias("n_dup_chunks"),
+        F.round(
+            F.sum(F.col("__is_dup").cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    max_df: int = 50,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) over word
+    k-shingle sets — the ASYMMETRIC overlap measure that catches
+    subset copies (a doc embedded whole inside a larger one), which
+    Jaccard dilutes below any usable threshold.
+
+    Physical shape: inverted index (explode distinct shingle hashes),
+    DROP shingles with document frequency > ``max_df`` (the standard
+    stop-shingle guard — a boilerplate shingle shared by millions of
+    docs would otherwise create a df² hot bucket; dropping it loses
+    only pairs whose entire overlap is non-discriminative text), then
+    a self-equi-join on the surviving shingle hashes, a pair-count
+    aggregate, and a broadcast-size join. Candidate volume is
+    Σ df(s)² over KEPT shingles — bounded by max_df · corpus shingles,
+    i.e. linear in the corpus with a constant the operator controls.
+
+    Sizes in the denominator are the FILTERED set sizes (both engines
+    must agree on the universe; using unfiltered sizes would make the
+    metric depend on dropped non-evidence). Output:
+    (doc_a, doc_b, shared, containment) with doc_a < doc_b.
+    """
+    sets = shingle_sets(df, text_col, id_col, shingle_k)
+    inv = sets.select(
+        F.col(id_col), F.explode("__sh").alias("__s")
+    ).select(F.col(id_col), word_hash31(F.col("__s")).alias("__sh31"))
+    kept = inv.join(
+        inv.groupBy("__sh31")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_df)
+        .select("__sh31"),
+        "__sh31",
+    )
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    left = kept.alias("l")
+    right = kept.alias("r")
+    shared = (
+        left.join(
+            right,
+            on=[
+                F.col("l.__sh31") == F.col("r.__sh31"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col(id_col).alias("doc_a"), F.col("__sz").alias("__sza")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("doc_b"), F.col("__sz").alias("__szb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                / F.least("__sza", "__szb").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )

@@ -1,0 +1,122 @@
+"""Sequence packing: map a document corpus onto fixed-token-budget
+training sequences (the concat-and-chunk layout used to build LLM
+pre-training batches).
+
+Semantics: documents are laid out back-to-back in a deterministic
+total order (``order_col`` ascending); the concatenated token stream
+is cut into sequences of exactly ``budget`` tokens. Each document gets
+its packing coordinates: the number of tokens before it, the sequence
+it starts in, its offset inside that sequence, and whether it crosses
+a sequence boundary (i.e. would be split across two training rows).
+
+Scale design — the hierarchical prefix sum: a naive
+``sum() OVER (ORDER BY order_col)`` is a SINGLE-PARTITION window (the
+whole corpus through one task — a non-starter at 100 TB). Instead:
+
+1. bucket documents into contiguous order-ranges (``order_col div
+   group_size``) — at cluster scale this is the input-split boundary;
+2. aggregate one token total per bucket (map-side combine, tiny
+   output: corpus_rows / group_size);
+3. run the exclusive prefix sum over the BUCKET TOTALS only — a
+   window over O(n/group_size) rows, the classic two-level scan;
+4. broadcast-join the bucket offsets back and finish with a window
+   partitioned BY BUCKET — every task scans only its own bucket.
+
+Stages 1/3/4 shuffle O(n/group_size), O(n/group_size), O(n) rows
+respectively, and no task ever holds more than one bucket — the same
+recurrence GPU scan kernels and Spark's own ``zipWithIndex`` use.
+
+Reference parity note: the reference engine has no packing operator
+(it ships raw events to ClickHouse); this is part of the
+training-data extension surface (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_coordinates(
+    df: DataFrame,
+    n_tokens: Column,
+    budget: int,
+    order_col: str = "doc_id",
+    group_size: int = 4096,
+) -> DataFrame:
+    """Packing coordinates for every row of ``df``.
+
+    ``n_tokens`` is a Column expression giving the row's token count
+    (evaluated once, staged). Output columns: ``order_col``,
+    ``n_tokens``, ``tokens_before`` (exclusive prefix sum), ``seq_id``
+    (= tokens_before div budget), ``seq_offset`` (= tokens_before mod
+    budget), ``crosses_boundary`` (document spans >1 sequence).
+
+    Zero-token documents keep a row (seq coordinates of the point they
+    occupy); they never set ``crosses_boundary``.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    staged = df.select(
+        F.col(order_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.floor(F.col(order_col) / F.lit(group_size)).alias("__g"),
+    )
+    bucket_totals = staged.groupBy("__g").agg(
+        F.sum("n_tokens").alias("__g_tokens")
+    )
+    # Exclusive prefix over bucket totals — O(n/group_size) rows, the
+    # only global-order window, deliberately tiny.
+    w_buckets = Window.orderBy("__g").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bucket_totals.select(
+        "__g",
+        F.coalesce(F.sum("__g_tokens").over(w_buckets), F.lit(0)).alias(
+            "__g_before"
+        ),
+    )
+    # Within-bucket exclusive prefix: window partitioned by bucket, so
+    # the scan parallelizes across buckets.
+    w_in = (
+        Window.partitionBy("__g")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b = F.lit(budget).cast("long")
+    with_prefix = staged.join(F.broadcast(offsets), "__g").select(
+        order_col,
+        "n_tokens",
+        (
+            F.col("__g_before")
+            + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+        ).alias("tokens_before"),
+    )
+    return with_prefix.select(
+        order_col,
+        "n_tokens",
+        "tokens_before",
+        F.floor(F.col("tokens_before") / b).cast("long").alias("seq_id"),
+        (F.col("tokens_before") % b).alias("seq_offset"),
+        (
+            (F.col("n_tokens") > F.lit(0))
+            & (
+                F.floor(
+                    (F.col("tokens_before") + F.col("n_tokens") - 1) / b
+                )
+                > F.floor(F.col("tokens_before") / b)
+            )
+        ).alias("crosses_boundary"),
+    )
+
+
+def sequence_fill_stats(coords: DataFrame, budget: int) -> DataFrame:
+    """Per-sequence packing summary from :func:`pack_coordinates`
+    output: how many documents START in each sequence and how many of
+    the sequence's tokens come from boundary-crossing continuation.
+    One uniform-key aggregation over seq_id."""
+    return coords.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs_starting"),
+        F.sum("n_tokens").alias("tokens_started"),
+        F.sum(F.col("crosses_boundary").cast("long")).alias("n_split_docs"),
+    )

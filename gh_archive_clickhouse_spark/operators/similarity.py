@@ -394,3 +394,136 @@ def kmeans_fit(
         "c_val",
         "n_members",
     )
+
+
+def pq_codebook(
+    emb: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook as ONE broadcastable row.
+
+    Deterministic "training" mirrors kmeans_fit's init: the k vectors
+    with id < k become the codes (code = id, so code c sits at list
+    position c). A production pipeline would run kmeans_fit per
+    subspace instead; the encode/scan shape below is identical either
+    way. Output: a single row ``__cb`` =
+    array<struct<code:int, cvec:array<double>>> sorted by code —
+    k*dim doubles, kilobytes, always broadcast.
+    """
+    return (
+        emb.filter(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("int").alias("code"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+        .agg(
+            F.array_sort(F.collect_list(F.struct("code", "cvec"))).alias(
+                "__cb"
+            )
+        )
+    )
+
+
+def _pq_sub_l2(vec: str, cent: str, mm: str, sub: int) -> str:
+    """SQL for the squared L2 distance between subspace ``mm`` of two
+    double arrays: sequential left fold, bit-identical to the oracle's
+    ``list_aggregate(list_transform(...), 'sum')``."""
+    return (
+        f"aggregate(zip_with(slice({vec}, {mm}*{sub}+1, {sub}), "
+        f"slice({cent}, {mm}*{sub}+1, {sub}), (p, q) -> (p-q)*(p-q)), "
+        f"cast(0 as double), (s, v) -> s + v)"
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-encode every vector: dim floats -> m small codes.
+
+    The 100 TB shape: encoding is embarrassingly parallel — ONE
+    map-only stage, zero shuffle. The codebook arrives as a broadcast
+    one-row frame; per row, a single JVM higher-order expression finds
+    the argmin-L2 code in each of the m subspaces (ties -> lowest
+    code; evaluated once per code via a transform->fold rewrite, not a
+    re-evaluating CASE). Output: (id_col, codes array<int> length m)
+    — a 64x compression of a float64[64] column, the layout every
+    billion-scale ANN index stores.
+    """
+    sub = dim // m
+    if m * sub != dim:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    cb = codebook if codebook is not None else pq_codebook(emb)
+    dist = _pq_sub_l2("__v", "e.cvec", "mm", sub)
+    codes = (
+        f"transform(sequence(0, {m - 1}), mm -> "
+        f"aggregate("
+        f"transform(__cb, e -> named_struct('d', {dist}, 'c', e.code)), "
+        f"named_struct('d', cast('Infinity' as double), 'c', 2147483647), "
+        f"(acc, el) -> IF(el.d < acc.d OR (el.d = acc.d AND el.c < acc.c), "
+        f"el, acc)).c)"
+    )
+    return (
+        ensure_parallelism(emb)
+        .select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        .crossJoin(F.broadcast(cb))
+        .select(F.col(id_col), F.expr(codes).alias("codes"))
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    query: DataFrame,
+    codebook: DataFrame,
+    k_top: int = 10,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    query_vec_col: str = "q",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k scan over PQ codes.
+
+    The query is scored against the CODEBOOK once — an m x k table of
+    subspace distances (``__dt``), built on the broadcast one-row
+    frames — then every database vector's approximate distance is m
+    table lookups + a fold: no float vector is touched during the
+    scan. orderBy+limit compiles to TakeOrderedAndProject (per-task
+    top-k, driver merge — no global sort). This is the memory-bound
+    scan loop of IVF-PQ systems (FAISS-style), expressed as two
+    broadcast joins and one map stage.
+
+    Requires codebook codes to be exactly 0..k-1 (pq_codebook's
+    contract), so ``codes[mm]`` indexes the distance table directly.
+    """
+    sub = dim // m
+    dist = _pq_sub_l2("__q", "e.cvec", "mm", sub)
+    dtable = (
+        f"transform(sequence(0, {m - 1}), mm -> "
+        f"transform(__cb, e -> {dist}))"
+    )
+    dt_row = (
+        query.select(F.col(query_vec_col).cast("array<double>").alias("__q"))
+        .crossJoin(F.broadcast(codebook))
+        .select(F.expr(dtable).alias("__dt"))
+    )
+    adist = (
+        f"aggregate(sequence(0, {m - 1}), cast(0 as double), (s, mm) -> "
+        f"s + element_at(element_at(__dt, mm + 1), "
+        f"element_at(codes, mm + 1) + 1))"
+    )
+    return (
+        encoded.crossJoin(F.broadcast(dt_row))
+        .select(
+            F.col(id_col), F.round(F.expr(adist), 6).alias("adc_dist")
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k_top)
+    )

@@ -1058,7 +1058,271 @@ def qx31_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx33_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk SEQUENCE PACKING: lay the corpus out doc-after-
+    doc (doc_id order) and cut the token stream into 256-token training
+    sequences; per doc emit its packing coordinates (prefix tokens,
+    sequence id/offset, boundary-crossing flag). The prefix sum is the
+    HIERARCHICAL two-level scan (operators/packing.py) — the global
+    window the naive formulation needs never exists, so the plan holds
+    at any corpus size. Oracle: the naive single-window SQL, which is
+    exactly what the two-level scan must reproduce."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        pack_coordinates,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    return pack_coordinates(
+        docs, F.size(tokens(F.col("text"))), budget=256
+    )
+
+
+def qx34_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ENCODE: 64-d float vectors -> 8 int codes
+    (8 subspaces x 16-entry codebook, deterministic codebook = the
+    vectors with id < 16). One map-only stage against the broadcast
+    one-row codebook — zero shuffle; the encode step of an IVF-PQ
+    index build (operators/similarity.py:pq_encode)."""
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = read(spark, sf_dir, "embeddings")
+    enc = pq_encode(emb, m=8, dim=EMB_DIM, codebook=pq_codebook(emb))
+    # Engine-portable contract form: arrays serialize to CSV strings
+    # (same convention as qx8's signature column).
+    return enc.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform(F.col("codes"), lambda c: c.cast("string"))
+        ).alias("codes_s"),
+    )
+
+
+def qx35_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ASYMMETRIC-DISTANCE top-10 for the vec_id=0 query: score the
+    query against the codebook once (8x16 distance table), then every
+    vector's approximate distance is 8 table lookups + a fold over its
+    codes — the FAISS-style ADC scan loop. TakeOrderedAndProject
+    merges per-task top-k; no global sort, no float vectors touched
+    during the scan."""
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = read(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb)
+    enc = pq_encode(emb, m=8, dim=EMB_DIM, codebook=cb)
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    return pq_adc_topk(
+        enc.filter(F.col("vec_id") != 0), query, cb, k_top=10, m=8,
+        dim=EMB_DIM,
+    )
+
+
+def qx36_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level duplication profile: cut every doc into 16-token
+    chunks, elect the corpus-first occurrence of each identical chunk
+    (min-struct window over the 60-bit chunk hash — uniform keys),
+    and roll up each doc's duplicate-passage fraction — the
+    boilerplate detector document-level dedup can't see
+    (operators/dedup.py:passage_dup_stats)."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        passage_dup_stats,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    return passage_dup_stats(docs, chunk_tokens=16)
+
+
+def qx37_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs |A∩B|/min(|A|,|B|) ≥ 0.6 over word
+    3-shingles via an inverted shingle index with a df ≤ 50
+    stop-shingle guard — the asymmetric measure that catches
+    subset-copies Jaccard dilutes; candidate volume is bounded by
+    max_df x corpus shingles, linear at 100 TB
+    (operators/dedup.py:containment_pairs)."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    return containment_pairs(docs, shingle_k=3, max_df=50, threshold=0.6)
+
+
+_ORACLE_QX33 = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      AS tokens_before
+  FROM t
+)
+SELECT doc_id, n_tokens, tokens_before,
+  CAST(tokens_before // 256 AS BIGINT) AS seq_id,
+  CAST(tokens_before % 256 AS BIGINT) AS seq_offset,
+  (n_tokens > 0 AND
+   ((tokens_before + n_tokens - 1) // 256) > (tokens_before // 256))
+    AS crosses_boundary
+FROM c
+"""
+
+# Shared codebook/encode CTEs for the PQ oracles: mirror the Spark
+# fold orders exactly (sequential list_aggregate sums, first-wins
+# strict-< argmin with explicit (d, c) tie-break).
+_SQL_PQ_ENC = """
+cb AS (
+  SELECT list(struct_pack(code := CAST(vec_id AS INT),
+              cvec := list_transform(embedding, x -> CAST(x AS DOUBLE)))
+              ORDER BY vec_id) AS cbl
+  FROM embeddings WHERE vec_id < 16
+),
+v AS (SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings),
+enc AS (
+  SELECT vec_id,
+    list_transform(range(0, 8), mm ->
+      list_reduce(
+        list_transform(cbl, e -> struct_pack(d :=
+          list_aggregate(list_transform(range(1, 9), i ->
+            (ve[mm*8+i] - e.cvec[mm*8+i]) * (ve[mm*8+i] - e.cvec[mm*8+i])),
+            'sum'),
+          c := e.code)),
+        (acc, el) -> CASE WHEN el.d < acc.d OR
+                          (el.d = acc.d AND el.c < acc.c)
+                     THEN el ELSE acc END).c) AS codes
+  FROM v, cb
+)
+"""
+
+_ORACLE_QX34 = (
+    f"WITH {_SQL_PQ_ENC} SELECT vec_id, array_to_string("
+    f"list_transform(codes, c -> CAST(c AS VARCHAR)), ',') AS codes_s "
+    f"FROM enc"
+)
+
+_ORACLE_QX35 = f"""
+WITH {_SQL_PQ_ENC},
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id = 0),
+dt AS (
+  SELECT list_transform(range(0, 8), mm ->
+    list_transform(cbl, e ->
+      list_aggregate(list_transform(range(1, 9), i ->
+        (qe[mm*8+i] - e.cvec[mm*8+i]) * (qe[mm*8+i] - e.cvec[mm*8+i])),
+        'sum'))) AS dtl
+  FROM q, cb
+)
+SELECT vec_id, round(list_aggregate(list_transform(range(0, 8), mm ->
+    dtl[mm+1][codes[mm+1]+1]), 'sum'), 6) AS adc_dist
+FROM enc, dt WHERE vec_id != 0
+ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+"""
+
+_ORACLE_QX36 = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+), ch AS (
+  SELECT doc_id, i - 1 AS chunk_idx,
+    ('0x' || substr(md5(
+       array_to_string(t[(i-1)*16+1 : (i-1)*16+16], ' ')), 1, 15))::BIGINT
+      AS h
+  FROM toks CROSS JOIN
+       unnest(generate_series(1, CAST(ceil(len(t)/16.0) AS INT))) AS u(i)
+  WHERE len(t) >= 1
+), fl AS (
+  SELECT doc_id,
+    (doc_id != first_value(doc_id) OVER w OR
+     chunk_idx != first_value(chunk_idx) OVER w) AS is_dup
+  FROM ch
+  WINDOW w AS (PARTITION BY h ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT doc_id, count(*) AS n_chunks,
+  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+  round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+FROM fl GROUP BY doc_id
+"""
+
+
+def _oracle_qx37() -> str:
+    sh = _sql_shingles("text", 3)
+    h = _sql_word_hash31("s")
+    return f"""
+WITH sets AS (
+  SELECT doc_id, {sh} AS shl FROM documents
+), inv AS (
+  SELECT doc_id, {h} AS hh FROM sets CROSS JOIN unnest(shl) AS u(s)
+), kept AS (
+  SELECT i.doc_id, i.hh FROM inv i
+  JOIN (SELECT hh FROM inv GROUP BY hh HAVING count(*) <= 50) d USING (hh)
+), sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM kept a JOIN kept b ON a.hh = b.hh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+  round(shared / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+FROM shared JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(shared / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) >= 0.6
+"""
+
+
 QUERIES = [
+    Query(
+        "qx33_sequence_packing",
+        "concat-and-chunk sequence packing coordinates "
+        "(hierarchical prefix sum, 256-token budget)",
+        qx33_sequence_packing,
+        _ORACLE_QX33,
+        tags=("ext", "packing"),
+    ),
+    Query(
+        "qx34_pq_encode",
+        "product-quantization encode: 64-d floats -> 8 codes, "
+        "map-only vs broadcast codebook",
+        qx34_pq_encode,
+        _ORACLE_QX34,
+        tags=("ext", "similarity"),
+    ),
+    Query(
+        "qx35_pq_adc_topk",
+        "PQ asymmetric-distance top-10 scan (distance-table "
+        "lookups, TakeOrdered merge)",
+        qx35_pq_adc_topk,
+        _ORACLE_QX35,
+        tags=("ext", "similarity"),
+    ),
+    Query(
+        "qx36_passage_dedup",
+        "passage-level (16-token chunk) duplicate fraction per doc",
+        qx36_passage_dedup,
+        _ORACLE_QX36,
+        tags=("ext", "dedup"),
+    ),
+    Query(
+        "qx37_containment_neardup",
+        "containment near-dup pairs over word 3-shingles "
+        "(inverted index + stop-shingle df cap)",
+        qx37_containment_neardup,
+        _oracle_qx37(),
+        tags=("ext", "dedup"),
+    ),
     Query(
         "qx1_exact_dedup",
         "exact text dedup by sha2-256 content hash (lowest doc_id wins)",

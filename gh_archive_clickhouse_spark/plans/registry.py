@@ -30,6 +30,14 @@ _R1_STALE_EVENTS = (
 )
 _R2_NEW_TPCH2 = ("qt30_waiting_suppliers", "qt31_top_revenue_supplier")
 _CHANGED_R4 = (
+    # new this round — never driver-verified, highest priority after
+    # the stale set
+    "qx33_sequence_packing",
+    "qx34_pq_encode",
+    "qx35_pq_adc_topk",
+    "qx36_passage_dedup",
+    "qx37_containment_neardup",
+    # code changed this round
     "qx22_tfidf_top_terms",
     "qx26_dedup_clusters",
     "qx31_dedup_survivors",

@@ -1,0 +1,221 @@
+"""Round-4 operator units: sequence packing, product quantization,
+passage-level dedup, containment near-dup pairs.
+
+Semantics against brute-force references on adversarial micro-fixtures
+plus the plan-shape contracts that keep each operator linear at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gh_archive_clickhouse_spark.operators.dedup import (
+    containment_pairs,
+    passage_dup_stats,
+)
+from gh_archive_clickhouse_spark.operators.packing import (
+    pack_coordinates,
+    sequence_fill_stats,
+)
+from gh_archive_clickhouse_spark.operators.similarity import (
+    pq_adc_topk,
+    pq_codebook,
+    pq_encode,
+)
+from gh_archive_clickhouse_spark.plans.common import read
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ------------------------------------------------------------- packing
+
+
+def test_pack_coordinates_matches_bruteforce(spark):
+    """Two-level prefix sum == naive sequential layout, including
+    zero-token docs, id gaps, and docs larger than the budget.
+    group_size=2 forces many buckets (the hierarchical path)."""
+    rows = [
+        (0, "a b c"),
+        (1, ""),
+        (2, "a b c d e"),
+        (3, " ".join(["w"] * 300)),  # larger than the whole budget
+        (10, "x"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in pack_coordinates(
+            _docs(spark, rows),
+            F.size(F.array_remove(F.split(F.col("text"), " "), "")),
+            budget=16,
+            group_size=2,
+        ).collect()
+    }
+    running = 0
+    for doc_id, text in rows:
+        n = len([t for t in text.split(" ") if t])
+        r = out[doc_id]
+        assert r.n_tokens == n
+        assert r.tokens_before == running
+        assert r.seq_id == running // 16
+        assert r.seq_offset == running % 16
+        expect_cross = n > 0 and (running + n - 1) // 16 > running // 16
+        assert r.crosses_boundary == expect_cross, doc_id
+        running += n
+    # the 300-token doc must cross; the empty doc must not
+    assert out[3].crosses_boundary and not out[1].crosses_boundary
+
+
+def test_pack_budget_validation(spark):
+    with pytest.raises(ValueError, match="budget"):
+        pack_coordinates(
+            _docs(spark, [(1, "a")]), F.lit(1), budget=0
+        )
+
+
+def test_sequence_fill_stats(spark):
+    rows = [(0, " ".join(["t"] * 10)), (1, " ".join(["t"] * 10))]
+    coords = pack_coordinates(
+        _docs(spark, rows), F.size(F.split(F.col("text"), " ")), budget=16
+    )
+    stats = {r.seq_id: r for r in sequence_fill_stats(coords, 16).collect()}
+    # doc 0 starts in seq 0; doc 1 starts at offset 10 and crosses
+    assert stats[0].n_docs_starting == 2
+    assert stats[0].tokens_started == 20
+    assert stats[0].n_split_docs == 1
+
+
+def test_pack_no_global_window_over_rows(spark):
+    """The scale contract: the only unpartitioned window runs over
+    BUCKET TOTALS (post-aggregation), never over the raw rows — the
+    raw-row window is partitioned by bucket."""
+    import re
+
+    docs = read(spark, SF_DIR, "documents")
+    df = pack_coordinates(docs, F.lit(1), budget=256)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # per-row window: PARTITIONED by the bucket column (parallel scan)
+    assert re.search(r"windowspecdefinition\(__g#\d+L, doc_id#", plan), (
+        plan[:3000]
+    )
+    # the only unpartitioned window consumes the BUCKET TOTALS
+    unpartitioned = [
+        ln
+        for ln in plan.splitlines()
+        if "Window [" in ln
+        and not re.search(r"windowspecdefinition\(__g#\d+L, doc_id#", ln)
+    ]
+    assert len(unpartitioned) == 1 and "__g_tokens" in unpartitioned[0], (
+        unpartitioned
+    )
+    # bucket offsets come back via broadcast, not a shuffle join
+    assert "BroadcastExchange" in plan
+
+
+# ------------------------------------------------------ product quant
+
+
+def test_pq_encode_codebook_vectors_encode_to_themselves(spark):
+    """Every codebook vector's nearest centroid in every subspace is
+    itself (distance 0) — the self-consistency invariant of any PQ
+    implementation."""
+    emb = read(spark, SF_DIR, "embeddings")
+    enc = pq_encode(emb, m=8, dim=64)
+    rows = enc.filter(F.col("vec_id") < 16).collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert list(r.codes) == [r.vec_id] * 8, r
+
+
+def test_pq_adc_self_distance_zero(spark):
+    """ADC distance of a codebook vector against its own codes is
+    exactly 0 — and it wins the top-k."""
+    emb = read(spark, SF_DIR, "embeddings")
+    cb = pq_codebook(emb)
+    enc = pq_encode(emb, m=8, dim=64, codebook=cb)
+    query = emb.filter(F.col("vec_id") == 5).select(
+        F.col("embedding").alias("q")
+    )
+    top = pq_adc_topk(enc, query, cb, k_top=1, m=8, dim=64).collect()
+    assert top[0].vec_id == 5 and top[0].adc_dist == 0.0
+
+
+def test_pq_encode_is_map_only(spark):
+    """Encode must not shuffle the embedding table: the only exchanges
+    are the broadcast of the one-row codebook (and the tiny
+    single-partition aggregate that builds it) — never a
+    hash-partitioned shuffle of the big side."""
+    emb = read(spark, SF_DIR, "embeddings")
+    df = pq_encode(emb, m=8, dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan[:3000]
+    assert "BroadcastExchange" in plan
+
+
+# -------------------------------------------------------- passage dedup
+
+
+def test_passage_dup_stats_flags_copied_chunk(spark):
+    a_chunk = " ".join(f"a{i}" for i in range(16))
+    b_chunk = " ".join(f"b{i}" for i in range(16))
+    c_chunk = " ".join(f"c{i}" for i in range(16))
+    docs = _docs(
+        spark,
+        [
+            (1, f"{a_chunk} {b_chunk}"),  # original
+            (2, f"{a_chunk} {c_chunk}"),  # reuses doc 1's first chunk
+            (3, "short tail only"),  # single sub-16-token chunk
+            (4, ""),  # no tokens -> no row
+        ],
+    )
+    out = {r.doc_id: r for r in passage_dup_stats(docs).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_dup_chunks == 0
+    assert out[2].n_chunks == 2 and out[2].n_dup_chunks == 1
+    assert out[2].dup_frac == 0.5
+    assert out[3].n_chunks == 1 and out[3].n_dup_chunks == 0
+    assert 4 not in out
+
+
+def test_passage_dup_first_occurrence_not_flagged(spark):
+    """Within one doc, a repeated chunk counts once as original and
+    once as duplicate (earlier chunk_idx wins)."""
+    chunk = " ".join(f"w{i}" for i in range(16))
+    docs = _docs(spark, [(7, f"{chunk} {chunk}")])
+    (r,) = passage_dup_stats(docs).collect()
+    assert r.n_chunks == 2 and r.n_dup_chunks == 1
+
+
+# --------------------------------------------------------- containment
+
+
+def test_containment_catches_subset_copy(spark):
+    """A doc fully embedded in a much larger doc: containment = 1.0
+    even though Jaccard (|∩|/|∪|) is far below any usable threshold."""
+    inner = " ".join(f"t{i}" for i in range(10))
+    big = inner + " " + " ".join(f"z{i}" for i in range(80))
+    docs = _docs(spark, [(1, big), (2, inner)])
+    rows = containment_pairs(docs, threshold=0.9).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment == 1.0
+    # Jaccard for the same pair is small — containment is the point
+    assert r.shared / (88 + 8 - r.shared) < 0.15
+
+
+def test_containment_stop_shingle_cap_defuses_hot_key(spark):
+    """A boilerplate shingle shared by > max_df docs must NOT create
+    pairs: the df cap drops it before the self-join (the quadratic
+    hot-bucket guard)."""
+    boiler = "all rights reserved"
+    docs = _docs(
+        spark, [(i, f"u{i} v{i} {boiler}") for i in range(60)]
+    )
+    rows = containment_pairs(docs, max_df=50, threshold=0.1).collect()
+    assert rows == []
+    # with the cap lifted the same corpus pairs quadratically
+    rows2 = containment_pairs(docs, max_df=100, threshold=0.1).collect()
+    assert len(rows2) == 60 * 59 / 2
