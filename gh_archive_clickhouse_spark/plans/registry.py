@@ -37,6 +37,7 @@ _CHANGED_R4 = (
     "qx35_pq_adc_topk",
     "qx36_passage_dedup",
     "qx37_containment_neardup",
+    "qs6_stream_stream_join",
     # code changed this round
     "qx22_tfidf_top_terms",
     "qx26_dedup_clusters",

@@ -249,6 +249,55 @@ def qs5_stream_sliding_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(ts_fmt("win_start").alias("win_s"), "n")
 
 
+def qs6_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join BY A STREAM: views and purchases
+    (two filtered derivations of the same file-source stream, each
+    with its own watermark) joined on user within a 10-minute
+    attribution interval — the state-bounded two-stream join
+    Structured Streaming reserves for equi-key + event-time-range
+    conditions (streaming/analytics.py:view_purchase_attribution).
+    Inner-join matches emit within the micro-batch, so the
+    availableNow run over the static fixture equals the batch interval
+    join the oracle computes."""
+    from gh_archive_clickhouse_spark.streaming.analytics import (
+        view_purchase_attribution,
+    )
+
+    with _stream_shuffle_partitions(spark):
+        joined = view_purchase_attribution(_events_stream(spark, sf_dir))
+        name = f"qs6_attrib_{next(_SEQ)}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
+    return out.select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        ts_fmt("purchase_ts").alias("purchase_s"),
+        ts_fmt("view_ts").alias("view_s"),
+    )
+
+
+_ORACLE_QS6 = """
+SELECT p.event_id AS purchase_id,
+       v.event_id AS view_id,
+       p.user_id AS user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_s,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_s
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 10 MINUTE
+ AND v.ts < p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
 QUERIES = [
     Query(
         "qs1_stream_hourly_counts",
@@ -290,6 +339,14 @@ QUERIES = [
         qs4_stream_incremental_lsh,
         _ORACLE_QS4,
         tags=("streaming", "dedup"),
+    ),
+    Query(
+        "qs6_stream_stream_join",
+        "Structured Streaming: watermarked stream-stream interval "
+        "join (view->purchase attribution within 10 min)",
+        qs6_stream_stream_join,
+        _ORACLE_QS6,
+        tags=("streaming",),
     ),
     Query(
         "qs5_stream_sliding_rates",

@@ -180,3 +180,45 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def view_purchase_attribution(
+    events: DataFrame,
+    attribution_window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """STREAM-STREAM interval join: attribute each purchase to the
+    same user's views in the preceding ``attribution_window``.
+
+    Both sides derive from the event stream (filtered views vs
+    purchases), each with its own watermark; the join condition pairs
+    an equi-key (user) with an event-time interval, which is exactly
+    the form Structured Streaming requires to bound join state — rows
+    older than watermark + interval are evicted on both sides, so
+    state stays O(window x rate) forever. At 100 TB/day firehose
+    scale this is the canonical attribution/funnel-join shape: the
+    equi-key shuffles both streams co-partitioned by user, and the
+    interval predicate is evaluated within the partition.
+
+    Output (append mode): one row per (purchase, qualifying view).
+    """
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return purchases.join(
+        views,
+        on=[
+            F.col("p_user") == F.col("v_user"),
+            F.col("view_ts") >= F.col("purchase_ts")
+            - F.expr(f"INTERVAL {attribution_window}"),
+            F.col("view_ts") < F.col("purchase_ts"),
+        ],
+        how="inner",
+    ).select("purchase_id", "view_id", "p_user", "purchase_ts", "view_ts")

@@ -395,3 +395,76 @@ def test_incremental_lsh_zero_candidate_corpus(spark, tmp_path):
     )
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["doc_a", "doc_b"]
+
+
+def test_stream_stream_join_matches_across_batches(spark, tmp_path):
+    """view_purchase_attribution buffers view state so a purchase
+    arriving in a LATER micro-batch still joins a qualifying earlier
+    view — the property that distinguishes a stream-stream join from
+    per-batch joins. Views outside the 10-min interval never match."""
+    import pandas as pd
+
+    from gh_archive_clickhouse_spark.streaming.analytics import (
+        view_purchase_attribution,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 12:00:00")
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value"],
+        )
+        # micros, not pandas-default nanos (Spark's reader rejects ns)
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(src / name)
+
+    # batch 1: two views for user 1 (one inside the interval of the
+    # later purchase, one far too old), a view for user 2
+    write(
+        "b1.parquet",
+        [
+            (1, base, 1, "view", 0.0),
+            (2, base - pd.Timedelta(minutes=45), 1, "view", 0.0),
+            (3, base, 2, "view", 0.0),
+        ],
+    )
+    schema = spark.read.parquet(str(src)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    for f_ in stream.schema.fields:
+        if f_.name == "ts" and f_.dataType.simpleString() == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    joined = view_purchase_attribution(stream)
+    name = "qs6_xbatch"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: user 1 purchases 5 min after the in-window view; user 3
+    # purchases with no prior view
+    write(
+        "b2.parquet",
+        [
+            (10, base + pd.Timedelta(minutes=5), 1, "purchase", 9.0),
+            (11, base + pd.Timedelta(minutes=5), 3, "purchase", 9.0),
+        ],
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = {
+        (r.purchase_id, r.view_id)
+        for r in spark.table(name).collect()
+    }
+    # only the (purchase 10, view 1) pair qualifies: view 2 is 50 min
+    # before the purchase, view 3 is another user, purchase 11 has no
+    # views
+    assert rows == {(10, 1)}
