@@ -1155,6 +1155,151 @@ def qx37_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, shingle_k=3, max_df=50, threshold=0.6)
 
 
+def qx38_model_scored_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve a trained LINEAR quality model at corpus scale: the model
+    lives as DATA (a (feature, weight) table — here 4 rows built
+    in-query; in production the output of a training job), collapses
+    to a one-row broadcast map, and scoring is a single map-only
+    projection: z = Σ w_f·x_f over engineered features, squashed to
+    (0,1). No shuffle of the corpus, model swap = table swap.
+
+    The squash is the algebraic z/(1+|z|) (shifted to (0,1)) rather
+    than a logistic: division and abs are IEEE-exact in every engine,
+    while exp() may differ in the last ulp between libms — the same
+    engine-parity reasoning as plans/common.dec_sum."""
+    docs = read(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [
+            ("len_norm", 0.9),
+            ("stop_ratio", 1.4),
+            ("mean_tok_len", -0.2),
+            ("upper_ratio", -2.0),
+        ],
+        "feature string, weight double",
+    )
+    wmap = weights.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("feature", "weight")))
+        ).alias("__w")
+    )
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    feats = docs.select(
+        "doc_id",
+        F.least(n_tok / F.lit(64.0), F.lit(1.0)).alias("len_norm"),
+        F.when(
+            n_tok > 0,
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+            / n_tok.cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("stop_ratio"),
+        F.when(n_tok > 0, n_chars / n_tok.cast("double"))
+        .otherwise(0.0)
+        .alias("mean_tok_len"),
+        F.when(
+            n_chars > 0,
+            (
+                n_chars
+                - F.length(F.regexp_replace(F.col("text"), "[A-Z]", ""))
+            )
+            / n_chars.cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("upper_ratio"),
+    )
+    z = (
+        F.col("__w")["len_norm"] * F.col("len_norm")
+        + F.col("__w")["stop_ratio"] * F.col("stop_ratio")
+        + F.col("__w")["mean_tok_len"] * F.col("mean_tok_len")
+        + F.col("__w")["upper_ratio"] * F.col("upper_ratio")
+    )
+    squash = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    return feats.crossJoin(F.broadcast(wmap)).select(
+        "doc_id",
+        F.round(squash, 6).alias("model_score"),
+        (F.round(squash, 6) >= 0.5).alias("keep"),
+    )
+
+
+def qx39_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus VOCABULARY head: the 100 most frequent tokens with term
+    and document frequencies — the first step of any tokenizer /
+    vocab-induction job. Explode -> one hash aggregate on uniform
+    token keys (map-side combine collapses each task's counts, so the
+    shuffle carries one row per distinct token per task, not per
+    occurrence) -> TakeOrderedAndProject top-100 with deterministic
+    (count desc, token asc) order."""
+    docs = read(spark, sf_dir, "documents")
+    pairs = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    counts = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    return counts.orderBy(
+        F.col("tf").desc(), F.col("token").asc()
+    ).limit(100)
+
+
+_ORACLE_QX38 = """
+WITH w AS (
+  SELECT * FROM (VALUES
+    ('len_norm', 0.9), ('stop_ratio', 1.4),
+    ('mean_tok_len', -0.2), ('upper_ratio', -2.0)) AS t(feature, weight)
+), wm AS (
+  -- DuckDB map subscript yields a one-element list -> [1] extracts
+  SELECT map_from_entries(list(struct_pack(
+           k := feature, v := CAST(weight AS DOUBLE))
+           ORDER BY feature)) AS wmap
+  FROM w
+), f AS (
+  SELECT doc_id,
+    least(len(list_filter(string_split(text, ' '), x -> x != '')) / 64.0,
+          1.0) AS len_norm,
+    CASE WHEN len(list_filter(string_split(text, ' '), x -> x != '')) > 0
+         THEN len(list_filter(string_split(text, ' '), x ->
+                x IN ('the','a','an','and','or','of','to','in','is','it')))
+              / CAST(len(list_filter(string_split(text, ' '),
+                     x -> x != '')) AS DOUBLE)
+         ELSE 0.0 END AS stop_ratio,
+    CASE WHEN len(list_filter(string_split(text, ' '), x -> x != '')) > 0
+         THEN len(text) / CAST(len(list_filter(string_split(text, ' '),
+                x -> x != '')) AS DOUBLE)
+         ELSE 0.0 END AS mean_tok_len,
+    CASE WHEN len(text) > 0
+         THEN (len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')))
+              / CAST(len(text) AS DOUBLE)
+         ELSE 0.0 END AS upper_ratio
+  FROM documents
+), z AS (
+  SELECT doc_id,
+    (wmap['len_norm'])[1] * len_norm + (wmap['stop_ratio'])[1] * stop_ratio
+    + (wmap['mean_tok_len'])[1] * mean_tok_len
+    + (wmap['upper_ratio'])[1] * upper_ratio AS zv
+  FROM f, wm
+)
+SELECT doc_id,
+  round(0.5 + 0.5 * zv / (1.0 + abs(zv)), 6) AS model_score,
+  (round(0.5 + 0.5 * zv / (1.0 + abs(zv)), 6) >= 0.5) AS keep
+FROM z
+"""
+
+_ORACLE_QX39 = """
+WITH pairs AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x != '')) AS token
+  FROM documents
+)
+SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM pairs GROUP BY token
+ORDER BY tf DESC, token ASC LIMIT 100
+"""
+
+
 _ORACLE_QX33 = """
 WITH t AS (
   SELECT doc_id,
@@ -1322,6 +1467,22 @@ QUERIES = [
         qx37_containment_neardup,
         _oracle_qx37(),
         tags=("ext", "dedup"),
+    ),
+    Query(
+        "qx38_model_scored_filter",
+        "linear quality model served map-only via broadcast "
+        "weight map (model-as-data)",
+        qx38_model_scored_filter,
+        _ORACLE_QX38,
+        tags=("ext", "text"),
+    ),
+    Query(
+        "qx39_vocab_heavy_hitters",
+        "top-100 vocabulary heavy hitters with term/doc "
+        "frequencies",
+        qx39_vocab_heavy_hitters,
+        _ORACLE_QX39,
+        tags=("ext", "text"),
     ),
     Query(
         "qx1_exact_dedup",

@@ -38,6 +38,8 @@ _CHANGED_R4 = (
     "qx36_passage_dedup",
     "qx37_containment_neardup",
     "qs6_stream_stream_join",
+    "qx38_model_scored_filter",
+    "qx39_vocab_heavy_hitters",
     # code changed this round
     "qx22_tfidf_top_terms",
     "qx26_dedup_clusters",

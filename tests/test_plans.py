@@ -269,3 +269,26 @@ def test_qt30_correlations_are_semi_anti_joins(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_qx38_model_serving_is_map_only(spark):
+    """Model-as-data serving: the corpus is never shuffled — the only
+    exchanges are the tiny weight-map aggregate and its broadcast."""
+    df = QUERIES["qx38_model_scored_filter"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # any hash-partitioned exchange would mean the corpus shuffled
+    assert not re.search(r"hashpartitioning\(doc_id", plan), plan[:3000]
+    assert "BroadcastExchange" in plan
+
+
+def test_qx39_vocab_topk_is_take_ordered_with_partial_agg(spark):
+    """Heavy hitters: partial (map-side) aggregation before the token
+    shuffle, and the top-100 must be TakeOrderedAndProject — never a
+    global sort of the vocabulary."""
+    df = QUERIES["qx39_vocab_heavy_hitters"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "partial_count" in plan, plan[:2000]
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
