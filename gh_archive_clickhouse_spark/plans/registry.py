@@ -40,6 +40,7 @@ _CHANGED_R4 = (
     "qs6_stream_stream_join",
     "qx38_model_scored_filter",
     "qx39_vocab_heavy_hitters",
+    "qs7_incremental_mv",
     # code changed this round
     "qx22_tfidf_top_terms",
     "qx26_dedup_clusters",

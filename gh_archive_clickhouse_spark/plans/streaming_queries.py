@@ -298,6 +298,65 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 """
 
 
+def qs7_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MATERIALIZED VIEW by a stream: events
+    arrive in two micro-batches; each batch writes partial aggregate
+    states (AggregatingMergeTree-style — streaming/mv.py) and the
+    readable view folds the partials. The fold is order-independent
+    (count/min/max), so the maintained view must equal the one-shot
+    batch rollup — which is the oracle."""
+    import shutil
+    import tempfile
+
+    from gh_archive_clickhouse_spark.plans.common import read
+    from gh_archive_clickhouse_spark.streaming.mv import (
+        incremental_rollup_sink,
+        rollup_view,
+    )
+
+    ev = read(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="qs7_")
+    try:
+        src = f"{base}/events"
+        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        ts_dtype = dict(stream.dtypes).get("ts")
+        if ts_dtype == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        with _stream_shuffle_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(
+                    incremental_rollup_sink(f"{base}/partials")
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .start()
+            )
+            q.awaitTermination()
+        return rollup_view(spark, f"{base}/partials").localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_ORACLE_QS7 = """
+SELECT strftime(ts, '%Y%m%d') AS day, event_type, count(*) AS n_events,
+       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = [
     Query(
         "qs1_stream_hourly_counts",
@@ -346,6 +405,14 @@ QUERIES = [
         "join (view->purchase attribution within 10 min)",
         qs6_stream_stream_join,
         _ORACLE_QS6,
+        tags=("streaming",),
+    ),
+    Query(
+        "qs7_incremental_mv",
+        "incrementally-maintained materialized view: per-batch "
+        "partial aggregate states, read-time fold == batch rollup",
+        qs7_incremental_mv,
+        _ORACLE_QS7,
         tags=("streaming",),
     ),
     Query(

@@ -468,3 +468,56 @@ def test_stream_stream_join_matches_across_batches(spark, tmp_path):
     # before the purchase, view 3 is another user, purchase 11 has no
     # views
     assert rows == {(10, 1)}
+
+
+def test_incremental_mv_replay_idempotent_and_compacted(spark, tmp_path):
+    """Replaying an epoch through the MV sink must not change the
+    view (dynamic epoch-partition overwrite), and many epochs must
+    fold into the consolidated partition (file count stays bounded)."""
+    import os
+
+    import pandas as pd
+
+    from gh_archive_clickhouse_spark.streaming.mv import (
+        incremental_rollup_sink,
+        rollup_view,
+    )
+
+    partials = str(tmp_path / "partials")
+    sink = incremental_rollup_sink(partials, keep_epochs=2)
+    base = pd.Timestamp("2024-03-01 00:00:00")
+
+    def batch(eids):
+        pdf = pd.DataFrame(
+            {
+                "event_id": eids,
+                "ts": [base + pd.Timedelta(hours=e) for e in eids],
+                "user_id": [1] * len(eids),
+                "event_type": ["view"] * len(eids),
+                "value": [1.0] * len(eids),
+            }
+        )
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        sdf = spark.createDataFrame(pdf)
+        return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    for epoch in range(6):
+        sink(batch([epoch * 2, epoch * 2 + 1]), epoch)
+    view1 = {
+        (r.day, r.event_type): (r.n_events, r.min_event_id, r.max_event_id)
+        for r in rollup_view(spark, partials).collect()
+    }
+    # 12 events, all same day/type
+    assert view1[("20240301", "view")] == (12, 0, 11)
+    # replay the last epoch: identical partial overwrites its own
+    # partition; the view is unchanged
+    sink(batch([10, 11]), 5)
+    view2 = {
+        (r.day, r.event_type): (r.n_events, r.min_event_id, r.max_event_id)
+        for r in rollup_view(spark, partials).collect()
+    }
+    assert view2 == view1
+    # compaction: epoch dirs bounded by keep_epochs + consolidated + current
+    dirs = [d for d in os.listdir(partials) if d.startswith("epoch=")]
+    assert len(dirs) <= 4, dirs
+    assert "epoch=-1" in dirs
