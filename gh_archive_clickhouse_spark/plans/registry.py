@@ -29,24 +29,31 @@ _R1_STALE_EVENTS = (
     "qe12_variant_projection",
 )
 _R2_NEW_TPCH2 = ("qt30_waiting_suppliers", "qt31_top_revenue_supplier")
-_CHANGED_R4 = (
-    # new this round — never driver-verified, highest priority after
-    # the stale set
+# Never driver-verified (created this round) — right after the stale
+# set, in this exact order (newest additions carry the most risk of a
+# first-run surprise, but all are locally oracle-green; ordering within
+# the group is oldest-written first so a window cut drops the ones with
+# the most local soak time last).
+_NEW_R4 = (
     "qx33_sequence_packing",
     "qx34_pq_encode",
     "qx35_pq_adc_topk",
     "qx36_passage_dedup",
     "qx37_containment_neardup",
-    "qs6_stream_stream_join",
     "qx38_model_scored_filter",
     "qx39_vocab_heavy_hitters",
+    "qs6_stream_stream_join",
     "qs7_incremental_mv",
-    # code changed this round
-    "qx22_tfidf_top_terms",
-    "qx26_dedup_clusters",
     "qx31_dedup_survivors",
     "qx32_semantic_dedup",
     "qm6_real_image_decode",
+)
+# Code changed this round but r3-green on the prior code — verified
+# after the new set; if the ~50-entry driver window cuts anything, it
+# cuts these (freshest existing rows, lowest marginal value).
+_CHANGED_R4 = (
+    "qx22_tfidf_top_terms",
+    "qx26_dedup_clusters",
     "qs4_stream_incremental_lsh",
     "qe14_cohort_retention",
 )
@@ -60,22 +67,36 @@ def _except_named(queries: list[Query], names: tuple[str, ...]) -> list[Query]:
     return [q for q in queries if q.name not in names]
 
 
+_BY_NAME: dict[str, Query] = {
+    q.name: q
+    for mod in (
+        events_queries,
+        ext_queries,
+        relational_queries,
+        streaming_queries,
+        tpch2_queries,
+        tpch_queries,
+    )
+    for q in mod.QUERIES
+}
+
+_PRIORITIZED = _NEW_R4 + _CHANGED_R4
+
 _ALL: list[Query] = [
     # --- two-rounds-stale round-1 families (39) ---
     *_named(events_queries.QUERIES, _R1_STALE_EVENTS),
     *relational_queries.QUERIES,
     *tpch_queries.QUERIES,
     *_except_named(tpch2_queries.QUERIES, _R2_NEW_TPCH2),
-    # --- changed this round (4) ---
-    *_named(ext_queries.QUERIES, _CHANGED_R4),
-    *_named(streaming_queries.QUERIES, _CHANGED_R4),
-    *_named(events_queries.QUERIES, _CHANGED_R4),
+    # --- new this round (12), then changed this round (4), in the
+    # exact priority order declared above ---
+    *[_BY_NAME[n] for n in _PRIORITIZED],
     # --- verified green in round 3, unchanged ---
-    *_except_named(ext_queries.QUERIES, _CHANGED_R4),
-    *_except_named(streaming_queries.QUERIES, _CHANGED_R4),
+    *_except_named(ext_queries.QUERIES, _PRIORITIZED),
+    *_except_named(streaming_queries.QUERIES, _PRIORITIZED),
     *_named(tpch2_queries.QUERIES, _R2_NEW_TPCH2),
     *_except_named(
-        events_queries.QUERIES, _R1_STALE_EVENTS + _CHANGED_R4
+        events_queries.QUERIES, _R1_STALE_EVENTS + _PRIORITIZED
     ),
 ]
 
