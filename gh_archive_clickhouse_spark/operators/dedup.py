@@ -744,16 +744,33 @@ def containment_pairs(
     metric depend on dropped non-evidence). Output:
     (doc_a, doc_b, shared, containment) with doc_a < doc_b.
     """
-    sets = shingle_sets(df, text_col, id_col, shingle_k)
-    inv = sets.select(
-        F.col(id_col), F.explode("__sh").alias("__s")
-    ).select(F.col(id_col), word_hash31(F.col("__s")).alias("__sh31"))
-    kept = inv.join(
-        inv.groupBy("__sh31")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= max_df)
-        .select("__sh31"),
-        "__sh31",
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
+    # Codegen explode path (same as minhash — the HOF shingle builder
+    # is CodegenFallback and ~2x slower): hash every shingle INSTANCE
+    # in a codegen projection, then distinct on (id, hash). The
+    # distinct runs after hashing, so the oracle must also distinct
+    # post-hash (collision semantics stay engine-identical).
+    inv = (
+        _shingle_hash_rows(df, text_col, id_col, shingle_k, "word")
+        .filter(F.col("__x").isNotNull())
+        .select(F.col(id_col), F.col("__x").alias("__sh31"))
+        .distinct()
+    )
+    # The filtered inverted index feeds FOUR consumers (both self-join
+    # sides + both per-doc size lookups); un-materialized, Spark would
+    # re-run the shingle/hash/df pipeline for each — materialize makes
+    # it compute once (localCheckpoint locally, a written index table
+    # under SPARK_GRAFT_MATERIALIZE_DIR on clusters).
+    kept = materialize(
+        inv.join(
+            inv.groupBy("__sh31")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__sh31"),
+            "__sh31",
+        ),
+        "containment_kept_index",
     )
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     left = kept.alias("l")

@@ -1404,13 +1404,20 @@ FROM fl GROUP BY doc_id
 
 
 def _oracle_qx37() -> str:
-    sh = _sql_shingles("text", 3)
+    toks = _SQL_TOKENS.format(col="text")
     h = _sql_word_hash31("s")
+    # ALL shingle instances (non-distinct), hashed, then DISTINCT on
+    # (doc_id, hash) — mirrors the Spark side's distinct-after-hash so
+    # 31-bit collision behavior is engine-identical.
     return f"""
-WITH sets AS (
-  SELECT doc_id, {sh} AS shl FROM documents
+WITH toks AS (
+  SELECT doc_id, {toks} AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+           i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM toks WHERE len(t) >= 3
 ), inv AS (
-  SELECT doc_id, {h} AS hh FROM sets CROSS JOIN unnest(shl) AS u(s)
+  SELECT DISTINCT doc_id, {h} AS hh FROM sh
 ), kept AS (
   SELECT i.doc_id, i.hh FROM inv i
   JOIN (SELECT hh FROM inv GROUP BY hh HAVING count(*) <= 50) d USING (hh)
