@@ -49,7 +49,6 @@ from gh_archive_clickhouse_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
     tokens,
-    word_shingles,
 )
 from gh_archive_clickhouse_spark.plans.common import Query, materialize, read
 
@@ -980,32 +979,44 @@ def qx30_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition — the Gopher-style quality filter
     (high duplicate-n-gram fraction => boilerplate/spam): per doc, all
     word-3-grams vs distinct word-3-grams and the duplicate fraction.
-    Map-only codegen; docs under 3 tokens have no grams and no row."""
+    Explode + codegen hash + one per-doc hash aggregate (uniform keys,
+    map-side partials); docs under 3 tokens have no grams and no row."""
+    from gh_archive_clickhouse_spark.functions.hashing import md5_long
+
     docs = read(spark, sf_dir, "documents")
-    # Stage the gram array as a column so both consumers (size,
-    # distinct-size) read one evaluation. Cost is dominated by the
-    # shingle HOF itself (CodegenFallback transform); the explode+
-    # codegen alternative (cf. minhash) would trade that for a 440k-row
-    # shuffle + count_distinct — not worth it for this output shape.
-    staged = docs.select(
-        "doc_id", word_shingles(tokens(F.col("text")), 3).alias("__g")
+    # Explode + codegen hash + one hash aggregate — measured 5x faster
+    # at sf0.1 than the staged higher-order shingle build (HOFs are
+    # CodegenFallback; the gram shuffle is collapsed map-side).
+    # Distinctness is counted over 60-bit md5-derived gram hashes in
+    # BOTH engines, so collision behavior (~2^-60, nil) is identical.
+    toked = (
+        ensure_parallelism(docs)
+        .select("doc_id", tokens(F.col("text")).alias("__t"))
+        # pre-filter short docs: sequence(1, stop) needs stop >= 1
+        # (Spark's sequence(1, 0) would DESCEND and emit bogus rows)
+        .filter(F.size("__t") >= 3)
     )
-    return (
-        staged.select(
-            "doc_id",
-            F.size("__g").alias("n_grams"),
-            F.size(F.array_distinct("__g")).alias("n_distinct"),
-        )
-        .filter(F.col("n_grams") >= 1)
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_distinct",
-            F.round(
-                1.0 - F.col("n_distinct") / F.col("n_grams").cast("double"),
-                6,
-            ).alias("rep_ratio"),
-        )
+    grams = toked.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("__t") - 2)).alias("__i"),
+        "__t",
+    ).select(
+        "doc_id",
+        md5_long(
+            F.concat_ws(" ", F.expr("slice(__t, __i, 3)"))
+        ).alias("__g"),
+    )
+    return grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_distinct("__g").alias("n_distinct"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round(
+            1.0 - F.col("n_distinct") / F.col("n_grams").cast("double"),
+            6,
+        ).alias("rep_ratio"),
     )
 
 
@@ -2125,18 +2136,17 @@ FROM m2
           SELECT doc_id, {{toks}} AS toks FROM documents
         ), g AS (
           SELECT doc_id,
-                 CASE WHEN len(toks) >= 3 THEN
-                   list_transform(generate_series(1, len(toks) - 2),
-                     i -> array_to_string(toks[i:i+2], ' '))
-                 ELSE [] END AS grams
-          FROM t
+                 unnest(list_transform(generate_series(1, len(toks) - 2),
+                   i -> ('0x' || substr(md5(
+                     array_to_string(toks[i:i+2], ' ')), 1, 15))::BIGINT))
+                   AS h
+          FROM t WHERE len(toks) >= 3
         )
-        SELECT doc_id,
-               CAST(len(grams) AS INTEGER) AS n_grams,
-               CAST(len(list_distinct(grams)) AS INTEGER) AS n_distinct,
-               round(1.0 - len(list_distinct(grams))
-                     / CAST(len(grams) AS DOUBLE), 6) AS rep_ratio
-        FROM g WHERE len(grams) >= 1
+        SELECT doc_id, count(*) AS n_grams,
+               count(DISTINCT h) AS n_distinct,
+               round(1.0 - count(DISTINCT h)
+                     / CAST(count(*) AS DOUBLE), 6) AS rep_ratio
+        FROM g GROUP BY doc_id
         """.format(toks=_SQL_TOKENS.format(col='text')),
         tags=("ext", "text", "quality"),
     ),

@@ -52,6 +52,7 @@ _NEW_R4 = (
 # after the new set; if the ~50-entry driver window cuts anything, it
 # cuts these (freshest existing rows, lowest marginal value).
 _CHANGED_R4 = (
+    "qx30_repetition_ratio",
     "qx22_tfidf_top_terms",
     "qx26_dedup_clusters",
     "qs4_stream_incremental_lsh",
