@@ -193,3 +193,96 @@ def test_planted_families_collapse_to_one_cluster_each(spark):
     for fam, reps in by_family.items():
         assert len(reps) == 1, (fam, reps)
         assert min(reps) % N_VARIANTS == 0  # variant 0 is the min id
+
+def test_containment_ignores_the_inflation(spark):
+    """Containment pairs on the 10× corpus: the 7×-volume filler (no
+    shared shingles with anything) contributes ZERO pairs, every
+    emitted pair touches only real-text docs, and the planted
+    append-one-token variants are caught with containment ≈ 1.0 (the
+    prefix's shingles are a subset of the variant's)."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    pairs = containment_pairs(
+        _inflated(spark), shingle_k=3, max_df=50, threshold=0.9
+    ).collect()
+
+    def real_text(doc_id: int) -> bool:
+        return doc_id % N_VARIANTS == 0 or _is_family_doc(doc_id)
+
+    assert pairs
+    assert all(real_text(r.doc_a) and real_text(r.doc_b) for r in pairs)
+    # planted family variants: ≥90% of families yield an intra-family
+    # containment-1.0 pair (v0 ⊂ v1 modulo the boundary shingles)
+    fams_with_pair = {
+        _family(r.doc_a)
+        for r in pairs
+        if _family(r.doc_a) == _family(r.doc_b) and r.containment >= 0.9
+    }
+    n_families = read(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % FAMILY_MOD == 0
+    ).count()
+    assert len(fams_with_pair) >= int(n_families * 0.9), (
+        len(fams_with_pair), n_families,
+    )
+
+
+def test_passage_dedup_flags_only_real_duplication(spark):
+    """Passage profile on the 10× corpus: every filler doc (globally
+    unique strided tokens) has ZERO duplicate chunks, while planted
+    variants — which share their prefix chunks with variant 0 —
+    carry duplicate chunks. Duplicate mass tracks TRUE duplication,
+    not corpus volume."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        passage_dup_stats,
+    )
+
+    stats = {
+        r.doc_id: r for r in passage_dup_stats(_inflated(spark)).collect()
+    }
+    fillers = [
+        r
+        for d, r in stats.items()
+        if not (d % N_VARIANTS == 0 or _is_family_doc(d))
+    ]
+    assert fillers and all(r.n_dup_chunks == 0 for r in fillers)
+    # variants 1-2 of each family share all FULL chunks with variant 0
+    variant_rows = [
+        r
+        for d, r in stats.items()
+        if _is_family_doc(d) and d % N_VARIANTS in (1, 2)
+        and stats[d - d % N_VARIANTS].n_chunks > 1
+    ]
+    assert variant_rows
+    dup_frac_hits = sum(1 for r in variant_rows if r.n_dup_chunks >= 1)
+    assert dup_frac_hits >= int(len(variant_rows) * 0.9), (
+        dup_frac_hits, len(variant_rows),
+    )
+
+
+def test_packing_prefix_sum_invariants_at_10x(spark):
+    """Hierarchical prefix sum on the 10× corpus: the layout is a
+    permutation-free exact concatenation — the final boundary equals
+    the corpus token total, offsets stay inside the budget, and
+    sequence ids are monotone in doc order."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        pack_coordinates,
+    )
+    from gh_archive_clickhouse_spark.functions.text import tokens
+
+    coords = pack_coordinates(
+        _inflated(spark), F.size(tokens(F.col("text"))), budget=256
+    )
+    agg = coords.agg(
+        F.sum("n_tokens").alias("total"),
+        F.max(F.col("tokens_before") + F.col("n_tokens")).alias("end"),
+        F.max("seq_offset").alias("max_off"),
+        F.min("tokens_before").alias("min_before"),
+    ).first()
+    assert agg.total == agg.end
+    assert 0 <= agg.max_off < 256 and agg.min_before == 0
+    # monotone: tokens_before strictly ordered like doc_id
+    rows = coords.orderBy("doc_id").select("tokens_before").collect()
+    befores = [r.tokens_before for r in rows]
+    assert befores == sorted(befores)
