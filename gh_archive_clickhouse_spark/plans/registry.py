@@ -8,6 +8,7 @@ from gh_archive_clickhouse_spark.plans import (
     relational_queries,
     streaming_queries,
     tpch2_queries,
+    tpch3_queries,
     tpch_queries,
 )
 from gh_archive_clickhouse_spark.plans.common import Query
@@ -44,6 +45,11 @@ _NEW_R4 = (
     "qx39_vocab_heavy_hitters",
     "qs6_stream_stream_join",
     "qs7_incremental_mv",
+    "qs8_stream_exactly_once_dedup",
+    "qt32_cheapest_supplier",
+    "qt33_nation_year_profit",
+    "qt34_important_parts",
+    "qt35_dominant_suppliers",
     "qx31_dedup_survivors",
     "qx32_semantic_dedup",
     "qm6_real_image_decode",
@@ -76,6 +82,7 @@ _BY_NAME: dict[str, Query] = {
         relational_queries,
         streaming_queries,
         tpch2_queries,
+        tpch3_queries,
         tpch_queries,
     )
     for q in mod.QUERIES
@@ -95,6 +102,7 @@ _ALL: list[Query] = [
     # --- verified green in round 3, unchanged ---
     *_except_named(ext_queries.QUERIES, _PRIORITIZED),
     *_except_named(streaming_queries.QUERIES, _PRIORITIZED),
+    *_except_named(tpch3_queries.QUERIES, _PRIORITIZED),
     *_named(tpch2_queries.QUERIES, _R2_NEW_TPCH2),
     *_except_named(
         events_queries.QUERIES, _R1_STALE_EVENTS + _PRIORITIZED

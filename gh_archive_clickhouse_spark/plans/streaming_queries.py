@@ -350,6 +350,67 @@ def qs7_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def qs8_stream_exactly_once_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Durable cross-batch dedup BY A STREAM (P2's declarative form):
+    the events fixture arrives TWICE — the second micro-batch is an
+    exact replay — through ``dropDuplicatesWithinWatermark`` keyed on
+    event_id (streaming/pipeline.py:deduped_stream's shape). Append
+    mode emits each id on first sight; the replayed batch contributes
+    nothing (dedup state + watermark both reject it), so the sink
+    holds every event EXACTLY ONCE — the oracle is simply the events
+    table."""
+    import shutil
+    import tempfile
+
+    from gh_archive_clickhouse_spark.plans.common import read
+
+    ev = read(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix="qs8_")
+    try:
+        src = f"{base}/events"
+        ev.coalesce(1).write.mode("append").parquet(src)
+        ev.coalesce(1).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        deduped = stream.withWatermark(
+            "ts", "10 minutes"
+        ).dropDuplicatesWithinWatermark(["event_id"])
+        with _stream_shuffle_partitions(spark):
+            name = f"qs8_dedup_{next(_SEQ)}"
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = spark.table(name).select(
+                "event_id",
+                ts_fmt("ts").alias("ts_s"),
+                "user_id",
+                "event_type",
+            )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+_ORACLE_QS8 = """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+       user_id, event_type
+FROM events
+"""
+
+
 _ORACLE_QS7 = """
 SELECT strftime(ts, '%Y%m%d') AS day, event_type, count(*) AS n_events,
        min(event_id) AS min_event_id, max(event_id) AS max_event_id
@@ -414,6 +475,14 @@ QUERIES = [
         qs7_incremental_mv,
         _ORACLE_QS7,
         tags=("streaming",),
+    ),
+    Query(
+        "qs8_stream_exactly_once_dedup",
+        "Structured Streaming: exactly-once cross-batch dedup "
+        "(dropDuplicatesWithinWatermark survives a full replay)",
+        qs8_stream_exactly_once_dedup,
+        _ORACLE_QS8,
+        tags=("streaming", "dedup"),
     ),
     Query(
         "qs5_stream_sliding_rates",
