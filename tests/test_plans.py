@@ -292,3 +292,33 @@ def test_qx39_vocab_topk_is_take_ordered_with_partial_agg(spark):
     assert "TakeOrderedAndProject" in plan, plan[:2000]
     assert "partial_count" in plan, plan[:2000]
     assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_qt32_correlated_min_is_aggregate_join_topk(spark):
+    """Q2 shape: the correlated min must be an aggregate joined back
+    (never a per-row subquery/nested loop); dims broadcast; the top-20
+    is TakeOrderedAndProject."""
+    df = QUERIES["qt32_cheapest_supplier"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_qt33_profit_dims_broadcast(spark):
+    """Q9 shape: part/supplier/nation joins broadcast; no cartesian."""
+    df = QUERIES["qt33_nation_year_profit"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_qt35_dominance_is_semi_join(spark):
+    """Q20 shape: the supplier membership test compiles to a LEFT SEMI
+    join over the aggregated dominance set."""
+    df = QUERIES["qt35_dominant_suppliers"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
