@@ -1311,6 +1311,65 @@ ORDER BY tf DESC, token ASC LIMIT 100
 """
 
 
+def qx40_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSITE billion-scale ANN pipeline (FAISS IVF-PQ): the
+    query's IVF cluster prunes the search to ~1/n_clusters of the
+    corpus, the surviving candidates are scored by PQ asymmetric
+    distance (codes + an 8x16 broadcast distance table — no float
+    vectors touched), and only the top-20 ADC shortlist is exact
+    cosine re-ranked to the final top-5. At 100 TB this is a
+    partition-pruned scan of code columns (qx12's layout +
+    qx34/qx35's scan) with a 20-row exact pass — corpus-size-
+    independent probe cost.
+
+    Output: (vec_id, cos_sim, adc_dist) — exact score, approximate
+    score, for the final 5."""
+    from gh_archive_clickhouse_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+    )
+
+    emb = read(spark, sf_dir, "embeddings")
+    assigned = materialize(
+        qx11_ivf_assign(spark, sf_dir), "qx40_ivf_assign"
+    )
+    cb = pq_codebook(emb)
+    enc = pq_encode(emb, m=8, dim=EMB_DIM, codebook=cb)
+    qrow = (
+        emb.join(assigned, "vec_id")
+        .filter(F.col("vec_id") == 42)
+        .select(
+            F.col("embedding").alias("q"), F.col("cluster_id").alias("qc")
+        )
+    )
+    cands = (
+        enc.join(assigned, "vec_id")
+        .crossJoin(F.broadcast(qrow.select("qc")))
+        .filter(F.col("cluster_id") == F.col("qc"))
+        .select("vec_id", "codes")
+    )
+    shortlist = pq_adc_topk(
+        cands, qrow.select("q"), cb, k_top=20, m=8, dim=EMB_DIM
+    )
+    return (
+        shortlist.join(emb, "vec_id")
+        .crossJoin(F.broadcast(qrow.select("q")))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity("embedding", "q"), 6).alias(
+                "cos_sim"
+            ),
+            "adc_dist",
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
 _ORACLE_QX33 = """
 WITH t AS (
   SELECT doc_id,
@@ -1385,6 +1444,49 @@ SELECT vec_id, round(list_aggregate(list_transform(range(0, 8), mm ->
 FROM enc, dt WHERE vec_id != 0
 ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
 """
+
+_ORACLE_QX40 = f"""
+WITH {_SQL_PQ_ENC},
+c AS (SELECT CAST(vec_id AS INTEGER) AS centroid_id, {_ED} AS cd
+      FROM embeddings WHERE vec_id < 8),
+ascored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round({_sql_cosine('CAST(e.embedding AS DOUBLE[])', 'c.cd')}, 6)
+           AS sim
+  FROM embeddings e, c
+), abest AS (
+  SELECT vec_id, centroid_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rk
+  FROM ascored
+), assign AS (
+  SELECT vec_id, centroid_id AS cluster_id FROM abest WHERE rk = 1
+), q AS (
+  SELECT CAST(e.embedding AS DOUBLE[]) AS qe, a.cluster_id AS qc
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+  WHERE e.vec_id = 42
+), dt AS (
+  SELECT list_transform(range(0, 8), mm ->
+    list_transform(cbl, el ->
+      list_aggregate(list_transform(range(1, 9), i ->
+        (qe[mm*8+i] - el.cvec[mm*8+i]) * (qe[mm*8+i] - el.cvec[mm*8+i])),
+        'sum'))) AS dtl
+  FROM q, cb
+), short AS (
+  SELECT en.vec_id,
+         round(list_aggregate(list_transform(range(0, 8), mm ->
+           dtl[mm+1][en.codes[mm+1]+1]), 'sum'), 6) AS adc_dist
+  FROM enc en JOIN assign a ON en.vec_id = a.vec_id, q, dt
+  WHERE a.cluster_id = q.qc
+  ORDER BY adc_dist ASC, en.vec_id ASC LIMIT 20
+)
+SELECT s.vec_id,
+       round({_sql_cosine('CAST(e.embedding AS DOUBLE[])', 'qe')}, 6)
+         AS cos_sim,
+       s.adc_dist
+FROM short s JOIN embeddings e ON s.vec_id = e.vec_id, q
+ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 5
+"""
+
 
 _ORACLE_QX36 = """
 WITH toks AS (
@@ -1485,6 +1587,14 @@ QUERIES = [
         qx37_containment_neardup,
         _oracle_qx37(),
         tags=("ext", "dedup"),
+    ),
+    Query(
+        "qx40_ivfpq_search",
+        "composite IVF-PQ ANN search: cluster-pruned candidates, "
+        "ADC shortlist, exact top-5 re-rank",
+        qx40_ivfpq_search,
+        _ORACLE_QX40,
+        tags=("ext", "similarity"),
     ),
     Query(
         "qx38_model_scored_filter",

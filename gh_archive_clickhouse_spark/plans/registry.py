@@ -50,6 +50,7 @@ _NEW_R4 = (
     "qt33_nation_year_profit",
     "qt34_important_parts",
     "qt35_dominant_suppliers",
+    "qx40_ivfpq_search",
     "qx31_dedup_survivors",
     "qx32_semantic_dedup",
     "qm6_real_image_decode",
