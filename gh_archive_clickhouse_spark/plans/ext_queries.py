@@ -1370,6 +1370,74 @@ def qx40_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx41_batched_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED multi-query ANN: score a whole batch of query vectors
+    (vec_id < 8 here; thousands in a serving job) against the corpus
+    in ONE pass — broadcast the query batch, one map-side scoring
+    fan-out, then per-query top-3 via a rank window partitioned by
+    query id (uniform partitions, one shuffle). This is the serving
+    shape when queries arrive in batches: corpus scanned once total,
+    not once per query."""
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        _with_norm,
+    )
+    from gh_archive_clickhouse_spark.functions.vectors import dot_unrolled
+
+    from pyspark.sql import Window
+
+    emb = read(spark, sf_dir, "embeddings")
+    e = _with_norm(emb, "embedding", "__v", "__n", EMB_DIM)
+    queries = _with_norm(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        "embedding",
+        "__qv",
+        "__qn",
+        EMB_DIM,
+    ).select("query_id", "__qv", "__qn")
+    scored = (
+        e.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                F.when(
+                    (F.col("__n") > 0) & (F.col("__qn") > 0),
+                    dot_unrolled("__v", "__qv", EMB_DIM)
+                    / (F.col("__n") * F.col("__qn")),
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "vec_id", "cos_sim", F.col("rk").cast("int"))
+    )
+
+
+_ORACLE_QX41 = f"""
+WITH e AS (SELECT vec_id, {_ED} AS ed FROM embeddings),
+q AS (SELECT vec_id AS query_id, ed AS qe FROM e WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_sql_cosine('e.ed', 'q.qe')}, 6) AS cos_sim
+  FROM e, q WHERE e.vec_id != q.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 3
+"""
+
+
 _ORACLE_QX33 = """
 WITH t AS (
   SELECT doc_id,
@@ -1594,6 +1662,14 @@ QUERIES = [
         "ADC shortlist, exact top-5 re-rank",
         qx40_ivfpq_search,
         _ORACLE_QX40,
+        tags=("ext", "similarity"),
+    ),
+    Query(
+        "qx41_batched_topk",
+        "batched multi-query exact ANN: one corpus pass, per-query "
+        "top-3 via rank window",
+        qx41_batched_topk,
+        _ORACLE_QX41,
         tags=("ext", "similarity"),
     ),
     Query(

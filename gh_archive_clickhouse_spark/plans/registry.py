@@ -51,6 +51,7 @@ _NEW_R4 = (
     "qt34_important_parts",
     "qt35_dominant_suppliers",
     "qx40_ivfpq_search",
+    "qx41_batched_topk",
     "qx31_dedup_survivors",
     "qx32_semantic_dedup",
     "qm6_real_image_decode",
