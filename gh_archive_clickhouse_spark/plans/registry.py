@@ -14,15 +14,17 @@ from gh_archive_clickhouse_spark.plans import (
 from gh_archive_clickhouse_spark.plans.common import Query
 
 # Order matters operationally: the round driver verifies the first ~50
-# oracle-checkable entries in enumeration order. Rotation policy: the
-# queries whose latest driver-verified row is OLDEST come first, so no
-# query's freshest official correctness row ages more than a round or
-# two. Round-4 rotation: rounds 2-3 verified ext+streaming+the round-2
-# additions (50 entries), leaving the 39 round-1-verified qt/qe
-# families two rounds stale — they lead now. Immediately after them:
-# the queries whose code changed THIS round (fresh verification beats
-# re-verifying unchanged code), then the rest of the recently-green
-# set.
+# oracle-checkable entries in enumeration order. Rotation policy, by
+# how much a fresh driver row is worth:
+#   1. queries whose CODE CHANGED this round — their existing green
+#      rows describe old code, i.e. are effectively no rows;
+#   2. queries NEW this round — never driver-verified at all;
+#   3. the 39 round-1-verified qt/qe families (green, unchanged, but
+#      two rounds stale) — as many as fit the remaining window;
+#   4. everything verified green in round 3 and unchanged.
+# With 6 changed + 19 new this round, a 50-entry window still
+# refreshes ~25 of the stale set; the rest keep their (valid,
+# unchanged-code) round-1 rows and lead the rotation next round.
 _R1_STALE_EVENTS = (
     "qe5_ttl_survivors",
     "qe6_topk_users",
@@ -30,11 +32,9 @@ _R1_STALE_EVENTS = (
     "qe12_variant_projection",
 )
 _R2_NEW_TPCH2 = ("qt30_waiting_suppliers", "qt31_top_revenue_supplier")
-# Never driver-verified (created this round) — right after the stale
-# set, in this exact order (newest additions carry the most risk of a
-# first-run surprise, but all are locally oracle-green; ordering within
-# the group is oldest-written first so a window cut drops the ones with
-# the most local soak time last).
+# Never driver-verified (created this round), all locally
+# oracle-green; ordered oldest-written first so a window cut drops the
+# ones with the most local soak time last.
 _NEW_R4 = (
     "qx33_sequence_packing",
     "qx34_pq_encode",
@@ -56,9 +56,9 @@ _NEW_R4 = (
     "qx32_semantic_dedup",
     "qm6_real_image_decode",
 )
-# Code changed this round but r3-green on the prior code — verified
-# after the new set; if the ~50-entry driver window cuts anything, it
-# cuts these (freshest existing rows, lowest marginal value).
+# Code changed this round — the prior green rows describe old code,
+# so these carry the highest re-verification value and lead the
+# registry.
 _CHANGED_R4 = (
     "qx30_repetition_ratio",
     "qx22_tfidf_top_terms",
@@ -90,17 +90,17 @@ _BY_NAME: dict[str, Query] = {
     for q in mod.QUERIES
 }
 
-_PRIORITIZED = _NEW_R4 + _CHANGED_R4
+_PRIORITIZED = _CHANGED_R4 + _NEW_R4
 
 _ALL: list[Query] = [
+    # --- changed this round (rows invalid), then new this round
+    # (no rows), in the exact priority order declared above ---
+    *[_BY_NAME[n] for n in _PRIORITIZED],
     # --- two-rounds-stale round-1 families (39) ---
     *_named(events_queries.QUERIES, _R1_STALE_EVENTS),
     *relational_queries.QUERIES,
     *tpch_queries.QUERIES,
     *_except_named(tpch2_queries.QUERIES, _R2_NEW_TPCH2),
-    # --- new this round (12), then changed this round (4), in the
-    # exact priority order declared above ---
-    *[_BY_NAME[n] for n in _PRIORITIZED],
     # --- verified green in round 3, unchanged ---
     *_except_named(ext_queries.QUERIES, _PRIORITIZED),
     *_except_named(streaming_queries.QUERIES, _PRIORITIZED),
