@@ -322,3 +322,17 @@ def test_qt35_dominance_is_semi_join(spark):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_qx40_ivfpq_prune_shortlist_rerank(spark):
+    """Composite IVF-PQ: no cartesian/BNLJ anywhere except the
+    deliberate broadcast one-row query fan-outs; the ADC shortlist is
+    TakeOrderedAndProject (never a global sort of the candidates)."""
+    df = QUERIES["qx40_ivfpq_search"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # every nested-loop join must be a broadcast of a ONE-ROW frame
+    # (the query row / distance table) — count them and require the
+    # big sides joined hash-wise
+    assert "BroadcastHashJoin" in plan
