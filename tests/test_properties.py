@@ -295,3 +295,89 @@ def test_funnel_levels_matches_bruteforce(spark, rows, window):
                     level = 3
         want[level] = want.get(level, 0) + 1
     assert got == want
+
+
+# ---- round-4 operators: packing + containment ------------------------
+
+_token_counts = st.lists(st.integers(0, 40), min_size=1, max_size=20)
+
+
+@given(counts=_token_counts, budget=st.integers(1, 64))
+@_SET
+def test_pack_coordinates_equals_sequential_layout(spark, counts, budget):
+    """The hierarchical prefix sum must equal the naive sequential
+    layout for ANY token-count multiset and ANY budget — including
+    zero-token docs and budgets smaller than single docs."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        pack_coordinates,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate(counts)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in pack_coordinates(
+            docs,
+            F.size(F.array_remove(F.split(F.col("text"), " "), "")),
+            budget=budget,
+            group_size=3,  # force multiple buckets
+        ).collect()
+    }
+    running = 0
+    for i, n in enumerate(counts):
+        r = out[i]
+        assert r.tokens_before == running
+        assert r.seq_id == running // budget
+        assert r.seq_offset == running % budget
+        expect_cross = n > 0 and (running + n - 1) // budget > running // budget
+        assert bool(r.crosses_boundary) == expect_cross
+        running += n
+
+
+_doc_texts = st.lists(
+    st.lists(st.integers(0, 5), min_size=0, max_size=10),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(token_lists=_doc_texts)
+@_SET
+def test_containment_equals_bruteforce(spark, token_lists):
+    """containment_pairs == brute-force set containment over word
+    3-shingles for ANY tiny-vocab corpus (hot shingles, ties, empty
+    and sub-3-token docs), with the df cap disabled."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    texts = [" ".join(f"t{v}" for v in toks) for toks in token_lists]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.shared, r.containment)
+        for r in containment_pairs(
+            docs, shingle_k=3, max_df=10_000, threshold=0.5
+        ).collect()
+    }
+
+    def shingles(toks):
+        return {
+            " ".join(f"t{v}" for v in toks[i : i + 3])
+            for i in range(len(toks) - 2)
+        }
+
+    expect = {}
+    sets = [shingles(t) for t in token_lists]
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            if not sets[a] or not sets[b]:
+                continue
+            shared = len(sets[a] & sets[b])
+            cont = round(shared / min(len(sets[a]), len(sets[b])), 6)
+            if shared and cont >= 0.5:
+                expect[(a, b)] = (shared, cont)
+    assert got == expect
