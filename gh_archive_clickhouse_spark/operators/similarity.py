@@ -527,3 +527,106 @@ def pq_adc_topk(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k_top)
     )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
+) -> None:
+    """Persist the full IVF-PQ index: one row per vector carrying its
+    PQ codes AND the float vector + norm, written
+    ``partitionBy(cluster_id)``.
+
+    The layout is what makes the probe corpus-size-independent AND
+    memory-bound-optimal: the cluster partition prunes the scan to
+    ~1/n_clusters of the rows, and because parquet is columnar the ADC
+    pass reads ONLY the codes column (m bytes/vector) — the float
+    vectors on the same rows cost nothing until the final shortlist
+    re-rank touches a handful of them. Build cost: two map-only passes
+    (assign + encode) and one partitioned write.
+    """
+    cb = codebook if codebook is not None else pq_codebook(emb)
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    codes = pq_encode(
+        emb, m=m, dim=dim, id_col=id_col, vec_col=vec_col, codebook=cb
+    )
+    normed = _with_norm(emb, vec_col, "__v", "__n", dim)
+    (
+        normed.select(F.col(id_col), "__v", "__n")
+        .join(codes, id_col)
+        .join(assigned, id_col)
+        .select(
+            F.col(id_col),
+            F.col("codes"),
+            F.col("__v").alias("vec"),
+            F.col("__n").alias("norm"),
+            "cluster_id",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    query: DataFrame,
+    codebook: DataFrame,
+    cluster_id: int,
+    k: int = 5,
+    shortlist_k: int = 20,
+    n_probe: int = 1,
+    m: int = 8,
+    dim: int = 64,
+    query_vec_col: str = "q",
+) -> DataFrame:
+    """Two-stage probe over a persisted IVF-PQ index.
+
+    Stage 1 (ADC): partition-pruned scan of the probed cluster(s)
+    reading ONLY (vec_id, codes) — column pruning keeps the float
+    vectors on disk — scored by table lookups against the broadcast
+    query distance table, TakeOrdered shortlist.
+    Stage 2 (re-rank): the shortlist joins back to the SAME pruned
+    partitions for exact cosine on ``shortlist_k`` rows only.
+
+    Returns (vec_id, cos_sim, adc_dist) top-k by exact score.
+    """
+    clusters = list(range(cluster_id, cluster_id + n_probe))
+    idx = spark.read.parquet(path).filter(
+        F.col("cluster_id").isin(clusters)
+    )
+    shortlist = pq_adc_topk(
+        idx.select("vec_id", "codes"),
+        query,
+        codebook,
+        k_top=shortlist_k,
+        m=m,
+        dim=dim,
+        query_vec_col=query_vec_col,
+    )
+    q = _with_norm(query, query_vec_col, "__qv", "__qn", dim)
+    return (
+        shortlist.join(idx.select("vec_id", "vec", "norm"), "vec_id")
+        .crossJoin(F.broadcast(q.select("__qv", "__qn")))
+        .select(
+            "vec_id",
+            F.round(
+                F.when(
+                    (F.col("norm") > 0) & (F.col("__qn") > 0),
+                    _dot("vec", "__qv", dim)
+                    / (F.col("norm") * F.col("__qn")),
+                ),
+                6,
+            ).alias("cos_sim"),
+            "adc_dist",
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -219,3 +219,53 @@ def test_containment_stop_shingle_cap_defuses_hot_key(spark):
     # with the cap lifted the same corpus pairs quadratically
     rows2 = containment_pairs(docs, max_df=100, threshold=0.1).collect()
     assert len(rows2) == 60 * 59 / 2
+
+
+# ------------------------------------------------------ persisted IVFPQ
+
+
+def test_ivfpq_index_probe_pruned_and_codes_only(spark, tmp_path):
+    """The persisted IVF-PQ index probe: (1) the ADC scan is
+    partition-pruned to the query's cluster AND reads only
+    (vec_id, codes) — the float vectors stay on disk; (2) the exact
+    re-rank agrees with brute-force cosine restricted to the probed
+    cluster ∩ ADC shortlist."""
+    import re
+
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        build_ivfpq_index,
+        pq_codebook,
+        probe_ivfpq_index,
+    )
+
+    emb = read(spark, SF_DIR, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("c"),
+    )
+    cb = pq_codebook(emb)
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, centroids, path, codebook=cb)
+
+    idx = spark.read.parquet(path)
+    qrow = emb.filter(F.col("vec_id") == 3).select(
+        F.col("embedding").alias("q")
+    )
+    qc = idx.filter(F.col("vec_id") == 3).first().cluster_id
+    probe = probe_ivfpq_index(spark, path, qrow, cb, cluster_id=qc, k=5)
+    rows = probe.collect()
+    assert rows and rows[0].vec_id == 3  # self is nearest
+    assert abs(rows[0].cos_sim - 1.0) < 1e-6
+    assert rows[0].adc_dist == 0.0  # codebook-exactness not required;
+    # vec 3 < 16 IS a codebook vector, so its ADC self-distance is 0
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # every index scan is partition-pruned on cluster_id
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    idx_scans = [f for f in pf if "cluster_id" in f]
+    assert idx_scans, plan[:1500]
+    # the ADC-side scan reads codes, never the float vec column
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    adc_schemas = [s for s in schemas if "codes" in s]
+    assert adc_schemas and all("vec" not in s.split("codes")[1] for s in adc_schemas)
+    assert any("vec:" not in s for s in adc_schemas), schemas
