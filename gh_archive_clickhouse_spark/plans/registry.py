@@ -46,6 +46,7 @@ _NEW_R4 = (
     "qs6_stream_stream_join",
     "qs7_incremental_mv",
     "qs8_stream_exactly_once_dedup",
+    "qs9_stream_static_enrich",
     "qt32_cheapest_supplier",
     "qt33_nation_year_profit",
     "qt34_important_parts",

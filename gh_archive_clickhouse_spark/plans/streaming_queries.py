@@ -411,6 +411,55 @@ FROM events
 """
 
 
+def qs9_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join BY A STREAM: the event stream left-joined to
+    a STATIC per-user dimension (each user's first signup timestamp,
+    batch-derived) — the enrichment shape of every streaming ETL.
+    Spark re-plans the static side per micro-batch and broadcasts it
+    when small; no state store is involved (unlike stream-stream).
+    Output: per (event_type, signed_up) counts."""
+    from gh_archive_clickhouse_spark.plans.common import read
+
+    ev = read(spark, sf_dir, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    with _stream_shuffle_partitions(spark):
+        stream = _events_stream(spark, sf_dir)
+        enriched = stream.join(cohorts, "user_id", "left").select(
+            "event_type",
+            F.col("signup_ts").isNotNull().alias("signed_up"),
+        )
+        agg = enriched.groupBy("event_type", "signed_up").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        name = f"qs9_enrich_{next(_SEQ)}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(name)
+    return out.localCheckpoint(eager=True)
+
+
+_ORACLE_QS9 = """
+WITH cohorts AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+)
+SELECT e.event_type, (c.user_id IS NOT NULL) AS signed_up,
+       count(*) AS n
+FROM events e LEFT JOIN cohorts c ON e.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
 _ORACLE_QS7 = """
 SELECT strftime(ts, '%Y%m%d') AS day, event_type, count(*) AS n_events,
        min(event_id) AS min_event_id, max(event_id) AS max_event_id
@@ -483,6 +532,14 @@ QUERIES = [
         qs8_stream_exactly_once_dedup,
         _ORACLE_QS8,
         tags=("streaming", "dedup"),
+    ),
+    Query(
+        "qs9_stream_static_enrich",
+        "Structured Streaming: stream-static enrichment join "
+        "(per-user signup dimension, stateless)",
+        qs9_stream_static_enrich,
+        _ORACLE_QS9,
+        tags=("streaming",),
     ),
     Query(
         "qs5_stream_sliding_rates",
