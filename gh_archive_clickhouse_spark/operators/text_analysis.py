@@ -269,21 +269,55 @@ def ngram_contamination(
     map-only explode joined against the broadcast set (no shuffle of
     corpus data), then a per-doc hash aggregate. Docs shorter than n
     tokens have no n-grams and produce no row.
+
+    Both sides carry grams as 60-bit md5-derived hashes built in a
+    CODEGEN projection over exploded start offsets (the array-building
+    higher-order shingle form is CodegenFallback and was ~2x the
+    query's cost); distinctness and the membership join run in hash
+    space, mirrored exactly by the oracle (collisions ~2^-60, and
+    identical in both engines regardless).
     """
-    grams = F.explode(
-        F.array_distinct(word_shingles(tokens(text_col), n))
-    ).alias("gram")
-    doc_grams = docs.select(F.col(id_col), grams)
-    bench_grams = (
-        benchmark.select(grams).distinct().withColumn("__hit", F.lit(1))
+    from gh_archive_clickhouse_spark.functions.hashing import md5_long
+    from gh_archive_clickhouse_spark.operators._util import (
+        ensure_parallelism,
     )
-    marked = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+
+    def _gram_hashes(df: DataFrame, *cols) -> DataFrame:
+        toked = (
+            ensure_parallelism(df)
+            .select(*cols, tokens(F.col(text_col)).alias("__t"))
+            .filter(F.size("__t") >= n)
+        )
+        return toked.select(
+            *cols,
+            F.explode(
+                F.sequence(F.lit(1), F.size("__t") - F.lit(n - 1))
+            ).alias("__i"),
+            "__t",
+        ).select(
+            *cols,
+            md5_long(
+                F.concat_ws(" ", F.expr(f"slice(__t, __i, {n})"))
+            ).alias("__g"),
+        )
+
+    # Per-doc distinctness folds into the aggregate (count_distinct
+    # with map-side partials) — gram INSTANCES flow into the broadcast
+    # membership join, so the corpus side still shuffles only once, on
+    # doc_id.
+    doc_grams = _gram_hashes(docs, F.col(id_col))
+    bench_grams = (
+        _gram_hashes(benchmark)
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    marked = doc_grams.join(F.broadcast(bench_grams), "__g", "left")
+    n_grams = F.count_distinct("__g")
+    n_cont = F.count_distinct(
+        F.when(F.col("__hit").isNotNull(), F.col("__g"))
+    )
     return marked.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_contaminated"),
-        F.round(
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-            / F.count(F.lit(1)).cast("double"),
-            6,
-        ).alias("rate"),
+        n_grams.alias("n_grams"),
+        n_cont.alias("n_contaminated"),
+        F.round(n_cont / n_grams.cast("double"), 6).alias("rate"),
     )

@@ -1954,21 +1954,29 @@ QUERIES = [
         "benchmark decontamination: distinct word-8-gram overlap rate",
         qx23_ngram_contamination,
         f"""
-        WITH bench AS (
-          SELECT DISTINCT unnest({_sql_shingles('text', 8)}) AS gram
-          FROM documents WHERE source = 'src0'
-        ), dg AS (
-          SELECT doc_id, unnest({_sql_shingles('text', 8)}) AS gram
-          FROM documents WHERE source <> 'src0'
+        WITH toks AS (
+          SELECT doc_id, source,
+                 {_SQL_TOKENS.format(col='text')} AS t
+          FROM documents
+        ), gr AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(generate_series(1, len(t) - 7),
+                   i -> ('0x' || substr(md5(
+                     array_to_string(t[i:i+7], ' ')), 1, 15))::BIGINT))
+                   AS g
+          FROM toks WHERE len(t) >= 8
+        ), bench AS (
+          SELECT DISTINCT g FROM gr WHERE source = 'src0'
         ), marked AS (
-          SELECT doc_id,
-                 CASE WHEN gram IN (SELECT gram FROM bench)
-                      THEN 1 ELSE 0 END AS hit
-          FROM dg
+          SELECT doc_id, g,
+                 CASE WHEN g IN (SELECT g FROM bench)
+                      THEN g ELSE NULL END AS hit_g
+          FROM gr WHERE source <> 'src0'
         )
-        SELECT doc_id, count(*) AS n_grams,
-               CAST(sum(hit) AS BIGINT) AS n_contaminated,
-               round(CAST(sum(hit) AS DOUBLE) / count(*), 6) AS rate
+        SELECT doc_id, count(DISTINCT g) AS n_grams,
+               count(DISTINCT hit_g) AS n_contaminated,
+               round(CAST(count(DISTINCT hit_g) AS DOUBLE)
+                     / count(DISTINCT g), 6) AS rate
         FROM marked GROUP BY doc_id
         """,
         tags=("ext", "text", "dedup"),

@@ -62,6 +62,7 @@ _NEW_R4 = (
 # registry.
 _CHANGED_R4 = (
     "qx30_repetition_ratio",
+    "qx23_ngram_contamination",
     "qx22_tfidf_top_terms",
     "qx26_dedup_clusters",
     "qs4_stream_incremental_lsh",
