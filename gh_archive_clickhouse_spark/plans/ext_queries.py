@@ -1438,6 +1438,82 @@ SELECT query_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 3
 """
 
 
+def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE END-TO-END PRE-TRAINING DATA PIPELINE as one declarative
+    plan — the user story every other qx query is a stage of:
+
+      1. FUZZY DEDUP: LSH near-dup pairs → connected components →
+         keep each cluster's min-id representative (qx31's cut);
+      2. QUALITY FILTER: keep quality ≥ 0.75 (qx5's blend);
+      3. DECONTAMINATION: drop docs whose distinct word-8-gram overlap
+         with the benchmark split (source = src0) is ≥ 0.05, and drop
+         the benchmark split itself (qx23's check);
+      4. SEQUENCE PACKING: lay the surviving corpus out into 256-token
+         training sequences (qx33's hierarchical prefix sum).
+
+    Output: one row per surviving doc with its quality score and
+    packing coordinates. Every stage keeps its individually-tested
+    scale shape; Catalyst pipelines them into one job graph.
+    """
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+    from gh_archive_clickhouse_spark.operators.packing import (
+        pack_coordinates,
+    )
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        ngram_contamination,
+        quality_score,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    # 1. dedup survivors
+    pairs = qx9_lsh_candidates(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.7
+    )
+    drops = (
+        connected_components(pairs)
+        .filter(F.col("doc_id") != F.col("cluster_rep"))
+        .select("doc_id")
+    )
+    # Materialized: the dedup cut (LSH + CC + anti-join) feeds every
+    # later stage — without this each downstream consumer re-runs the
+    # whole candidate/cluster pipeline (measured 2x wall time).
+    kept = materialize(
+        docs.join(drops, "doc_id", "left_anti"), "qx42_dedup_kept"
+    )
+    # 2. quality gate (re-join text for the later stages)
+    quality = quality_score(kept).select("doc_id", "quality")
+    qkept = materialize(
+        kept.join(quality, "doc_id").filter(
+            (F.col("quality") >= 0.75) & (F.col("source") != "src0")
+        ),
+        "qx42_quality_kept",
+    )
+    # 3. decontamination vs the benchmark split (from the RAW corpus:
+    # the benchmark is external data, not subject to our dedup)
+    rates = ngram_contamination(
+        qkept, docs.filter(F.col("source") == "src0"), n=8
+    ).select("doc_id", "rate")
+    clean = qkept.join(rates, "doc_id", "left").filter(
+        F.coalesce(F.col("rate"), F.lit(0.0)) < 0.05
+    )
+    # 4. packing
+    coords = pack_coordinates(
+        clean, F.size(tokens(F.col("text"))), budget=256
+    )
+    return coords.join(
+        clean.select("doc_id", "quality"), "doc_id"
+    ).select(
+        "doc_id",
+        "quality",
+        "n_tokens",
+        "tokens_before",
+        "seq_id",
+        "seq_offset",
+    )
+
+
 _ORACLE_QX33 = """
 WITH t AS (
   SELECT doc_id,
@@ -1556,6 +1632,80 @@ ORDER BY cos_sim DESC, s.vec_id ASC LIMIT 5
 """
 
 
+def _oracle_qx42() -> str:
+    toks = _SQL_TOKENS.format(col="text")
+    g8 = (
+        "list_transform(generate_series(1, len(t) - 7), "
+        "i -> ('0x' || substr(md5(array_to_string(t[i:i+7], ' ')), "
+        "1, 15))::BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE cand AS ({_ORACLE_QX9}),
+pairs AS (SELECT doc_a, doc_b FROM cand WHERE jaccard >= 0.7),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (SELECT node, node AS label FROM nodes
+          UNION
+          SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node),
+cc AS (SELECT node AS doc_id, min(label) AS cluster_rep
+       FROM reach GROUP BY node),
+kept AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM cc WHERE doc_id <> cluster_rep)
+),
+feats AS (
+  SELECT doc_id, source, text, {toks} AS toks, length(text) AS nch,
+    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))
+      AS npunct,
+    length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))
+      AS nalpha
+  FROM kept
+),
+qual AS (
+  SELECT doc_id, source, text, len(toks) AS ntok,
+    round(0.4 * least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+      + 0.3 * (CASE WHEN nch > 0
+               THEN CAST(nalpha AS DOUBLE) / nch ELSE 0.0 END)
+      + 0.2 * (1.0 - abs((CASE WHEN len(toks) > 0
+               THEN CAST(len(list_filter(toks,
+                    t -> list_contains({_STOP_LIST_SQL}, t))) AS DOUBLE)
+                    / len(toks) ELSE 0.0 END) - 0.3))
+      + 0.1 * (1.0 - (CASE WHEN nch > 0
+               THEN CAST(npunct AS DOUBLE) / nch ELSE 0.0 END)), 6)
+      AS quality
+  FROM feats
+),
+qkept AS (SELECT * FROM qual WHERE quality >= 0.75 AND source <> 'src0'),
+btoks AS (SELECT {toks} AS t FROM documents WHERE source = 'src0'),
+bgr AS (SELECT DISTINCT unnest({g8}) AS g FROM btoks WHERE len(t) >= 8),
+ktoks AS (SELECT doc_id, {toks} AS t FROM qkept),
+kgr AS (SELECT doc_id, unnest({g8}) AS g FROM ktoks WHERE len(t) >= 8),
+rates AS (
+  SELECT doc_id,
+    round(CAST(count(DISTINCT CASE WHEN g IN (SELECT g FROM bgr)
+               THEN g END) AS DOUBLE) / count(DISTINCT g), 6) AS rate
+  FROM kgr GROUP BY doc_id
+),
+clean AS (
+  SELECT k.doc_id, k.quality, CAST(k.ntok AS BIGINT) AS n_tokens
+  FROM qkept k LEFT JOIN rates r ON k.doc_id = r.doc_id
+  WHERE COALESCE(r.rate, 0.0) < 0.05
+),
+c AS (
+  SELECT doc_id, quality, n_tokens,
+    COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      AS tokens_before
+  FROM clean
+)
+SELECT doc_id, quality, n_tokens, tokens_before,
+  CAST(tokens_before // 256 AS BIGINT) AS seq_id,
+  CAST(tokens_before % 256 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
 _ORACLE_QX36 = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
@@ -1671,6 +1821,14 @@ QUERIES = [
         qx41_batched_topk,
         _ORACLE_QX41,
         tags=("ext", "similarity"),
+    ),
+    Query(
+        "qx42_preprocess_pipeline",
+        "end-to-end pre-training pipeline: fuzzy dedup -> quality "
+        "gate -> decontamination -> sequence packing",
+        qx42_preprocess_pipeline,
+        _oracle_qx42(),
+        tags=("ext", "dedup", "pipeline", "iterative"),
     ),
     Query(
         "qx38_model_scored_filter",

@@ -53,6 +53,7 @@ _NEW_R4 = (
     "qt35_dominant_suppliers",
     "qx40_ivfpq_search",
     "qx41_batched_topk",
+    "qx42_preprocess_pipeline",
     "qx31_dedup_survivors",
     "qx32_semantic_dedup",
     "qm6_real_image_decode",
