@@ -336,3 +336,15 @@ def test_qx40_ivfpq_prune_shortlist_rerank(spark):
     # (the query row / distance table) — count them and require the
     # big sides joined hash-wise
     assert "BroadcastHashJoin" in plan
+
+
+def test_qx42_pipeline_never_quadratic(spark):
+    """The composite pre-training pipeline: no CartesianProduct or
+    BroadcastNestedLoopJoin in the final stage graph. (The
+    materialization barriers truncate lineage, so each upstream
+    stage's shape is pinned by its OWN test: qx31's LeftAnti cut,
+    qx23's broadcast benchmark grams, qx33's two-level window.)"""
+    df = QUERIES["qx42_preprocess_pipeline"].builder(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
