@@ -54,6 +54,15 @@ def pack_coordinates(
 
     Zero-token documents keep a row (seq coordinates of the point they
     occupy); they never set ``crosses_boundary``.
+
+    CONTRACT — ``order_col`` should be reasonably DENSE (ids assigned
+    by an upstream enumeration step, the normal case for a packing
+    job). The bucket key is ``order_col div group_size``, so sparse
+    64-bit keys (e.g. hashes) put ~1 doc per bucket and stage 3's
+    offset table degrades back toward a single-partition window over
+    ~n rows. For sparse keys, run an id-densification pass first
+    (itself this same two-level scan over counts) or raise
+    ``group_size`` to match the key spacing.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
