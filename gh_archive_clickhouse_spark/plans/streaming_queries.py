@@ -416,8 +416,11 @@ def qs9_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     a STATIC per-user dimension (each user's first signup timestamp,
     batch-derived) — the enrichment shape of every streaming ETL.
     Spark re-plans the static side per micro-batch and broadcasts it
-    when small; no state store is involved (unlike stream-stream).
-    Output: per (event_type, signed_up) counts."""
+    when small; the join itself is stateless (unlike stream-stream).
+    The complete-mode aggregation runs WITHOUT a watermark because its
+    key domain is BOUNDED (event_type x bool — a handful of rows of
+    state forever); an unbounded-key aggregation would need the
+    watermarked form (qs1)."""
     from gh_archive_clickhouse_spark.plans.common import read
 
     ev = read(spark, sf_dir, "events")
