@@ -338,3 +338,45 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(_decode, schema=DECODED_FEATURES_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id long, ahash string"
+
+
+def perceptual_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Perceptual AVERAGE-HASH over REAL decoded pixels: decode each
+    binary payload (Pillow / stdlib PNG codec), threshold every pixel
+    against the image mean, and emit the 64-bit signature as a
+    '0'/'1' string (portable across engines — no int64 sign games).
+
+    This is the image twin of SimHash: identical images collapse to
+    one hash; near-identical images land within small Hamming
+    distance, so the same banding machinery (operators/dedup.py)
+    generates candidate pairs. Arrow-batched mapInPandas, no shuffle —
+    a pure scan-stage kernel like the other multimodal ops.
+
+    The mean of an 8x8 single-channel image is sum/64 — a divide by a
+    power of two, exact in binary floating point, so the >= mean
+    threshold is bit-identical to any closed-form oracle.
+    """
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                arr = _decode_pixels(payload)
+                flat = arr.reshape(-1).astype("float64")
+                mean = float(flat.mean())
+                bits = "".join(
+                    "1" if float(p) >= mean else "0" for p in flat
+                )
+                ids.append(doc_id)
+                hashes.append(bits)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="int64"),
+                    "ahash": hashes,
+                }
+            )
+
+    return df.mapInPandas(_hash, schema=AHASH_SCHEMA)

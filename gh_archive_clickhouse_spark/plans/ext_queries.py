@@ -848,6 +848,50 @@ def qm6_real_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(attach_png_payload(docs))
 
 
+def qm7_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE-LEVEL dedup by perceptual average-hash over REAL decoded
+    pixels: build each row's 8x8 PNG, decode it back through the
+    actual codec path, threshold pixels against the image mean into a
+    64-bit signature, and elect the min-doc_id representative per
+    identical signature — the multimodal twin of qx1's text dedup.
+    The pixel generator repeats every 256 doc_ids, so genuine
+    duplicate images exist and must collapse. Oracle: the pixel
+    closed form evaluated in SQL."""
+    from gh_archive_clickhouse_spark.operators.multimodal import (
+        attach_png_payload,
+        perceptual_ahash,
+    )
+    from pyspark.sql import Window
+
+    docs = read(spark, sf_dir, "documents")
+    hashed = perceptual_ahash(attach_png_payload(docs))
+    w = Window.partitionBy("ahash")
+    return hashed.select(
+        "doc_id",
+        "ahash",
+        F.min("doc_id").over(w).alias("image_rep"),
+    )
+
+
+_ORACLE_QM7 = """
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           i -> CAST((doc_id * 31 + i) % 256 AS DOUBLE)) AS p
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(p, x ->
+           CASE WHEN x >= list_aggregate(p, 'sum') / 64.0
+                THEN '1' ELSE '0' END), 'string_agg', '') AS ahash
+  FROM px
+)
+SELECT doc_id, ahash,
+       min(doc_id) OVER (PARTITION BY ahash) AS image_rep
+FROM h
+"""
+
+
 def qx26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clusters: connected components over the verified LSH
     near-dup pairs (jaccard >= 0.7) — pair detection to canonical-doc
@@ -2322,6 +2366,14 @@ FROM m2
         GROUP BY d.doc_id
         """,
         tags=("ext", "multimodal"),
+    ),
+    Query(
+        "qm7_image_dedup_ahash",
+        "image dedup: perceptual average-hash over real decoded "
+        "pixels, min-id representative per signature",
+        qm7_image_dedup_ahash,
+        _ORACLE_QM7,
+        tags=("ext", "multimodal", "dedup"),
     ),
     Query(
         "qx26_dedup_clusters",

@@ -57,6 +57,7 @@ _NEW_R4 = (
     "qx31_dedup_survivors",
     "qx32_semantic_dedup",
     "qm6_real_image_decode",
+    "qm7_image_dedup_ahash",
 )
 # Code changed this round — the prior green rows describe old code,
 # so these carry the highest re-verification value and lead the
