@@ -1558,6 +1558,93 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx43_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH RECALL measurement — the harness that tunes banding
+    parameters before anyone trusts fuzzy dedup at 100 TB: take a
+    deterministic ~25% document sample, compute GROUND TRUTH near-dup
+    pairs by brute-force word-3-gram Jaccard over the sample (a
+    deliberate bounded all-pairs — cost is the sample-size knob²,
+    never corpus²), and report what fraction the production LSH
+    pipeline (qx9's banding) catches.
+
+    Output: one row (n_true, n_caught, recall). recall is NULL when
+    the sample holds no true pair (raise the sample rate)."""
+    from gh_archive_clickhouse_spark.functions.hashing import md5_long
+    from gh_archive_clickhouse_spark.operators.dedup import shingle_sets
+
+    docs = read(spark, sf_dir, "documents")
+    sample = docs.filter(
+        md5_long(
+            F.concat(F.lit("recall"), F.col("doc_id").cast("string"))
+        )
+        % 4
+        == 0
+    )
+    sh = materialize(
+        shingle_sets(sample, "text", "doc_id", 3), "qx43_sample_sets"
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sha_")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("__sh").alias("shb_")
+    )
+    ninter = F.size(F.array_intersect("sha_", "shb_"))
+    nunion = F.size("sha_") + F.size("shb_") - ninter
+    jac = F.when(
+        nunion > 0, F.round(ninter.cast("double") / nunion, 6)
+    ).otherwise(F.lit(0.0))
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("j"))
+        .filter(F.col("j") >= 0.7)
+    )
+    caught = qx9_lsh_candidates(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.7
+    )
+    marked = truth.join(caught, ["doc_a", "doc_b"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(
+            F.col("jaccard").isNotNull().cast("long")
+        ).alias("n_caught"),
+        F.round(
+            F.sum(F.col("jaccard").isNotNull().cast("long"))
+            / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+def _oracle_qx43() -> str:
+    sh = _sql_shingles("text", 3)
+    return f"""
+WITH sample AS (
+  SELECT doc_id, {sh} AS shl FROM documents
+  WHERE ('0x' || substr(md5('recall' || CAST(doc_id AS VARCHAR)),
+         1, 15))::BIGINT % 4 = 0
+), truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sample a JOIN sample b ON a.doc_id < b.doc_id
+  WHERE len(a.shl) + len(b.shl) - len(list_intersect(a.shl, b.shl)) > 0
+    AND round(CAST(len(list_intersect(a.shl, b.shl)) AS DOUBLE)
+        / (len(a.shl) + len(b.shl) - len(list_intersect(a.shl, b.shl))),
+        6) >= 0.7
+), caught AS (
+  SELECT doc_a, doc_b FROM ({_ORACLE_QX9}) WHERE jaccard >= 0.7
+), marked AS (
+  SELECT t.doc_a, (c.doc_a IS NOT NULL) AS hit
+  FROM truth t LEFT JOIN caught c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT count(*) AS n_true,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+       round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(count(*), 0), 6) AS recall
+FROM marked
+"""
+
+
 _ORACLE_QX33 = """
 WITH t AS (
   SELECT doc_id,
@@ -1865,6 +1952,14 @@ QUERIES = [
         qx41_batched_topk,
         _ORACLE_QX41,
         tags=("ext", "similarity"),
+    ),
+    Query(
+        "qx43_lsh_recall_probe",
+        "LSH recall probe: brute-force truth on a bounded sample vs "
+        "the production banding pipeline",
+        qx43_lsh_recall_probe,
+        _oracle_qx43(),
+        tags=("ext", "dedup", "measurement"),
     ),
     Query(
         "qx42_preprocess_pipeline",

@@ -58,6 +58,7 @@ _NEW_R4 = (
     "qx32_semantic_dedup",
     "qm6_real_image_decode",
     "qm7_image_dedup_ahash",
+    "qx43_lsh_recall_probe",
 )
 # Code changed this round — the prior green rows describe old code,
 # so these carry the highest re-verification value and lead the
