@@ -814,3 +814,16 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def shingle_jaccard(a_col: str = "sha_", b_col: str = "shb_") -> Column:
+    """Exact Jaccard of two distinct-shingle array columns, 6-dp
+    rounded, 0.0 on an empty union — THE verification formula every
+    LSH pipeline (and the recall probe measuring it) must share, so
+    the convention lives in exactly one place that the oracles mirror.
+    """
+    ninter = F.size(F.array_intersect(a_col, b_col))
+    nunion = F.size(a_col) + F.size(b_col) - ninter
+    return F.when(
+        nunion > 0, F.round(ninter.cast("double") / nunion, 6)
+    ).otherwise(F.lit(0.0))

@@ -21,6 +21,7 @@ from gh_archive_clickhouse_spark.operators.dedup import (
     dedup_exact_text,
     lsh_candidate_pairs,
     minhash_signatures,
+    shingle_jaccard,
     shingle_sets,
     simhash,
     simhash_candidate_pairs,
@@ -191,11 +192,7 @@ def qx9_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sha_"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("shb_"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
-    ninter = F.size(F.array_intersect("sha_", "shb_"))
-    nunion = F.size("sha_") + F.size("shb_") - ninter
-    jac = F.when(
-        nunion > 0, F.round(ninter.cast("double") / nunion, 6)
-    ).otherwise(F.lit(0.0))
+    jac = shingle_jaccard()
     return joined.select("doc_a", "doc_b", jac.alias("jaccard"))
 
 
@@ -397,11 +394,7 @@ def qx20_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sha_"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("shb_"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
-    ninter = F.size(F.array_intersect("sha_", "shb_"))
-    nunion = F.size("sha_") + F.size("shb_") - ninter
-    jac = F.when(
-        nunion > 0, F.round(ninter.cast("double") / nunion, 6)
-    ).otherwise(F.lit(0.0))
+    jac = shingle_jaccard()
     scored = joined.select("doc_a", "doc_b", jac.alias("jaccard"))
     return scored.filter(F.col("jaccard") >= 0.7)
 
@@ -1539,8 +1532,14 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = ngram_contamination(
         qkept, docs.filter(F.col("source") == "src0"), n=8
     ).select("doc_id", "rate")
-    clean = qkept.join(rates, "doc_id", "left").filter(
-        F.coalesce(F.col("rate"), F.lit(0.0)) < 0.05
+    # Materialized: `clean` fans out to three consumers (both packing
+    # window stages + the final quality join) — un-checkpointed, the
+    # decontamination pipeline would execute three times.
+    clean = materialize(
+        qkept.join(rates, "doc_id", "left").filter(
+            F.coalesce(F.col("rate"), F.lit(0.0)) < 0.05
+        ),
+        "qx42_clean",
     )
     # 4. packing
     coords = pack_coordinates(
@@ -1589,11 +1588,7 @@ def qx43_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sh.select(
         F.col("doc_id").alias("doc_b"), F.col("__sh").alias("shb_")
     )
-    ninter = F.size(F.array_intersect("sha_", "shb_"))
-    nunion = F.size("sha_") + F.size("shb_") - ninter
-    jac = F.when(
-        nunion > 0, F.round(ninter.cast("double") / nunion, 6)
-    ).otherwise(F.lit(0.0))
+    jac = shingle_jaccard()
     truth = (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("j"))

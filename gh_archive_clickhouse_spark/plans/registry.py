@@ -22,8 +22,8 @@ from gh_archive_clickhouse_spark.plans.common import Query
 #   3. the 39 round-1-verified qt/qe families (green, unchanged, but
 #      two rounds stale) — as many as fit the remaining window;
 #   4. everything verified green in round 3 and unchanged.
-# With 6 changed + 21 new this round, a 50-entry window still
-# refreshes ~23 of the stale set; the rest keep their (valid,
+# With 6 changed + 23 new this round, a 50-entry window still
+# refreshes ~21 of the stale set; the rest keep their (valid,
 # unchanged-code) round-1 rows and lead the rotation next round.
 _R1_STALE_EVENTS = (
     "qe5_ttl_survivors",
@@ -99,7 +99,7 @@ _PRIORITIZED = _CHANGED_R4 + _NEW_R4
 
 _ALL: list[Query] = [
     # --- changed this round (6, rows invalid), then new this round
-    # (21, no rows), in the exact priority order declared above ---
+    # (23, no rows), in the exact priority order declared above ---
     *[_BY_NAME[n] for n in _PRIORITIZED],
     # --- two-rounds-stale round-1 families (39) ---
     *_named(events_queries.QUERIES, _R1_STALE_EVENTS),

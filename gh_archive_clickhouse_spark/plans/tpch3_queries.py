@@ -154,15 +154,22 @@ def qt35_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = read(spark, sf_dir, "supplier").filter(
         F.col("s_nationkey") < 10
     )
+    # Quantities sum as DECIMAL (exact, order-independent) — a
+    # long-cast would TRUNCATE fractional quantities in Spark while
+    # DuckDB's BIGINT cast rounds, silently diverging the engines the
+    # moment a fixture carries a non-integral quantity.
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("long")).alias("sq")
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sq")
     )
     totals = shipped.groupBy("l_partkey").agg(
         F.sum("sq").alias("tq")
     )
     dominant = (
         shipped.join(totals, "l_partkey")
-        .filter(F.col("sq") > F.lit(0.3) * F.col("tq"))
+        .filter(
+            F.col("sq").cast("double")
+            > F.lit(0.3) * F.col("tq").cast("double")
+        )
         .select("l_suppkey")
     )
     return (
@@ -249,18 +256,18 @@ FROM per_part, total WHERE part_value > threshold
         """
 WITH shipped AS (
   SELECT l_partkey, l_suppkey,
-         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+         sum(CAST(l_quantity AS DECIMAL(18,6))) AS sq
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate < TIMESTAMP '1998-01-01'
   GROUP BY 1, 2
 ), totals AS (
-  SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq
+  SELECT l_partkey, sum(sq) AS tq
   FROM shipped GROUP BY 1
 ), dominant AS (
   SELECT DISTINCT sh.l_suppkey
   FROM shipped sh JOIN totals t ON sh.l_partkey = t.l_partkey
-  WHERE sh.sq > 0.3 * t.tq
+  WHERE CAST(sh.sq AS DOUBLE) > 0.3 * CAST(t.tq AS DOUBLE)
 )
 SELECT s.s_name, s.s_acctbal
 FROM supplier s
