@@ -1560,24 +1560,28 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def qx43_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH RECALL measurement — the harness that tunes banding
     parameters before anyone trusts fuzzy dedup at 100 TB: take a
-    deterministic ~25% document sample, compute GROUND TRUTH near-dup
-    pairs by brute-force word-3-gram Jaccard over the sample (a
-    deliberate bounded all-pairs — cost is the sample-size knob²,
-    never corpus²), and report what fraction the production LSH
-    pipeline (qx9's banding) catches.
+    deterministic ABSOLUTE-SIZE sample (the 256 docs with the smallest
+    salted md5 hash — TakeOrdered, so sampling cost is one scan and
+    the brute-force stage is bounded at 256² pairs NO MATTER the
+    corpus size; a fractional sample would grow the all-pairs stage
+    quadratically with the corpus), compute GROUND TRUTH near-dup
+    pairs by exact word-3-gram Jaccard over the sample, and report
+    what fraction the production LSH pipeline (qx9's banding) catches.
 
     Output: one row (n_true, n_caught, recall). recall is NULL when
-    the sample holds no true pair (raise the sample rate)."""
+    the sample holds no true pair (raise the sample size)."""
     from gh_archive_clickhouse_spark.functions.hashing import md5_long
     from gh_archive_clickhouse_spark.operators.dedup import shingle_sets
 
     docs = read(spark, sf_dir, "documents")
-    sample = docs.filter(
-        md5_long(
-            F.concat(F.lit("recall"), F.col("doc_id").cast("string"))
+    sample = (
+        docs.orderBy(
+            md5_long(
+                F.concat(F.lit("recall"), F.col("doc_id").cast("string"))
+            ).asc(),
+            F.col("doc_id").asc(),
         )
-        % 4
-        == 0
+        .limit(256)
     )
     sh = materialize(
         shingle_sets(sample, "text", "doc_id", 3), "qx43_sample_sets"
@@ -1616,8 +1620,9 @@ def _oracle_qx43() -> str:
     return f"""
 WITH sample AS (
   SELECT doc_id, {sh} AS shl FROM documents
-  WHERE ('0x' || substr(md5('recall' || CAST(doc_id AS VARCHAR)),
-         1, 15))::BIGINT % 4 = 0
+  ORDER BY ('0x' || substr(md5('recall' || CAST(doc_id AS VARCHAR)),
+            1, 15))::BIGINT ASC, doc_id ASC
+  LIMIT 256
 ), truth AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sample a JOIN sample b ON a.doc_id < b.doc_id
