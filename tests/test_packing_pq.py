@@ -269,3 +269,29 @@ def test_ivfpq_index_probe_pruned_and_codes_only(spark, tmp_path):
     adc_schemas = [s for s in schemas if "codes" in s]
     assert adc_schemas and all("vec" not in s.split("codes")[1] for s in adc_schemas)
     assert any("vec:" not in s for s in adc_schemas), schemas
+
+
+# ---------------------------------------------------- perceptual aHash
+
+
+def test_perceptual_ahash_known_image(spark):
+    """The aHash kernel against a hand-computed signature: encode a
+    known 8x8 gradient PNG, decode through the real codec path, and
+    check the mean-threshold bits exactly; identical pixel content
+    must produce identical hashes across distinct payload rows."""
+    import numpy as np
+    import pandas as pd
+
+    from gh_archive_clickhouse_spark.operators.multimodal import (
+        perceptual_ahash,
+    )
+    from gh_archive_clickhouse_spark.operators.png_codec import encode_png
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8, 1)  # 0..63
+    payload = encode_png(px)
+    pdf = pd.DataFrame({"doc_id": [1, 2], "payload": [payload, payload]})
+    df = spark.createDataFrame(pdf)
+    rows = {r.doc_id: r.ahash for r in perceptual_ahash(df).collect()}
+    # mean of 0..63 is 31.5 -> bits 0..31 are '0', 32..63 are '1'
+    assert rows[1] == "0" * 32 + "1" * 32
+    assert rows[1] == rows[2]
