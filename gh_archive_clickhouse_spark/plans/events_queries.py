@@ -219,6 +219,79 @@ def qe14_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qe15_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly ANOMALY detection per event type — the monitoring query
+    behind every ingestion dashboard: z-score each hour's count
+    against its type's series mean/stddev and flag |z| >= 3.
+
+    Engine-parity design: the statistics derive from EXACT integer
+    sums (sum n, sum n² as longs — counts are integers, so the moment
+    sums are order-independent), then ONE double division/sqrt per
+    type — both engines compute identical IEEE doubles, unlike
+    stddev_samp whose partial-merge order varies. Scale shape: the
+    series is already aggregated (tiny); stats are a per-type
+    aggregate broadcast-joined back.
+    """
+    ev = read(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("__s"),
+        F.sum(F.col("n") * F.col("n")).alias("__ss"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    mean = F.col("__s") / F.col("__c").cast("double")
+    var = (
+        F.col("__ss") - F.col("__s") * F.col("__s") / F.col("__c").cast("double")
+    ) / (F.col("__c") - 1).cast("double")
+    z = F.when(
+        (F.col("__c") > 1) & (F.sqrt(var) > 0),
+        F.round((F.col("n") - mean) / F.sqrt(var), 6),
+    )
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .select(
+            ts_fmt("hour_start").alias("hour_s"),
+            "event_type",
+            "n",
+            z.alias("z"),
+            (F.abs(F.coalesce(z, F.lit(0.0))) >= 3.0).alias("is_anomaly"),
+        )
+    )
+
+
+_ORACLE_QE15 = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, CAST(sum(n) AS BIGINT) AS s,
+         CAST(sum(n * n) AS BIGINT) AS ss,
+         count(*) AS c
+  FROM hourly GROUP BY event_type
+)
+SELECT strftime(h.hour_start, '%Y-%m-%d %H:%M:%S.%f') AS hour_s,
+       h.event_type, h.n,
+       CASE WHEN st.c > 1 AND
+            sqrt((st.ss - st.s * st.s / CAST(st.c AS DOUBLE))
+                 / CAST(st.c - 1 AS DOUBLE)) > 0
+       THEN round((h.n - st.s / CAST(st.c AS DOUBLE))
+            / sqrt((st.ss - st.s * st.s / CAST(st.c AS DOUBLE))
+                   / CAST(st.c - 1 AS DOUBLE)), 6)
+       END AS z,
+       (abs(COALESCE(CASE WHEN st.c > 1 AND
+            sqrt((st.ss - st.s * st.s / CAST(st.c AS DOUBLE))
+                 / CAST(st.c - 1 AS DOUBLE)) > 0
+       THEN round((h.n - st.s / CAST(st.c AS DOUBLE))
+            / sqrt((st.ss - st.s * st.s / CAST(st.c AS DOUBLE))
+                   / CAST(st.c - 1 AS DOUBLE)), 6)
+       END, 0.0)) >= 3.0) AS is_anomaly
+FROM hourly h JOIN stats st USING (event_type)
+"""
+
+
 QUERIES = [
     Query(
         "qe11_json_battery",
@@ -434,5 +507,13 @@ QUERIES = [
         GROUP BY 1, 2
         """,
         tags=("events", "agg", "cohort"),
+    ),
+    Query(
+        "qe15_hourly_anomaly",
+        "hourly per-type anomaly z-scores from integer-exact moment "
+        "sums (|z| >= 3 flag)",
+        qe15_hourly_anomaly,
+        _ORACLE_QE15,
+        tags=("events", "monitoring"),
     ),
 ]

@@ -1645,6 +1645,92 @@ FROM marked
 """
 
 
+def qx44_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DATA-QUALITY audit over the warehouse — the
+    dbt-test / Deequ-style constraint pass every ingestion pipeline
+    schedules: key uniqueness, non-null required columns, domain
+    checks, and cross-table referential integrity, each reported as a
+    violation count. Every check is a small aggregate or anti-join on
+    its natural key — no full-table cross work; the union of one-row
+    results is the audit report."""
+    ev = read(spark, sf_dir, "events")
+    orders = read(spark, sf_dir, "orders")
+    cust = read(spark, sf_dir, "customer")
+    li = read(spark, sf_dir, "lineitem")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.coalesce(F.first("n"), F.lit(0)).alias("n_violations"),
+        )
+
+    dup_events = ev.groupBy("event_id").count().filter(
+        F.col("count") > 1
+    ).agg(F.count(F.lit(1)).alias("n"))
+    null_ts = ev.agg(
+        F.sum(F.col("ts").isNull().cast("long")).alias("n")
+    )
+    bad_type = ev.filter(
+        ~F.col("event_type").isin(
+            "click", "error", "purchase", "signup", "view"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"))
+    orphan_orders = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    orphan_lines = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    neg_price = li.filter(F.col("l_extendedprice") < 0).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bad_discount = li.filter(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        check("events_unique_id", dup_events)
+        .union(check("events_ts_not_null", null_ts))
+        .union(check("events_type_domain", bad_type))
+        .union(check("orders_customer_fk", orphan_orders))
+        .union(check("lineitem_order_fk", orphan_lines))
+        .union(check("lineitem_price_nonneg", neg_price))
+        .union(check("lineitem_discount_range", bad_discount))
+    )
+
+
+_ORACLE_QX44 = """
+SELECT 'events_unique_id' AS check_name, CAST(COALESCE((
+  SELECT count(*) FROM (
+    SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1
+  )), 0) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'events_ts_not_null', CAST(COALESCE((
+  SELECT sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) FROM events
+  ), 0) AS BIGINT)
+UNION ALL
+SELECT 'events_type_domain', CAST(COALESCE((
+  SELECT count(*) FROM events WHERE event_type NOT IN
+    ('click', 'error', 'purchase', 'signup', 'view')), 0) AS BIGINT)
+UNION ALL
+SELECT 'orders_customer_fk', CAST(COALESCE((
+  SELECT count(*) FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)), 0) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_order_fk', CAST(COALESCE((
+  SELECT count(*) FROM lineitem l
+  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)), 0) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_price_nonneg', CAST(COALESCE((
+  SELECT count(*) FROM lineitem WHERE l_extendedprice < 0), 0) AS BIGINT)
+UNION ALL
+SELECT 'lineitem_discount_range', CAST(COALESCE((
+  SELECT count(*) FROM lineitem
+  WHERE l_discount < 0 OR l_discount > 1), 0) AS BIGINT)
+"""
+
+
 _ORACLE_QX33 = """
 WITH t AS (
   SELECT doc_id,
@@ -1960,6 +2046,14 @@ QUERIES = [
         qx43_lsh_recall_probe,
         _oracle_qx43(),
         tags=("ext", "dedup", "measurement"),
+    ),
+    Query(
+        "qx44_data_quality_audit",
+        "declarative data-quality audit: uniqueness, null, domain, "
+        "and referential-integrity violation counts",
+        qx44_data_quality_audit,
+        _ORACLE_QX44,
+        tags=("ext", "quality", "audit"),
     ),
     Query(
         "qx42_preprocess_pipeline",

@@ -22,8 +22,8 @@ from gh_archive_clickhouse_spark.plans.common import Query
 #   3. the 39 round-1-verified qt/qe families (green, unchanged, but
 #      two rounds stale) — as many as fit the remaining window;
 #   4. everything verified green in round 3 and unchanged.
-# With 6 changed + 23 new this round, a 50-entry window still
-# refreshes ~21 of the stale set; the rest keep their (valid,
+# With 6 changed + 25 new this round, a 50-entry window still
+# refreshes ~19 of the stale set; the rest keep their (valid,
 # unchanged-code) round-1 rows and lead the rotation next round.
 _R1_STALE_EVENTS = (
     "qe5_ttl_survivors",
@@ -59,6 +59,8 @@ _NEW_R4 = (
     "qm6_real_image_decode",
     "qm7_image_dedup_ahash",
     "qx43_lsh_recall_probe",
+    "qx44_data_quality_audit",
+    "qe15_hourly_anomaly",
 )
 # Code changed this round — the prior green rows describe old code,
 # so these carry the highest re-verification value and lead the
@@ -99,7 +101,7 @@ _PRIORITIZED = _CHANGED_R4 + _NEW_R4
 
 _ALL: list[Query] = [
     # --- changed this round (6, rows invalid), then new this round
-    # (23, no rows), in the exact priority order declared above ---
+    # (25, no rows), in the exact priority order declared above ---
     *[_BY_NAME[n] for n in _PRIORITIZED],
     # --- two-rounds-stale round-1 families (39) ---
     *_named(events_queries.QUERIES, _R1_STALE_EVENTS),
