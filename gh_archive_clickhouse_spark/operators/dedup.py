@@ -827,3 +827,26 @@ def shingle_jaccard(a_col: str = "sha_", b_col: str = "shb_") -> Column:
     return F.when(
         nunion > 0, F.round(ninter.cast("double") / nunion, 6)
     ).otherwise(F.lit(0.0))
+
+
+def dedup_survivors(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """The canonical-corpus CUT shared by every fuzzy-dedup end
+    product (qx31, qx32, the qx42 composite): connected components
+    over the near-dup pairs, drop every cluster member except the
+    min-id representative, keep all never-paired rows — one left-anti
+    equi-join on uniform ids, join strategy left to AQE (the drop
+    side can be a large corpus fraction; no broadcast hint).
+
+    Survivor policy (keep-smallest-id) lives HERE, once.
+    """
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+    drops = cc.filter(F.col("doc_id") != F.col("cluster_rep")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return corpus.join(drops, id_col, "left_anti")

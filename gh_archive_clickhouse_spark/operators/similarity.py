@@ -538,6 +538,8 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: DataFrame | None = None,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "c",
 ) -> None:
     """Persist the full IVF-PQ index: one row per vector carrying its
     PQ codes AND the float vector + norm, written
@@ -548,25 +550,69 @@ def build_ivfpq_index(
     ~1/n_clusters of the rows, and because parquet is columnar the ADC
     pass reads ONLY the codes column (m bytes/vector) — the float
     vectors on the same rows cost nothing until the final shortlist
-    re-rank touches a handful of them. Build cost: two map-only passes
-    (assign + encode) and one partitioned write.
+    re-rank touches a handful of them.
+
+    Build cost — genuinely ONE map-only projection over the corpus:
+    both the cluster assignment (argmax cosine, ties -> lowest id,
+    same convention as ivf_assign) and the PQ codes are computed as
+    fold expressions against two broadcast one-row frames (centroids,
+    codebook). No shuffle, no join of corpus-sized sides — unlike an
+    assign-then-join formulation, which would shuffle the corpus by id
+    twice.
     """
     cb = codebook if codebook is not None else pq_codebook(emb)
-    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
-    codes = pq_encode(
-        emb, m=m, dim=dim, id_col=id_col, vec_col=vec_col, codebook=cb
+    cents = (
+        centroids.select(
+            F.col(centroid_id_col).cast("int").alias("cid"),
+            F.col(centroid_vec_col).cast("array<double>").alias("cvec"),
+        )
+        .withColumn(
+            "cn",
+            F.expr(
+                "sqrt(aggregate(cvec, cast(0 as double), "
+                "(s, v) -> s + v * v))"
+            ),
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cid", "cvec", "cn"))
+            ).alias("__cents")
+        )
     )
-    normed = _with_norm(emb, vec_col, "__v", "__n", dim)
+    sub = dim // m
+    dist = _pq_sub_l2("__v", "e.cvec", "mm", sub)
+    codes = (
+        f"transform(sequence(0, {m - 1}), mm -> "
+        f"aggregate("
+        f"transform(__cb, e -> named_struct('d', {dist}, 'c', e.code)), "
+        f"named_struct('d', cast('Infinity' as double), 'c', 2147483647), "
+        f"(acc, el) -> IF(el.d < acc.d OR (el.d = acc.d AND el.c < acc.c), "
+        f"el, acc)).c)"
+    )
+    sim = (
+        "CASE WHEN __n > 0 AND e.cn > 0 THEN "
+        "round(aggregate(zip_with(__v, e.cvec, (p, q) -> p * q), "
+        "cast(0 as double), (s, v) -> s + v) / (__n * e.cn), 6) "
+        "ELSE CAST(NULL AS DOUBLE) END"
+    )
+    cluster = (
+        f"aggregate("
+        f"transform(__cents, e -> named_struct('s', {sim}, 'c', e.cid)), "
+        f"named_struct('s', cast('-Infinity' as double), 'c', 2147483647), "
+        f"(acc, el) -> IF(el.s IS NOT NULL AND (el.s > acc.s OR "
+        f"(el.s = acc.s AND el.c < acc.c)), el, acc)).c"
+    )
     (
-        normed.select(F.col(id_col), "__v", "__n")
-        .join(codes, id_col)
-        .join(assigned, id_col)
+        _with_norm(emb, vec_col, "__v", "__n", dim)
+        .select(F.col(id_col), "__v", "__n")
+        .crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(cents))
         .select(
             F.col(id_col),
-            F.col("codes"),
+            F.expr(codes).alias("codes"),
             F.col("__v").alias("vec"),
             F.col("__n").alias("norm"),
-            "cluster_id",
+            F.expr(cluster).alias("cluster_id"),
         )
         .write.mode("overwrite")
         .partitionBy("cluster_id")
@@ -579,15 +625,20 @@ def probe_ivfpq_index(
     path: str,
     query: DataFrame,
     codebook: DataFrame,
-    cluster_id: int,
+    cluster_ids: list[int],
     k: int = 5,
     shortlist_k: int = 20,
-    n_probe: int = 1,
     m: int = 8,
     dim: int = 64,
     query_vec_col: str = "q",
 ) -> DataFrame:
     """Two-stage probe over a persisted IVF-PQ index.
+
+    ``cluster_ids`` is the EXPLICIT list of coarse cells to probe —
+    the caller computes it by scoring the query against the centroid
+    table (nearest for n_probe=1, the n closest for wider recall).
+    Centroid ids carry no spatial adjacency, so the operator never
+    guesses "adjacent" ids itself.
 
     Stage 1 (ADC): partition-pruned scan of the probed cluster(s)
     reading ONLY (vec_id, codes) — column pruning keeps the float
@@ -598,9 +649,8 @@ def probe_ivfpq_index(
 
     Returns (vec_id, cos_sim, adc_dist) top-k by exact score.
     """
-    clusters = list(range(cluster_id, cluster_id + n_probe))
     idx = spark.read.parquet(path).filter(
-        F.col("cluster_id").isin(clusters)
+        F.col("cluster_id").isin(list(cluster_ids))
     )
     shortlist = pq_adc_topk(
         idx.select("vec_id", "codes"),

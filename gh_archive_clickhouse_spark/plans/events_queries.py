@@ -232,10 +232,18 @@ def qe15_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     series is already aggregated (tiny); stats are a per-type
     aggregate broadcast-joined back.
     """
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
     ev = read(spark, sf_dir, "events")
-    hourly = ev.groupBy(
-        F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # Materialized: `hourly` feeds both the stats aggregate and the
+    # join-back — un-checkpointed, the full events scan+aggregation
+    # would plan twice.
+    hourly = materialize(
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")),
+        "qe15_hourly",
+    )
     stats = hourly.groupBy("event_type").agg(
         F.sum("n").alias("__s"),
         F.sum(F.col("n") * F.col("n")).alias("__ss"),

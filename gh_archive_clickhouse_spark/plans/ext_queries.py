@@ -1066,7 +1066,7 @@ def qx32_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding corpus. Same additive-candidate/anti-join shape as the
     text pipeline (qx31), so the 100 TB properties carry over."""
     from gh_archive_clickhouse_spark.operators.dedup import (
-        connected_components,
+        dedup_survivors,
     )
     from gh_archive_clickhouse_spark.operators.similarity import (
         near_duplicate_pairs,
@@ -1074,11 +1074,9 @@ def qx32_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read(spark, sf_dir, "embeddings")
     pairs = near_duplicate_pairs(emb, threshold=0.35, dim=EMB_DIM)
-    cc = connected_components(pairs, a_col="vec_a", b_col="vec_b")
-    drops = cc.filter(F.col("doc_id") != F.col("cluster_rep")).select(
-        F.col("doc_id").alias("vec_id")
-    )
-    return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")
+    return dedup_survivors(
+        emb, pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"
+    ).select("vec_id", "label")
 
 
 def qx31_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1090,18 +1088,14 @@ def qx31_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast hint; the drop side can be a large corpus fraction at
     100 TB, so the join strategy is AQE's runtime call."""
     from gh_archive_clickhouse_spark.operators.dedup import (
-        connected_components,
+        dedup_survivors,
     )
 
     docs = read(spark, sf_dir, "documents")
     pairs = qx9_lsh_candidates(spark, sf_dir).filter(
         F.col("jaccard") >= 0.7
     )
-    cc = connected_components(pairs)
-    drops = cc.filter(F.col("doc_id") != F.col("cluster_rep")).select(
-        "doc_id"
-    )
-    return docs.join(drops, "doc_id", "left_anti").select(
+    return dedup_survivors(docs, pairs).select(
         "doc_id", "lang", "source"
     )
 
@@ -1493,7 +1487,7 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale shape; Catalyst pipelines them into one job graph.
     """
     from gh_archive_clickhouse_spark.operators.dedup import (
-        connected_components,
+        dedup_survivors,
     )
     from gh_archive_clickhouse_spark.operators.packing import (
         pack_coordinates,
@@ -1508,16 +1502,11 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = qx9_lsh_candidates(spark, sf_dir).filter(
         F.col("jaccard") >= 0.7
     )
-    drops = (
-        connected_components(pairs)
-        .filter(F.col("doc_id") != F.col("cluster_rep"))
-        .select("doc_id")
-    )
     # Materialized: the dedup cut (LSH + CC + anti-join) feeds every
     # later stage — without this each downstream consumer re-runs the
     # whole candidate/cluster pipeline (measured 2x wall time).
     kept = materialize(
-        docs.join(drops, "doc_id", "left_anti"), "qx42_dedup_kept"
+        dedup_survivors(docs, pairs), "qx42_dedup_kept"
     )
     # 2. quality gate (re-join text for the later stages)
     quality = quality_score(kept).select("doc_id", "quality")

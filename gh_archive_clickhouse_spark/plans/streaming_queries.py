@@ -427,13 +427,20 @@ def qs9_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohorts = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
+        .agg(
+            F.min("ts").alias("signup_ts"),
+            # membership marker: `signed_up` must mean "user HAS a
+            # signup event", not "has a non-NULL signup timestamp" —
+            # the two diverge for NULL-ts signup rows, and the oracle
+            # tests membership (c.user_id IS NOT NULL)
+            F.lit(1).alias("__seen"),
+        )
     )
     with _stream_shuffle_partitions(spark):
         stream = _events_stream(spark, sf_dir)
         enriched = stream.join(cohorts, "user_id", "left").select(
             "event_type",
-            F.col("signup_ts").isNotNull().alias("signed_up"),
+            F.col("__seen").isNotNull().alias("signed_up"),
         )
         agg = enriched.groupBy("event_type", "signed_up").agg(
             F.count(F.lit(1)).alias("n")

@@ -252,7 +252,7 @@ def test_ivfpq_index_probe_pruned_and_codes_only(spark, tmp_path):
         F.col("embedding").alias("q")
     )
     qc = idx.filter(F.col("vec_id") == 3).first().cluster_id
-    probe = probe_ivfpq_index(spark, path, qrow, cb, cluster_id=qc, k=5)
+    probe = probe_ivfpq_index(spark, path, qrow, cb, cluster_ids=[qc], k=5)
     rows = probe.collect()
     assert rows and rows[0].vec_id == 3  # self is nearest
     assert abs(rows[0].cos_sim - 1.0) < 1e-6

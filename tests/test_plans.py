@@ -348,3 +348,58 @@ def test_qx42_pipeline_never_quadratic(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_qx44_checks_fire_on_planted_violations(spark, tmp_path):
+    """The audit's oracle gate only ever sees all-zero fixtures, so
+    this plants one violation of every kind in a synthetic warehouse
+    and asserts each check actually FIRES — a degenerate always-zero
+    check cannot pass."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [
+            (1, base, 1, "view", 1.0, "{}"),
+            (1, base, 1, "view", 1.0, "{}"),  # dup event_id
+            (2, None, 1, "view", 1.0, "{}"),  # null ts
+            (3, base, 1, "teleport", 1.0, "{}"),  # bad domain
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    spark.createDataFrame(
+        [(1, 99, "O", 10.0, base, "1-URGENT")],  # custkey 99 orphan
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [(1, "c", 0)], "c_custkey long, c_name string, c_nationkey long"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [
+            # orderkey 7 orphan; negative price; discount 1.5
+            (7, 1, 1, 1, 1.0, -5.0, 1.5, 0.0, "N", "O", base),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    out = {
+        r.check_name: r.n_violations
+        for r in QUERIES["qx44_data_quality_audit"]
+        .builder(spark, str(tmp_path))
+        .collect()
+    }
+    assert out == {
+        "events_unique_id": 1,
+        "events_ts_not_null": 1,
+        "events_type_domain": 1,
+        "orders_customer_fk": 1,
+        "lineitem_order_fk": 1,
+        "lineitem_price_nonneg": 1,
+        "lineitem_discount_range": 1,
+    }, out
