@@ -249,21 +249,22 @@ def probe_vector_index(
     spark,
     path: str,
     query_vec: list[float],
-    cluster_id: int,
+    cluster_ids: list[int],
     k: int = 5,
-    n_probe: int = 1,
 ) -> DataFrame:
-    """ANN probe over a persisted index: scan ONLY the query's
-    cluster partition(s) (``n_probe`` widens recall to adjacent
-    clusters the caller supplies a starting id for).
+    """ANN probe over a persisted index: scan ONLY the listed cluster
+    partition(s). ``cluster_ids`` is the caller's EXPLICIT probe set
+    (nearest centroid for single-probe; the n closest for wider
+    recall) — centroid ids carry no spatial adjacency, so the
+    operator never guesses neighboring ids itself (same contract as
+    probe_ivfpq_index).
 
     The ``cluster_id`` equality/IN filter is a partition filter — the
     scan's PartitionFilters prune every other cluster directory, so
     probe cost is data-in-cluster, independent of corpus size.
     """
     idx = spark.read.parquet(path)
-    clusters = list(range(cluster_id, cluster_id + n_probe))
-    members = idx.filter(F.col("cluster_id").isin(clusters))
+    members = idx.filter(F.col("cluster_id").isin(list(cluster_ids)))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qn = sum(float(x) * float(x) for x in query_vec) ** 0.5
     scored = members.select(
@@ -437,6 +438,23 @@ def _pq_sub_l2(vec: str, cent: str, mm: str, sub: int) -> str:
     )
 
 
+def _pq_codes_expr(m: int, sub: int) -> str:
+    """SQL for the per-subspace argmin-L2 PQ code array over a
+    broadcast ``__cb`` codebook and a ``__v`` double vector — THE
+    encode convention (strict-< first-wins fold, (d, c) tie-break),
+    shared by pq_encode and build_ivfpq_index so the persisted index
+    can never desynchronize from the encode path."""
+    dist = _pq_sub_l2("__v", "e.cvec", "mm", sub)
+    return (
+        f"transform(sequence(0, {m - 1}), mm -> "
+        f"aggregate("
+        f"transform(__cb, e -> named_struct('d', {dist}, 'c', e.code)), "
+        f"named_struct('d', cast('Infinity' as double), 'c', 2147483647), "
+        f"(acc, el) -> IF(el.d < acc.d OR (el.d = acc.d AND el.c < acc.c), "
+        f"el, acc)).c)"
+    )
+
+
 def pq_encode(
     emb: DataFrame,
     m: int = 8,
@@ -460,15 +478,7 @@ def pq_encode(
     if m * sub != dim:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     cb = codebook if codebook is not None else pq_codebook(emb)
-    dist = _pq_sub_l2("__v", "e.cvec", "mm", sub)
-    codes = (
-        f"transform(sequence(0, {m - 1}), mm -> "
-        f"aggregate("
-        f"transform(__cb, e -> named_struct('d', {dist}, 'c', e.code)), "
-        f"named_struct('d', cast('Infinity' as double), 'c', 2147483647), "
-        f"(acc, el) -> IF(el.d < acc.d OR (el.d = acc.d AND el.c < acc.c), "
-        f"el, acc)).c)"
-    )
+    codes = _pq_codes_expr(m, sub)
     return (
         ensure_parallelism(emb)
         .select(
@@ -560,6 +570,11 @@ def build_ivfpq_index(
     assign-then-join formulation, which would shuffle the corpus by id
     twice.
     """
+    sub = dim // m
+    if m * sub != dim:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    if not centroids.head(1):
+        raise ValueError("centroid table is empty — nothing to index by")
     cb = codebook if codebook is not None else pq_codebook(emb)
     cents = (
         centroids.select(
@@ -579,31 +594,25 @@ def build_ivfpq_index(
             ).alias("__cents")
         )
     )
-    sub = dim // m
-    dist = _pq_sub_l2("__v", "e.cvec", "mm", sub)
-    codes = (
-        f"transform(sequence(0, {m - 1}), mm -> "
-        f"aggregate("
-        f"transform(__cb, e -> named_struct('d', {dist}, 'c', e.code)), "
-        f"named_struct('d', cast('Infinity' as double), 'c', 2147483647), "
-        f"(acc, el) -> IF(el.d < acc.d OR (el.d = acc.d AND el.c < acc.c), "
-        f"el, acc)).c)"
-    )
+    codes = _pq_codes_expr(m, sub)
+    # zero-norm vectors coalesce their (NULL) sims to -Infinity, so
+    # they land in the LOWEST centroid id — ivf_assign's convention
+    # (max_by sorts NULL sims low) — never in a sentinel cell.
     sim = (
-        "CASE WHEN __n > 0 AND e.cn > 0 THEN "
+        "coalesce(CASE WHEN __n > 0 AND e.cn > 0 THEN "
         "round(aggregate(zip_with(__v, e.cvec, (p, q) -> p * q), "
         "cast(0 as double), (s, v) -> s + v) / (__n * e.cn), 6) "
-        "ELSE CAST(NULL AS DOUBLE) END"
+        "ELSE CAST(NULL AS DOUBLE) END, cast('-Infinity' as double))"
     )
     cluster = (
         f"aggregate("
         f"transform(__cents, e -> named_struct('s', {sim}, 'c', e.cid)), "
-        f"named_struct('s', cast('-Infinity' as double), 'c', 2147483647), "
-        f"(acc, el) -> IF(el.s IS NOT NULL AND (el.s > acc.s OR "
-        f"(el.s = acc.s AND el.c < acc.c)), el, acc)).c"
+        f"named_struct('s', CAST(NULL AS DOUBLE), 'c', 2147483647), "
+        f"(acc, el) -> IF(acc.s IS NULL OR el.s > acc.s OR "
+        f"(el.s = acc.s AND el.c < acc.c), el, acc)).c"
     )
     (
-        _with_norm(emb, vec_col, "__v", "__n", dim)
+        ensure_parallelism(_with_norm(emb, vec_col, "__v", "__n", dim))
         .select(F.col(id_col), "__v", "__n")
         .crossJoin(F.broadcast(cb))
         .crossJoin(F.broadcast(cents))

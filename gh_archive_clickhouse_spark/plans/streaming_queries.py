@@ -428,11 +428,10 @@ def qs9_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(
-            F.min("ts").alias("signup_ts"),
-            # membership marker: `signed_up` must mean "user HAS a
-            # signup event", not "has a non-NULL signup timestamp" —
-            # the two diverge for NULL-ts signup rows, and the oracle
-            # tests membership (c.user_id IS NOT NULL)
+            # membership marker: `signed_up` means "user HAS a signup
+            # event", not "has a non-NULL signup timestamp" — the two
+            # diverge for NULL-ts signup rows, and the oracle tests
+            # membership (c.user_id IS NOT NULL)
             F.lit(1).alias("__seen"),
         )
     )

@@ -289,7 +289,7 @@ def test_vector_index_partition_pruning(spark, tmp_path):
     build_vector_index(emb, centroids, path)
 
     qrow = emb.filter(F.col("vec_id") == 3).first()
-    probe = probe_vector_index(spark, path, list(qrow.embedding), cluster_id=3)
+    probe = probe_vector_index(spark, path, list(qrow.embedding), cluster_ids=[3])
     rows = probe.collect()
     assert 0 < len(rows) <= 5
     # the query vector itself is its own nearest neighbor
