@@ -381,3 +381,94 @@ def test_containment_equals_bruteforce(spark, token_lists):
             if shared and cont >= 0.5:
                 expect[(a, b)] = (shared, cont)
     assert got == expect
+
+
+# ---- PQ encode vs numpy brute force --------------------------------
+
+_vecs = st.lists(
+    st.lists(st.integers(-50, 50), min_size=16, max_size=16),
+    min_size=4,
+    max_size=12,
+)
+
+
+@given(rows=_vecs)
+@_SET
+def test_pq_encode_matches_numpy_bruteforce(spark, rows):
+    """pq_encode == numpy argmin-L2 per subspace for ANY small float
+    corpus (m=4 subspaces of 4 dims, codebook = first 2 vectors),
+    including duplicate vectors and distance ties (lowest code wins)."""
+    import numpy as np
+
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    k = 2
+    if len(rows) < k:
+        return
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: list(r.codes)
+        for r in pq_encode(
+            emb, m=4, dim=16, codebook=pq_codebook(emb, k=k)
+        ).collect()
+    }
+    arr = np.array(rows, dtype=np.float64)
+    cb = arr[:k]
+    for i, v in enumerate(arr):
+        expect = []
+        for mm in range(4):
+            sub = slice(mm * 4, mm * 4 + 4)
+            d = ((cb[:, sub] - v[sub]) ** 2).sum(axis=1)
+            # ties -> lowest code (np.argmin returns first minimum)
+            expect.append(int(np.argmin(d)))
+        assert got[i] == expect, (i, got[i], expect)
+
+
+# ---- incremental MV under arbitrary batching -----------------------
+
+_splits = st.lists(st.integers(0, 2), min_size=1, max_size=12)
+
+
+@given(assignment=_splits)
+@_SET
+def test_incremental_mv_any_batching_equals_batch(spark, tmp_path_factory, assignment):
+    """The MV fold == the one-shot batch rollup no matter how events
+    are chopped into micro-batches (including empty batches)."""
+    import datetime as dt2
+
+    from gh_archive_clickhouse_spark.streaming.mv import (
+        incremental_rollup_sink,
+        rollup_view,
+    )
+
+    base = dt2.datetime(2024, 5, 1)
+    events = [
+        (i, base + dt2.timedelta(hours=7 * i), 1, "view", 1.0)
+        for i in range(len(assignment))
+    ]
+    partials = str(tmp_path_factory.mktemp("mv") / "p")
+    sink = incremental_rollup_sink(partials, keep_epochs=2)
+    for epoch in range(3):
+        batch = [e for e, a in zip(events, assignment) if a == epoch]
+        df = spark.createDataFrame(
+            batch or [],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double",
+        )
+        sink(df, epoch)
+    got = {
+        (r.day, r.event_type): (r.n_events, r.min_event_id, r.max_event_id)
+        for r in rollup_view(spark, partials).collect()
+    }
+    expect: dict = {}
+    for eid, ts, _u, et, _v in events:
+        key = (ts.strftime("%Y%m%d"), et)
+        n, mn, mx = expect.get(key, (0, eid, eid))
+        expect[key] = (n + 1, min(mn, eid), max(mx, eid))
+    assert got == expect
