@@ -340,7 +340,7 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(_decode, schema=DECODED_FEATURES_SCHEMA)
 
 
-AHASH_SCHEMA = "doc_id long, ahash string"
+AHASH_SCHEMA = "doc_id long, ahash string"  # default-id_col output shape
 
 
 def perceptual_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -374,9 +374,11 @@ def perceptual_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 hashes.append(bits)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.array(ids, dtype="int64"),
+                    id_col: pd.array(ids, dtype="int64"),
                     "ahash": hashes,
                 }
             )
 
-    return df.mapInPandas(_hash, schema=AHASH_SCHEMA)
+    # Output schema follows id_col — a non-default id column keeps its
+    # name instead of being silently renamed to doc_id.
+    return df.mapInPandas(_hash, schema=f"{id_col} long, ahash string")

@@ -19,8 +19,11 @@ whole corpus through one task — a non-starter at 100 TB). Instead:
    output: corpus_rows / group_size);
 3. run the exclusive prefix sum over the BUCKET TOTALS only — a
    window over O(n/group_size) rows, the classic two-level scan;
-4. broadcast-join the bucket offsets back and finish with a window
-   partitioned BY BUCKET — every task scans only its own bucket.
+4. join the bucket offsets back (AQE broadcasts while the offsets
+   table is small — it is O(n/group_size) rows, so under the sparse-
+   key degradation it can approach O(n) and must NOT be force-
+   broadcast) and finish with a window partitioned BY BUCKET — every
+   task scans only its own bucket.
 
 Stages 1/3/4 shuffle O(n/group_size), O(n/group_size), O(n) rows
 respectively, and no task ever holds more than one bucket — the same
@@ -93,7 +96,11 @@ def pack_coordinates(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     b = F.lit(budget).cast("long")
-    with_prefix = staged.join(F.broadcast(offsets), "__g").select(
+    # No broadcast hint: the offsets frame is O(n/group_size) rows and
+    # under sparse order keys degrades toward O(n) — a forced
+    # broadcast there is a driver/executor OOM, not a slow plan. AQE
+    # broadcasts it whenever it is actually small.
+    with_prefix = staged.join(offsets, "__g").select(
         order_col,
         "n_tokens",
         (
@@ -121,11 +128,17 @@ def pack_coordinates(
 
 def sequence_fill_stats(coords: DataFrame, budget: int) -> DataFrame:
     """Per-sequence packing summary from :func:`pack_coordinates`
-    output: how many documents START in each sequence and how many of
-    the sequence's tokens come from boundary-crossing continuation.
+    output: how many documents START in each sequence, how many of the
+    sequence's tokens come from boundary-crossing continuation, and
+    the started-token fill fraction of the ``budget``.
     One uniform-key aggregation over seq_id."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
     return coords.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_docs_starting"),
         F.sum("n_tokens").alias("tokens_started"),
         F.sum(F.col("crosses_boundary").cast("long")).alias("n_split_docs"),
+        F.round(
+            F.sum("n_tokens") / F.lit(float(budget)), 6
+        ).alias("fill_frac_started"),
     )

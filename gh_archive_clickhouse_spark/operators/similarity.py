@@ -512,6 +512,12 @@ def pq_adc_topk(
 
     Requires codebook codes to be exactly 0..k-1 (pq_codebook's
     contract), so ``codes[mm]`` indexes the distance table directly.
+
+    SINGLE-QUERY contract: the distance table is built for exactly one
+    query row (``limit(1)`` enforces it — a multi-row query frame
+    would otherwise cross-join several distance tables against the
+    codes and merge their top-k silently). Batched multi-query search
+    is the rank-window shape (qx41), not this scan.
     """
     sub = dim // m
     dist = _pq_sub_l2("__q", "e.cvec", "mm", sub)
@@ -520,7 +526,8 @@ def pq_adc_topk(
         f"transform(__cb, e -> {dist}))"
     )
     dt_row = (
-        query.select(F.col(query_vec_col).cast("array<double>").alias("__q"))
+        query.limit(1)
+        .select(F.col(query_vec_col).cast("array<double>").alias("__q"))
         .crossJoin(F.broadcast(codebook))
         .select(F.expr(dtable).alias("__dt"))
     )

@@ -39,7 +39,13 @@ def qt32_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     supp = read(spark, sf_dir, "supplier")
     nation = read(spark, sf_dir, "nation")
-    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+    # Pin the l_quantity = 0 edge in BOTH engines: Spark's Divide
+    # yields NULL (min ignores it) while DuckDB double division yields
+    # inf — filtering zero quantities here and in the oracle makes the
+    # convention explicit instead of fixture-dependent.
+    offers = li.filter(F.col("l_quantity") > 0).groupBy(
+        "l_partkey", "l_suppkey"
+    ).agg(
         F.round(
             F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
         ).alias("unit_cost")
@@ -191,7 +197,7 @@ QUERIES = [
 WITH offers AS (
   SELECT l_partkey, l_suppkey,
          round(min(l_extendedprice / l_quantity), 6) AS unit_cost
-  FROM lineitem GROUP BY 1, 2
+  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
 ), best AS (
   SELECT l_partkey, min(unit_cost) AS best_cost FROM offers GROUP BY 1
 )

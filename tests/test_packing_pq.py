@@ -86,6 +86,7 @@ def test_sequence_fill_stats(spark):
     assert stats[0].n_docs_starting == 2
     assert stats[0].tokens_started == 20
     assert stats[0].n_split_docs == 1
+    assert stats[0].fill_frac_started == 1.25  # 20 tokens / 16 budget
 
 
 def test_pack_no_global_window_over_rows(spark):
