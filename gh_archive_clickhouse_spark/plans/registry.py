@@ -19,68 +19,82 @@ from gh_archive_clickhouse_spark.plans.common import Query
 #   1. queries whose CODE CHANGED this round — their existing green
 #      rows describe old code, i.e. are effectively no rows;
 #   2. queries NEW this round — never driver-verified at all;
-#   3. the 39 round-1-verified qt/qe families (green, unchanged, but
-#      two rounds stale) — as many as fit the remaining window;
-#   4. everything verified green in round 3 and unchanged.
-# With 6 changed + 25 new this round, a 50-entry window still
-# refreshes ~19 of the stale set; the rest keep their (valid,
-# unchanged-code) round-1 rows and lead the rotation next round.
-_R1_STALE_EVENTS = (
-    "qe5_ttl_survivors",
-    "qe6_topk_users",
-    "qe7_sessionization",
-    "qe12_variant_projection",
+#   3. the stalest green-but-unchanged rows (round-1 rows are now
+#      three rounds old — the 20 below);
+#   4. as many of the next-stalest (round-3 rows) as fit.
+# The policy is enforced structurally by
+# tests/test_registry_rotation.py, which simulates this window against
+# the recorded CORRECTNESS_r*.json rounds and fails if any query would
+# exceed the staleness budget.
+
+# Code changed in round 5 (existing green rows invalidated):
+_CHANGED_R5 = (
+    "qt32_cheapest_supplier",   # zero-quantity division guard
+    "qx33_sequence_packing",    # pack_coordinates broadcast removal
+    "qx35_pq_adc_topk",         # single-query limit(1) contract
+    "qx40_ivfpq_search",        # inherits pq_adc_topk change
+    "qm7_image_dedup_ahash",    # perceptual_ahash id_col schema
+    "qx32_semantic_dedup",      # near_duplicate_pairs block cap
+    "qx10_embedding_neardup",   # near_duplicate_pairs block cap
 )
-_R2_NEW_TPCH2 = ("qt30_waiting_suppliers", "qt31_top_revenue_supplier")
-# Never driver-verified (created this round), all locally
-# oracle-green; ordered oldest-written first so a window cut drops the
-# ones with the most local soak time last.
-_NEW_R4 = (
-    "qx33_sequence_packing",
-    "qx34_pq_encode",
-    "qx35_pq_adc_topk",
-    "qx36_passage_dedup",
-    "qx37_containment_neardup",
-    "qx38_model_scored_filter",
-    "qx39_vocab_heavy_hitters",
-    "qs6_stream_stream_join",
-    "qs7_incremental_mv",
-    "qs8_stream_exactly_once_dedup",
-    "qs9_stream_static_enrich",
-    "qt32_cheapest_supplier",
-    "qt33_nation_year_profit",
-    "qt34_important_parts",
-    "qt35_dominant_suppliers",
-    "qx40_ivfpq_search",
-    "qx41_batched_topk",
-    "qx42_preprocess_pipeline",
-    "qx31_dedup_survivors",
-    "qx32_semantic_dedup",
-    "qm6_real_image_decode",
-    "qm7_image_dedup_ahash",
-    "qx43_lsh_recall_probe",
-    "qx44_data_quality_audit",
-    "qe15_hourly_anomaly",
+# New in round 5 (never driver-verified):
+_NEW_R5 = (
+    "qm8_real_audio_decode",
+    "qs10_incremental_ivfpq",
+    "qx45_packed_sequences",
+    "qx46_densified_packing",
 )
-# Code changed this round — the prior green rows describe old code,
-# so these carry the highest re-verification value and lead the
-# registry.
-_CHANGED_R4 = (
-    "qx30_repetition_ratio",
-    "qx23_ngram_contamination",
-    "qx22_tfidf_top_terms",
-    "qx26_dedup_clusters",
-    "qs4_stream_incremental_lsh",
-    "qe14_cohort_retention",
+# Round-1 rows, three driver rounds stale — the oldest official signal
+# in the repo; every one of these must land in the round-5 window.
+_R1_STALE = (
+    "qt3_semi_join",
+    "qt4_top_orders_per_customer",
+    "qt5_rollup",
+    "qt6_union",
+    "qt6_intersect",
+    "qt6_except",
+    "qt7_approx_distinct",
+    "qt8_scalar_strings",
+    "qt9_scalar_dates",
+    "qt19_forecast_revenue",
+    "qt20_volume_shipping",
+    "qt21_market_share",
+    "qt22_returned_items",
+    "qt23_promo_revenue",
+    "qt24_small_qty_revenue",
+    "qt25_large_volume_customers",
+    "qt26_disjunctive_revenue",
+    "qt27_late_shipment_priority",
+    "qt28_idle_rich_customers",
+    "qt29_array_map_battery",
+)
+# Round-3 rows refreshed with the remaining window slots (the rest of
+# the round-3 cohort leads the round-6 rotation).
+_R3_REFRESH = (
+    "qm5_audio_features",
+    "qe1_dedup_latest",
+    "qe2_daily_rollup",
+    "qe3_json_projection",
+    "qe4_hourly_type_series",
+    "qe10_salted_type_totals",
+    "qe11_json_battery",
+    "qe13_funnel",
+    "qm1_multimodal_meta",
+    "qm2_image_features",
+    "qm3_frame_sample",
+    "qm4_resize_plumbing",
+    "qs1_stream_hourly_counts",
+    "qs2_stream_session_windows",
+    "qs3_stream_running_totals",
+    "qs5_stream_sliding_rates",
+    "qt30_waiting_suppliers",
+    "qt31_top_revenue_supplier",
+    "qx25_kmeans_ivf_build",
 )
 
 
 def _named(queries: list[Query], names: tuple[str, ...]) -> list[Query]:
     return [q for q in queries if q.name in names]
-
-
-def _except_named(queries: list[Query], names: tuple[str, ...]) -> list[Query]:
-    return [q for q in queries if q.name not in names]
 
 
 _BY_NAME: dict[str, Query] = {
@@ -97,25 +111,19 @@ _BY_NAME: dict[str, Query] = {
     for q in mod.QUERIES
 }
 
-_PRIORITIZED = _CHANGED_R4 + _NEW_R4
+_HEAD = _CHANGED_R5 + _NEW_R5 + _R1_STALE + _R3_REFRESH
 
 _ALL: list[Query] = [
-    # --- changed this round (6, rows invalid), then new this round
-    # (25, no rows), in the exact priority order declared above ---
-    *[_BY_NAME[n] for n in _PRIORITIZED],
-    # --- two-rounds-stale round-1 families (39) ---
-    *_named(events_queries.QUERIES, _R1_STALE_EVENTS),
-    *relational_queries.QUERIES,
-    *tpch_queries.QUERIES,
-    *_except_named(tpch2_queries.QUERIES, _R2_NEW_TPCH2),
-    # --- verified green in round 3, unchanged ---
-    *_except_named(ext_queries.QUERIES, _PRIORITIZED),
-    *_except_named(streaming_queries.QUERIES, _PRIORITIZED),
-    *_except_named(tpch3_queries.QUERIES, _PRIORITIZED),
-    *_named(tpch2_queries.QUERIES, _R2_NEW_TPCH2),
-    *_except_named(
-        events_queries.QUERIES, _R1_STALE_EVENTS + _PRIORITIZED
-    ),
+    *[_BY_NAME[n] for n in _HEAD if n in _BY_NAME],
+    # --- tail: round-4-verified and the rest of the round-3 cohort,
+    # in module order ---
+    *[q for q in ext_queries.QUERIES if q.name not in _HEAD],
+    *[q for q in streaming_queries.QUERIES if q.name not in _HEAD],
+    *[q for q in events_queries.QUERIES if q.name not in _HEAD],
+    *[q for q in relational_queries.QUERIES if q.name not in _HEAD],
+    *[q for q in tpch_queries.QUERIES if q.name not in _HEAD],
+    *[q for q in tpch2_queries.QUERIES if q.name not in _HEAD],
+    *[q for q in tpch3_queries.QUERIES if q.name not in _HEAD],
 ]
 
 QUERIES: dict[str, Query] = {q.name: q for q in _ALL}

@@ -1,0 +1,81 @@
+"""Structural enforcement of the registry rotation policy.
+
+The round driver verifies only the first ~WINDOW oracle-checkable
+registry entries, so a query's official correctness row goes stale
+unless the ordering rotates it back into the window every few rounds.
+That rotation was maintained by hand through round 4 and went stale
+twice; this test makes it a build failure instead: it replays the
+recorded driver rounds (CORRECTNESS_r*.json), simulates the NEXT
+round over the current registry ordering, and fails if any query
+would end the round with a row more than MAX_STALE rounds old (or no
+row at all while sitting outside the window).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+from gh_archive_clickhouse_spark.plans.registry import QUERIES
+
+REPO = Path(__file__).resolve().parent.parent
+# The driver checks "the first ~50" entries; simulate conservatively.
+WINDOW = 50
+# A green row may be at most this many rounds old after the simulated
+# round completes (window capacity 50/round over ~120 queries makes a
+# ≤2-round guarantee achievable for every query).
+MAX_STALE = 2
+
+
+def _recorded_rounds() -> dict[int, set[str]]:
+    rounds: dict[int, set[str]] = {}
+    for path in REPO.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json", path.name)
+        data = json.loads(path.read_text())
+        qs = data.get("queries", data) if isinstance(data, dict) else data
+        names = (
+            set(qs.keys())
+            if isinstance(qs, dict)
+            else {q["name"] for q in qs}
+        )
+        rounds[int(m.group(1))] = names
+    return rounds
+
+
+def test_no_query_exceeds_staleness_budget():
+    rounds = _recorded_rounds()
+    assert rounds, "no CORRECTNESS_r*.json recorded yet"
+    freshest: dict[str, int] = {}
+    for r in sorted(rounds):
+        for n in rounds[r]:
+            freshest[n] = r
+    next_round = max(rounds) + 1
+    window = list(QUERIES)[:WINDOW]
+    for name in window:
+        freshest[name] = next_round
+    floor = next_round - MAX_STALE
+    violations = sorted(
+        f"{n} (freshest row r{freshest.get(n, 0) or 'NONE'})"
+        for n in QUERIES
+        if freshest.get(n, 0) < floor
+    )
+    assert not violations, (
+        f"registry ordering leaves {len(violations)} queries with rows "
+        f"older than {MAX_STALE} rounds after the next driver round — "
+        f"rotate them into the first {WINDOW} entries: {violations}"
+    )
+
+
+def test_never_verified_queries_lead_the_window():
+    """A query with NO driver row ever must sit inside the window —
+    otherwise it ships a round late for no reason."""
+    rounds = _recorded_rounds()
+    seen = set().union(*rounds.values()) if rounds else set()
+    window = set(list(QUERIES)[:WINDOW])
+    missing = sorted(
+        n for n in QUERIES if n not in seen and n not in window
+    )
+    assert not missing, (
+        f"never-driver-verified queries outside the window: {missing}"
+    )
