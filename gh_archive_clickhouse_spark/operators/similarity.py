@@ -163,6 +163,9 @@ def srp_bucket(
     return tmp.withColumn("bucket", bucket).drop("__vd")
 
 
+NEARDUP_MAX_BLOCK = 10_000
+
+
 def near_duplicate_pairs(
     emb: DataFrame,
     block_col: str = "label",
@@ -170,12 +173,26 @@ def near_duplicate_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     dim: int | None = None,
+    max_block_size: int | None = NEARDUP_MAX_BLOCK,
 ) -> DataFrame:
     """Embedding near-duplicate pairs above a cosine threshold.
 
     Blocked self-join on ``block_col`` (label here; IVF cluster id in a
     real pipeline): only same-block pairs are scored, so the pair space
     is sum(block²) not n². Returns (vec_a, vec_b, cos_sim).
+
+    HOT-BLOCK CAP — the worst case of sum(block²) is one degenerate
+    block holding most of the corpus, which silently reintroduces the
+    all-pairs O(n²) this operator exists to avoid. Blocks larger than
+    ``max_block_size`` are therefore EXCLUDED from pairing (the same
+    policy as the containment path's stop-shingle df cap): per-block
+    cost is bounded by cap², total candidate volume stays additive in
+    the number of blocks no matter how skewed the blocking key is. A
+    production pipeline subdivides a hot block with a finer key (IVF
+    sub-cluster via ``ivf_assign`` over the block's members) instead of
+    pairing inside it. The exclusion list is a tiny aggregate
+    (≤ n/cap rows — only blocks ABOVE the cap); ``max_block_size=None``
+    disables the cap (fixture-scale tests only).
 
     The threshold filter is deliberately left where Catalyst pushes it:
     into the broadcast-join condition, so non-dup pairs die inside the
@@ -184,6 +201,18 @@ def near_duplicate_pairs(
     on it (a single-file local read would otherwise score every pair
     in one task; a well-partitioned cluster input passes through).
     """
+    if max_block_size is not None:
+        if max_block_size <= 0:
+            raise ValueError(
+                f"max_block_size must be positive, got {max_block_size}"
+            )
+        hot = (
+            emb.groupBy(F.col(block_col))
+            .agg(F.count(F.lit(1)).alias("__bn"))
+            .filter(F.col("__bn") > max_block_size)
+            .select(block_col)
+        )
+        emb = emb.join(hot, on=block_col, how="left_anti")
     normed = _with_norm(emb, vec_col, "__v", "__n", dim)
     a = ensure_parallelism(normed).select(
         F.col(block_col).alias("__blk"),

@@ -625,8 +625,16 @@ ORDER BY cos_sim DESC, vec_id ASC
 LIMIT 10
 """
 
+# Mirrors near_duplicate_pairs' hot-block cap (NEARDUP_MAX_BLOCK):
+# blocks above the cap are excluded from pairing in BOTH engines.
+_SQL_COLD_BLOCKS = (
+    "SELECT label FROM embeddings GROUP BY label "
+    "HAVING count(*) <= 10000"
+)
+
 _ORACLE_QX10 = f"""
-WITH e AS (SELECT vec_id, label, {_ED} AS ed FROM embeddings)
+WITH e AS (SELECT vec_id, label, {_ED} AS ed FROM embeddings
+           WHERE label IN ({_SQL_COLD_BLOCKS}))
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_sql_cosine('a.ed', 'b.ed')}, 6) AS cos_sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -2616,6 +2624,7 @@ FROM m2
         f"""
         WITH RECURSIVE e AS (
           SELECT vec_id, label, {_ED} AS ed FROM embeddings
+          WHERE label IN ({_SQL_COLD_BLOCKS})
         ), p AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id

@@ -222,6 +222,62 @@ def test_containment_stop_shingle_cap_defuses_hot_key(spark):
     assert len(rows2) == 60 * 59 / 2
 
 
+def _emb(spark, rows):
+    """(vec_id, label, embedding[4]) frame."""
+    return spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+
+
+def test_neardup_hot_block_cap_keeps_volume_additive(spark):
+    """The sum(block²) guard: inflate ONE block 10x past the cap and
+    the candidate volume must stay additive — the hot block contributes
+    ZERO pairs (excluded, to be subdivided upstream) while every
+    under-cap block's pairs are untouched."""
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        near_duplicate_pairs,
+    )
+
+    vec = [1.0, 0.0, 0.0, 0.0]
+    cold = [
+        (100 * b + i, f"cold{b}", vec) for b in range(3) for i in range(4)
+    ]
+    hot = [(1000 + i, "hot", vec) for i in range(100)]
+    cap = 10
+
+    base = near_duplicate_pairs(
+        _emb(spark, cold), threshold=0.5, dim=4, max_block_size=cap
+    ).collect()
+    both = near_duplicate_pairs(
+        _emb(spark, cold + hot), threshold=0.5, dim=4, max_block_size=cap
+    ).collect()
+    # cold blocks are all-identical vectors: 3 blocks x C(4,2) pairs
+    assert len(base) == 3 * 6
+    # adding a 100-row hot block (10x the cap) adds NOTHING: volume is
+    # additive in blocks, never quadratic in the hottest one
+    assert sorted((r.vec_a, r.vec_b) for r in both) == sorted(
+        (r.vec_a, r.vec_b) for r in base
+    )
+    # cap lifted -> the hot block pairs quadratically (the defused cost)
+    uncapped = near_duplicate_pairs(
+        _emb(spark, cold + hot), threshold=0.5, dim=4, max_block_size=None
+    ).collect()
+    assert len(uncapped) == 3 * 6 + 100 * 99 // 2
+
+
+def test_neardup_cap_validation(spark):
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        near_duplicate_pairs,
+    )
+
+    with pytest.raises(ValueError, match="max_block_size"):
+        near_duplicate_pairs(
+            _emb(spark, [(1, "a", [1.0, 0.0, 0.0, 0.0])]),
+            dim=4,
+            max_block_size=0,
+        )
+
+
 # ------------------------------------------------------ persisted IVFPQ
 
 
