@@ -11,9 +11,13 @@ Design (the part that matters at 100 TB):
   maxRecordsPerBatch`).
 - Image decode is REAL for PNG: ``_decode_pixels`` tries Pillow when
   installed (any format), and falls back to the pure-stdlib PNG codec
-  (operators/png_codec.py) otherwise; only formats neither path can
-  handle raise NotImplementedError (audio/video codecs remain declared
-  stubs — no ffmpeg in this container).
+  (operators/png_codec.py) otherwise.
+- Audio decode is REAL for RIFF/WAV PCM: ``_decode_pcm`` tries
+  soundfile when installed (any format it knows) and falls back to the
+  stdlib ``wave`` module otherwise — genuine bytes→samples with zero
+  dependencies. Only formats neither path can handle raise
+  NotImplementedError (video codecs remain declared stubs — no ffmpeg
+  in this container).
 """
 
 from __future__ import annotations
@@ -267,6 +271,163 @@ def audio_frame_features(
             )
 
     return df.mapInPandas(_features, schema=AUDIO_FEATURES_SCHEMA)
+
+
+# ------------------------------------------------------------- audio
+
+WAV_RATE = 8_000
+WAV_BASE_SAMPLES = 64
+
+RIFF_SIG = b"RIFF"
+
+
+def _wav_n_samples(doc_id: int) -> int:
+    """Closed-form per-doc sample count (varies so the decoder's frame
+    accounting is actually exercised)."""
+    return WAV_BASE_SAMPLES + (doc_id % 4) * 32
+
+
+def _wav_sample(doc_id: int, i: int) -> int:
+    """Closed-form 16-bit PCM sample: ((doc_id*31 + i*7) % 4096) - 2048
+    — SQL-expressible, covers both signs, fits int16 with headroom."""
+    return (doc_id * 31 + i * 7) % 4096 - 2048
+
+
+def _decode_pcm(payload: bytes) -> tuple[int, int, list[int]]:
+    """Audio bytes → (sample_rate, n_channels, interleaved samples).
+
+    Tries soundfile (libsndfile — any format it knows) behind an
+    optional import; without it, RIFF/WAV PCM payloads decode through
+    the pure-stdlib ``wave`` module (genuine header parse + int16
+    frame decode, zero dependencies — the audio twin of the PNG
+    fallback). Formats neither path can handle raise
+    NotImplementedError (plug ffmpeg in here)."""
+    data = bytes(payload)
+    try:
+        import io
+
+        import numpy as np
+        import soundfile as sf
+
+        samples, rate = sf.read(io.BytesIO(data), dtype="int16")
+        arr = np.atleast_2d(samples.T)
+        return rate, arr.shape[0], [int(x) for x in arr.T.reshape(-1)]
+    except ImportError:
+        pass
+    if data[:4] != RIFF_SIG:
+        raise NotImplementedError(
+            "no decoder for this format in this environment: soundfile "
+            "is not installed and the payload is not RIFF/WAV; plug "
+            "soundfile/ffmpeg in here"
+        )
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        rate = w.getframerate()
+        frames = w.readframes(w.getnframes())
+    if width != 2:
+        raise NotImplementedError(
+            f"only 16-bit PCM WAV is supported here, got width {width}"
+        )
+    samples = list(struct.unpack(f"<{len(frames) // 2}h", frames))
+    return rate, n_ch, samples
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL audio payloads: a mono 16-bit PCM RIFF/WAV
+    blob per row (stdlib ``wave`` writer) whose sample i is
+    ``((doc_id*31 + i*7) % 4096) - 2048`` over a per-doc frame count of
+    ``64 + (doc_id % 4)*32`` — so downstream decode operators exercise
+    genuine bytes→samples work with an arithmetically closed-form
+    oracle. Pure Arrow-batched map stage, no shuffle."""
+    import io
+    import struct
+    import wave
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = _wav_n_samples(d)
+                pcm = struct.pack(
+                    f"<{n}h", *[_wav_sample(d, i) for i in range(n)]
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(WAV_RATE)
+                    w.writeframes(pcm)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(
+        _make, schema=f"{id_col} long, payload binary"
+    )
+
+
+DECODED_AUDIO_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_samples int, "
+    "sum_code bigint, sum_sq bigint, min_code int, max_code int"
+)
+
+
+def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode under Spark: each binary payload runs through
+    ``_decode_pcm`` (soundfile when installed, stdlib ``wave`` PCM
+    parse otherwise) and emits the decoded header fields plus
+    INTEGER-EXACT sample checksums (sum, sum of squares, min, max) —
+    no floating-point ambiguity between engines, same convention as
+    quantize_int8. Arrow-batched mapInPandas, partition-local, no
+    shuffle — the standard multimodal scan-stage shape with a genuine
+    bytes→samples kernel inside."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                k: []
+                for k in (
+                    "doc_id", "sample_rate", "n_channels", "n_samples",
+                    "sum_code", "sum_sq", "min_code", "max_code",
+                )
+            }
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                rate, n_ch, samples = _decode_pcm(payload)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(n_ch)
+                out["n_samples"].append(len(samples) // n_ch)
+                out["sum_code"].append(sum(samples))
+                out["sum_sq"].append(sum(s * s for s in samples))
+                out["min_code"].append(min(samples))
+                out["max_code"].append(max(samples))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(out["doc_id"], dtype="int64"),
+                    "sample_rate": pd.array(
+                        out["sample_rate"], dtype="int32"
+                    ),
+                    "n_channels": pd.array(
+                        out["n_channels"], dtype="int32"
+                    ),
+                    "n_samples": pd.array(out["n_samples"], dtype="int32"),
+                    "sum_code": pd.array(out["sum_code"], dtype="int64"),
+                    "sum_sq": pd.array(out["sum_sq"], dtype="int64"),
+                    "min_code": pd.array(out["min_code"], dtype="int32"),
+                    "max_code": pd.array(out["max_code"], dtype="int32"),
+                }
+            )
+
+    # Output schema follows id_col (same contract as perceptual_ahash).
+    schema = DECODED_AUDIO_SCHEMA.replace("doc_id", id_col, 1)
+    return df.mapInPandas(_decode, schema=schema)
 
 
 PNG_SIDE = 8

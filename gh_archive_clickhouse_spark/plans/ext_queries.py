@@ -874,6 +874,45 @@ def qm7_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qm8_real_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: per row, write a genuine mono
+    16-bit PCM RIFF/WAV blob (stdlib ``wave`` writer; sample i =
+    ((doc_id*31 + i*7) % 4096) - 2048 over 64 + (doc_id % 4)*32
+    frames), then decode the BYTES back through the actual codec path
+    (soundfile when installed, stdlib ``wave`` parse otherwise) and
+    emit header fields + integer-exact sample checksums. Two chained
+    Arrow map stages, no shuffle; the oracle is the closed form of the
+    sample generator — so any decode error (header misparse, endian or
+    sign mixup, frame miscount) hash-fails. The audio twin of qm6."""
+    from gh_archive_clickhouse_spark.operators.multimodal import (
+        attach_wav_payload,
+        decode_audio_features,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    return decode_audio_features(attach_wav_payload(docs))
+
+
+_ORACLE_QM8 = """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(range(0, 64 + (doc_id % 4) * 32),
+           i -> (doc_id * 31 + i * 7) % 4096 - 2048) AS smp
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(len(smp) AS INTEGER) AS n_samples,
+       CAST(list_aggregate(smp, 'sum') AS BIGINT) AS sum_code,
+       CAST(list_aggregate(list_transform(smp, x -> x * x), 'sum')
+            AS BIGINT) AS sum_sq,
+       CAST(list_min(smp) AS INTEGER) AS min_code,
+       CAST(list_max(smp) AS INTEGER) AS max_code
+FROM s
+"""
+
+
 _ORACLE_QM7 = """
 WITH px AS (
   SELECT doc_id,
@@ -2560,6 +2599,14 @@ FROM m2
         qm7_image_dedup_ahash,
         _ORACLE_QM7,
         tags=("ext", "multimodal", "dedup"),
+    ),
+    Query(
+        "qm8_real_audio_decode",
+        "real WAV decode kernel: write doc-derived 16-bit PCM RIFF "
+        "blobs, decode bytes back, emit integer-exact checksums",
+        qm8_real_audio_decode,
+        _ORACLE_QM8,
+        tags=("ext", "multimodal"),
     ),
     Query(
         "qx26_dedup_clusters",
