@@ -575,6 +575,86 @@ def pq_adc_topk(
     )
 
 
+def _prep_cents(
+    centroids: DataFrame,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "c",
+) -> DataFrame:
+    """Centroid table → ONE broadcastable row of
+    array<struct<cid, cvec, cn>> sorted by id (norms precomputed so
+    the per-vector assignment fold never recomputes them)."""
+    return (
+        centroids.select(
+            F.col(centroid_id_col).cast("int").alias("cid"),
+            F.col(centroid_vec_col).cast("array<double>").alias("cvec"),
+        )
+        .withColumn(
+            "cn",
+            F.expr(
+                "sqrt(aggregate(cvec, cast(0 as double), "
+                "(s, v) -> s + v * v))"
+            ),
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cid", "cvec", "cn"))
+            ).alias("__cents")
+        )
+    )
+
+
+def ivfpq_index_rows(
+    emb: DataFrame,
+    codebook: DataFrame,
+    cents: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ index projection — ONE map-only stage producing
+    (id, codes, vec, norm, cluster_id) per vector against the two
+    broadcast one-row frames (``codebook`` from :func:`pq_codebook`,
+    ``cents`` from :func:`_prep_cents`). No shuffle, no corpus-sized
+    join. Shared by the batch build (:func:`build_ivfpq_index`) and
+    the incremental stream sink (streaming/index_stream.py), so the
+    persisted layout can never desynchronize between the two paths.
+    """
+    sub = dim // m
+    if m * sub != dim:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    codes = _pq_codes_expr(m, sub)
+    # zero-norm vectors coalesce their (NULL) sims to -Infinity, so
+    # they land in the LOWEST centroid id — ivf_assign's convention
+    # (max_by sorts NULL sims low) — never in a sentinel cell.
+    sim = (
+        "coalesce(CASE WHEN __n > 0 AND e.cn > 0 THEN "
+        "round(aggregate(zip_with(__v, e.cvec, (p, q) -> p * q), "
+        "cast(0 as double), (s, v) -> s + v) / (__n * e.cn), 6) "
+        "ELSE CAST(NULL AS DOUBLE) END, cast('-Infinity' as double))"
+    )
+    cluster = (
+        f"aggregate("
+        f"transform(__cents, e -> named_struct('s', {sim}, 'c', e.cid)), "
+        f"named_struct('s', CAST(NULL AS DOUBLE), 'c', 2147483647), "
+        f"(acc, el) -> IF(acc.s IS NULL OR el.s > acc.s OR "
+        f"(el.s = acc.s AND el.c < acc.c), el, acc)).c"
+    )
+    return (
+        ensure_parallelism(_with_norm(emb, vec_col, "__v", "__n", dim))
+        .select(F.col(id_col), "__v", "__n")
+        .crossJoin(F.broadcast(codebook))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.expr(codes).alias("codes"),
+            F.col("__v").alias("vec"),
+            F.col("__n").alias("norm"),
+            F.expr(cluster).alias("cluster_id"),
+        )
+    )
+
+
 def build_ivfpq_index(
     emb: DataFrame,
     centroids: DataFrame,
@@ -606,58 +686,13 @@ def build_ivfpq_index(
     assign-then-join formulation, which would shuffle the corpus by id
     twice.
     """
-    sub = dim // m
-    if m * sub != dim:
-        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     if not centroids.head(1):
         raise ValueError("centroid table is empty — nothing to index by")
     cb = codebook if codebook is not None else pq_codebook(emb)
-    cents = (
-        centroids.select(
-            F.col(centroid_id_col).cast("int").alias("cid"),
-            F.col(centroid_vec_col).cast("array<double>").alias("cvec"),
-        )
-        .withColumn(
-            "cn",
-            F.expr(
-                "sqrt(aggregate(cvec, cast(0 as double), "
-                "(s, v) -> s + v * v))"
-            ),
-        )
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("cid", "cvec", "cn"))
-            ).alias("__cents")
-        )
-    )
-    codes = _pq_codes_expr(m, sub)
-    # zero-norm vectors coalesce their (NULL) sims to -Infinity, so
-    # they land in the LOWEST centroid id — ivf_assign's convention
-    # (max_by sorts NULL sims low) — never in a sentinel cell.
-    sim = (
-        "coalesce(CASE WHEN __n > 0 AND e.cn > 0 THEN "
-        "round(aggregate(zip_with(__v, e.cvec, (p, q) -> p * q), "
-        "cast(0 as double), (s, v) -> s + v) / (__n * e.cn), 6) "
-        "ELSE CAST(NULL AS DOUBLE) END, cast('-Infinity' as double))"
-    )
-    cluster = (
-        f"aggregate("
-        f"transform(__cents, e -> named_struct('s', {sim}, 'c', e.cid)), "
-        f"named_struct('s', CAST(NULL AS DOUBLE), 'c', 2147483647), "
-        f"(acc, el) -> IF(acc.s IS NULL OR el.s > acc.s OR "
-        f"(el.s = acc.s AND el.c < acc.c), el, acc)).c"
-    )
+    cents = _prep_cents(centroids, centroid_id_col, centroid_vec_col)
     (
-        ensure_parallelism(_with_norm(emb, vec_col, "__v", "__n", dim))
-        .select(F.col(id_col), "__v", "__n")
-        .crossJoin(F.broadcast(cb))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col(id_col),
-            F.expr(codes).alias("codes"),
-            F.col("__v").alias("vec"),
-            F.col("__n").alias("norm"),
-            F.expr(cluster).alias("cluster_id"),
+        ivfpq_index_rows(
+            emb, cb, cents, m=m, dim=dim, id_col=id_col, vec_col=vec_col
         )
         .write.mode("overwrite")
         .partitionBy("cluster_id")

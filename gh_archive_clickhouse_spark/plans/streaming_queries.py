@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from gh_archive_clickhouse_spark.plans.common import Query, read, ts_fmt
 from gh_archive_clickhouse_spark.plans.ext_queries import (
     ORACLE_LSH_CANDIDATES as _ORACLE_QS4,
+    _ORACLE_QX40 as _ORACLE_QS10,
 )
 from gh_archive_clickhouse_spark.streaming.analytics import (
     hourly_type_counts,
@@ -457,6 +458,90 @@ def qs9_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.localCheckpoint(eager=True)
 
 
+def qs10_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL IVF-PQ index maintenance as a stream: the
+    embeddings fixture split into two files arrives as two
+    micro-batches (maxFilesPerTrigger=1); each batch runs the map-only
+    index projection for its NEW vectors only and appends an
+    epoch=E/cluster_id=C partition under the index root
+    (streaming/index_stream.py). The probe over the incrementally-
+    built index must equal the probe over a batch-built one — which is
+    exactly what the oracle (qx40's IVF-PQ search SQL) asserts:
+    query = vec 42, its coarse cell, ADC top-20 shortlist, exact
+    cosine top-5 re-rank."""
+    import shutil
+    import tempfile
+
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        _prep_cents,
+        pq_codebook,
+        probe_ivfpq_index,
+    )
+    from gh_archive_clickhouse_spark.plans.ext_queries import EMB_DIM
+    from gh_archive_clickhouse_spark.streaming.index_stream import (
+        incremental_ivfpq_sink,
+    )
+
+    emb = read(spark, sf_dir, "embeddings")
+    # The trained quantizer is fixed before the stream starts (the
+    # standard streaming-ANN-ingest contract): codebook = vectors with
+    # id < 16, coarse centroids = vectors with id < 8 — the same
+    # deterministic "training" qx40 uses, so the oracle carries over.
+    cb = pq_codebook(emb).localCheckpoint(eager=True)
+    cents = _prep_cents(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("c"),
+        )
+    ).localCheckpoint(eager=True)
+    base = tempfile.mkdtemp(prefix="qs10_")
+    try:
+        src = f"{base}/vecs"
+        emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        index = f"{base}/index"
+        with _stream_shuffle_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(
+                    incremental_ivfpq_sink(index, cb, cents, dim=EMB_DIM)
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .start()
+            )
+            q.awaitTermination()
+        # Probe-time coarse search: the query's cluster comes from its
+        # own index row (one-row lookup — the caller-computed probe
+        # set the probe contract requires).
+        qc = (
+            spark.read.parquet(index)
+            .filter(F.col("vec_id") == 42)
+            .select("cluster_id")
+            .head()[0]
+        )
+        query = emb.filter(F.col("vec_id") == 42).select(
+            F.col("embedding").alias("q")
+        )
+        # Eager checkpoint pins the result before the scratch dir is
+        # deleted (same pattern as qs4).
+        return probe_ivfpq_index(
+            spark, index, query, cb, [int(qc)],
+            k=5, shortlist_k=20, dim=EMB_DIM,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _ORACLE_QS9 = """
 WITH cohorts AS (
   SELECT user_id, min(ts) AS signup_ts FROM events
@@ -549,6 +634,14 @@ QUERIES = [
         qs9_stream_static_enrich,
         _ORACLE_QS9,
         tags=("streaming",),
+    ),
+    Query(
+        "qs10_incremental_ivfpq",
+        "incremental IVF-PQ index maintenance: per-batch map-only "
+        "append of epoch/cluster partitions; probe == batch build",
+        qs10_incremental_ivfpq,
+        _ORACLE_QS10,
+        tags=("streaming", "similarity"),
     ),
     Query(
         "qs5_stream_sliding_rates",

@@ -59,6 +59,7 @@ def _compact_old_epochs(
     current_epoch: int,
     dedup_cols: list[str],
     keep_epochs: int = 4,
+    partition_cols: list[str] | None = None,
 ) -> bool:
     """Fold committed epoch partitions into the consolidated
     ``epoch=-1`` partition so the long-running table's file count is
@@ -79,8 +80,16 @@ def _compact_old_epochs(
     Local-filesystem partition surgery; an object-store deployment
     routes the same fold through a table format's REPLACE/compaction
     (Delta OPTIMIZE, Iceberg rewrite_data_files) instead of renames.
+    ``partition_cols`` (default ``["epoch"]``) must lead with
+    ``epoch`` — tables that also partition by a pruning key (the
+    IVF-PQ index's cluster_id) keep that sublayout through the fold.
     Returns True if a fold ran.
     """
+    partition_cols = partition_cols or ["epoch"]
+    if partition_cols[0] != "epoch":
+        raise ValueError(
+            f"partition_cols must lead with 'epoch', got {partition_cols}"
+        )
     old = [
         (e, d)
         for e, d in _epoch_dirs(path)
@@ -100,7 +109,7 @@ def _compact_old_epochs(
     (
         folded.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("epoch")
+        .partitionBy(*partition_cols)
         .parquet(path)
     )
     import shutil

@@ -521,3 +521,73 @@ def test_incremental_mv_replay_idempotent_and_compacted(spark, tmp_path):
     dirs = [d for d in os.listdir(partials) if d.startswith("epoch=")]
     assert len(dirs) <= 4, dirs
     assert "epoch=-1" in dirs
+
+
+def test_incremental_ivfpq_equals_batch_build_and_bounds_files(
+    spark, tmp_path
+):
+    """The incremental index sink: (1) feeding the corpus in N epochs
+    produces a row-identical index to the one-shot batch build —
+    same codes, same cluster assignment, same norms; (2) probe pruning
+    survives (cluster_id sublayout present inside every epoch dir);
+    (3) epoch folding bounds the partition count for the stream's
+    lifetime; (4) a replayed epoch is idempotent."""
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        _prep_cents,
+        build_ivfpq_index,
+        pq_codebook,
+    )
+    from gh_archive_clickhouse_spark.streaming.index_stream import (
+        incremental_ivfpq_sink,
+    )
+
+    emb = read(spark, SF_DIR, "embeddings")
+    cb = pq_codebook(emb).localCheckpoint(eager=True)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("c"),
+    )
+    cents = _prep_cents(centroids).localCheckpoint(eager=True)
+
+    batch_path = str(tmp_path / "batch_idx")
+    build_ivfpq_index(emb, centroids, batch_path, dim=64, codebook=cb)
+
+    inc_path = str(tmp_path / "inc_idx")
+    sink = incremental_ivfpq_sink(inc_path, cb, cents, dim=64, keep_epochs=2)
+    n_epochs = 6
+    for e in range(n_epochs):
+        sink(emb.filter(F.col("vec_id") % n_epochs == e), epoch_id=e)
+    sink(emb.filter(F.col("vec_id") % n_epochs == 5), epoch_id=5)  # replay
+
+    def canon(df):
+        return sorted(
+            (
+                r.vec_id,
+                tuple(r.codes),
+                tuple(round(x, 9) for x in r.vec),
+                round(r.norm, 9),
+                r.cluster_id,
+            )
+            for r in df.select(
+                "vec_id", "codes", "vec", "norm", "cluster_id"
+            ).collect()
+        )
+
+    assert canon(spark.read.parquet(inc_path)) == canon(
+        spark.read.parquet(batch_path)
+    )
+    # epoch partitions bounded: consolidated + keep_epochs + current
+    dirs = sorted(
+        d.name
+        for d in (tmp_path / "inc_idx").iterdir()
+        if d.is_dir() and d.name.startswith("epoch=")
+    )
+    assert len(dirs) <= 4, dirs
+    assert "epoch=-1" in dirs, dirs
+    # the cluster sublayout survives folding (probe pruning intact)
+    sub = [
+        d.name
+        for d in (tmp_path / "inc_idx" / "epoch=-1").iterdir()
+        if d.is_dir()
+    ]
+    assert sub and all(s.startswith("cluster_id=") for s in sub), sub
