@@ -126,6 +126,58 @@ def pack_coordinates(
     )
 
 
+def emit_packed_sequences(
+    coords: DataFrame, budget: int, order_col: str = "doc_id"
+) -> DataFrame:
+    """The MATERIALIZED packing layout: one row per (sequence,
+    document slice) — which contiguous token range of each document
+    lands in which training sequence at which offset. This is what a
+    packed-batch consumer actually reads; :func:`pack_coordinates`
+    gives each document its coordinates, this emits the per-sequence
+    assembly plan.
+
+    Output columns: ``order_col``, ``seq_id`` (sequence the slice
+    belongs to), ``slice_start`` (0-based token offset inside the
+    document), ``slice_len``, ``seq_pos`` (0-based offset inside the
+    sequence). A document spanning k sequence boundaries emits k+1
+    rows; zero-token documents occupy a point and emit none.
+
+    Scale shape: a pure MAP stage over the coordinates — the spanned
+    sequence ids come from an explode of ``sequence(first, last)``
+    whose per-row fan-out is ceil(n_tokens/budget)+1, and every slice
+    bound is arithmetic on the already-computed prefix sums. No
+    window, no join, no shuffle beyond what pack_coordinates already
+    did.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    b = F.lit(budget).cast("long")
+    spanned = coords.filter(F.col("n_tokens") > 0).select(
+        order_col,
+        "n_tokens",
+        "tokens_before",
+        F.explode(
+            F.sequence(
+                F.col("seq_id"),
+                F.floor(
+                    (F.col("tokens_before") + F.col("n_tokens") - 1) / b
+                ).cast("long"),
+            )
+        ).alias("__s"),
+    )
+    start_tok = F.greatest(F.col("__s") * b, F.col("tokens_before"))
+    end_tok = F.least(
+        (F.col("__s") + 1) * b, F.col("tokens_before") + F.col("n_tokens")
+    )
+    return spanned.select(
+        order_col,
+        F.col("__s").alias("seq_id"),
+        (start_tok - F.col("tokens_before")).alias("slice_start"),
+        (end_tok - start_tok).alias("slice_len"),
+        (start_tok - F.col("__s") * b).alias("seq_pos"),
+    )
+
+
 def sequence_fill_stats(coords: DataFrame, budget: int) -> DataFrame:
     """Per-sequence packing summary from :func:`pack_coordinates`
     output: how many documents START in each sequence, how many of the

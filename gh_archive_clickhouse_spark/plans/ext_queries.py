@@ -1166,6 +1166,92 @@ def qx33_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx45_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-sequence EMISSION — the step after qx33's coordinates:
+    materialize each 256-token training sequence's assembly plan (one
+    row per document slice via a map-only explode over the
+    coordinates) and PROVE the reconstruction by fingerprinting every
+    sequence's actual token content: slices join back to the token
+    arrays on doc_id (uniform key), are cut with array slice
+    arithmetic, and concatenate in seq_pos order into an md5 per
+    sequence. The oracle rebuilds the same sequences from the naive
+    global-window layout — any off-by-one in slice bounds, ordering,
+    or boundary splitting flips the hash. No window beyond qx33's
+    bucket-totals scan (plan-asserted in tests)."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        emit_packed_sequences,
+        pack_coordinates,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("__t"))
+    coords = pack_coordinates(
+        docs, F.size(tokens(F.col("text"))), budget=256
+    )
+    slices = emit_packed_sequences(coords, 256)
+    sliced = slices.join(toks, "doc_id").select(
+        "seq_id",
+        "seq_pos",
+        "slice_len",
+        F.slice(
+            F.col("__t"),
+            (F.col("slice_start") + 1).cast("int"),
+            F.col("slice_len").cast("int"),
+        ).alias("__st"),
+    )
+    return sliced.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_slices"),
+        F.sum("slice_len").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seq_pos", "__st"))
+                        ),
+                        lambda s: s["__st"],
+                    )
+                ),
+            )
+        ).alias("content_md5"),
+    )
+
+
+_ORACLE_QX45 = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col="text")} AS tk FROM documents
+), c AS (
+  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n_tokens,
+    COALESCE(CAST(sum(len(tk)) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      AS tokens_before
+  FROM t
+), s AS (
+  SELECT doc_id, tk, n_tokens, tokens_before,
+         unnest(range(tokens_before // 256,
+                      (tokens_before + n_tokens - 1) // 256 + 1)) AS seq
+  FROM c WHERE n_tokens > 0
+), sl AS (
+  SELECT seq AS seq_id,
+         greatest(seq * 256, tokens_before) - seq * 256 AS seq_pos,
+         least((seq + 1) * 256, tokens_before + n_tokens)
+           - greatest(seq * 256, tokens_before) AS slice_len,
+         tk[CAST(greatest(seq * 256, tokens_before) - tokens_before + 1
+                 AS BIGINT) :
+            CAST(least((seq + 1) * 256, tokens_before + n_tokens)
+                 - tokens_before AS BIGINT)] AS st
+  FROM s
+)
+SELECT seq_id,
+       CAST(count(*) AS BIGINT) AS n_slices,
+       CAST(sum(slice_len) AS BIGINT) AS n_tokens,
+       md5(string_agg(array_to_string(st, ' '), ' ' ORDER BY seq_pos))
+         AS content_md5
+FROM sl GROUP BY seq_id
+"""
+
+
 def qx34_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ENCODE: 64-d float vectors -> 8 int codes
     (8 subspaces x 16-entry codebook, deterministic codebook = the
@@ -2026,6 +2112,14 @@ QUERIES = [
         "(hierarchical prefix sum, 256-token budget)",
         qx33_sequence_packing,
         _ORACLE_QX33,
+        tags=("ext", "packing"),
+    ),
+    Query(
+        "qx45_packed_sequences",
+        "packed-sequence emission: per-sequence slice layout + "
+        "content fingerprint reconstructed from token arrays",
+        qx45_packed_sequences,
+        _ORACLE_QX45,
         tags=("ext", "packing"),
     ),
     Query(

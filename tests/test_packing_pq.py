@@ -222,6 +222,69 @@ def test_containment_stop_shingle_cap_defuses_hot_key(spark):
     assert len(rows2) == 60 * 59 / 2
 
 
+def test_emit_packed_sequences_reconstructs_token_stream(spark):
+    """Ground truth by brute force: concatenate every doc's tokens in
+    doc_id order, cut into budget-sized chunks — each chunk must equal
+    the tokens reassembled from that sequence's emitted slices."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        emit_packed_sequences,
+    )
+
+    budget = 7
+    rows = [
+        (0, "a b c"),
+        (1, ""),                       # zero tokens: no slice rows
+        (2, " ".join(f"t{i}" for i in range(17))),  # spans 3 seqs
+        (3, "x y"),
+        (4, " ".join(f"u{i}" for i in range(6))),
+    ]
+    docs = _docs(spark, rows)
+    n_tok = F.size(F.array_remove(F.split(F.col("text"), " "), ""))
+    coords = pack_coordinates(docs, n_tok, budget=budget)
+    slices = emit_packed_sequences(coords, budget)
+
+    toks = {i: [t for t in s.split(" ") if t] for i, s in rows}
+    stream = [t for i in sorted(toks) for t in toks[i]]
+    want = {
+        s: stream[s * budget : (s + 1) * budget]
+        for s in range((len(stream) + budget - 1) // budget)
+    }
+    got: dict[int, dict[int, list[str]]] = {}
+    for r in slices.collect():
+        seq = got.setdefault(r.seq_id, {})
+        seq[r.seq_pos] = toks[r.doc_id][
+            r.slice_start : r.slice_start + r.slice_len
+        ]
+    rebuilt = {
+        s: [t for pos in sorted(parts) for t in parts[pos]]
+        for s, parts in got.items()
+    }
+    assert rebuilt == want
+    # zero-token doc emitted nothing
+    assert not any(r.doc_id == 1 for r in slices.collect())
+
+
+def test_emit_packed_sequences_adds_no_window(spark):
+    """Scale contract: emission is a pure map stage — the plan carries
+    exactly pack_coordinates' two windows (bucket-partitioned per-row
+    + bucket-totals), nothing new."""
+    docs = read(spark, SF_DIR, "documents")
+    from gh_archive_clickhouse_spark.operators.packing import (
+        emit_packed_sequences,
+    )
+
+    coords = pack_coordinates(docs, F.lit(3), budget=8)
+    base = coords._jdf.queryExecution().executedPlan().toString()
+    out = emit_packed_sequences(coords, 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    def count(p: str, token: str) -> int:
+        return sum(1 for ln in p.splitlines() if token in ln)
+
+    assert count(plan, "Window [") == count(base, "Window [")
+    # ... and no new shuffle either: explode + arithmetic only
+    assert count(plan, "Exchange") == count(base, "Exchange")
+
+
 def _emb(spark, rows):
     """(vec_id, label, embedding[4]) frame."""
     return spark.createDataFrame(
