@@ -40,6 +40,70 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def densify_order(
+    df: DataFrame, order_col: str, out_col: str = "dense_id"
+) -> DataFrame:
+    """Assign each row its 0-based rank in ``order_col`` order — the
+    id-densification pass :func:`pack_coordinates`'s contract asks for
+    when order keys are SPARSE (64-bit hashes, snowflake ids): sparse
+    keys put ~1 row per packing bucket and degrade the offsets table
+    toward O(n); dense ranks restore exactly n/group_size buckets.
+
+    The naive form is ``row_number() OVER (ORDER BY order_col)`` — a
+    single-partition window. This is the distributed form (the same
+    two-level recurrence as the packing scan, and what Spark's own
+    zipWithIndex does):
+
+    1. range-repartition on the key — each task holds one contiguous
+       key range;
+    2. count rows per partition (tiny: one row per task);
+    3. exclusive prefix sum over the PER-PARTITION COUNTS (a window
+       over O(partitions) rows);
+    4. broadcast the offsets back (bounded by the partition count, so
+       unconditionally broadcastable — unlike the packing offsets) and
+       rank WITHIN each partition.
+
+    Correct for ANY sampled range boundaries: global rank = partition
+    offset + within-partition rank as long as partitions are
+    key-contiguous, so the result is deterministic even though range
+    partitioning samples. CONTRACT: ``order_col`` values are distinct
+    (ranks are otherwise ambiguous); duplicate keys raise downstream
+    in packing anyway.
+
+    Returns the input columns plus ``out_col`` (long, 0-based).
+    """
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
+    # Materialized ONCE: both consumers below (the per-partition
+    # counts and the rank join) must see the exact same partition-id
+    # stamping, so the range shuffle may not be re-planned per branch.
+    parts = materialize(
+        df.repartitionByRange(F.col(order_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        "densify_parts",
+    )
+    counts = parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pn"))
+    w_parts = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__pn").over(w_parts), F.lit(0)).alias("__poff"),
+    )
+    w_in = Window.partitionBy("__pid").orderBy(order_col)
+    return (
+        parts.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            (
+                F.col("__poff") + F.row_number().over(w_in) - F.lit(1)
+            ).cast("long"),
+        )
+        .drop("__pid", "__poff")
+    )
+
+
 def pack_coordinates(
     df: DataFrame,
     n_tokens: Column,

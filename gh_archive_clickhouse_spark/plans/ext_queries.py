@@ -1252,6 +1252,77 @@ FROM sl GROUP BY seq_id
 """
 
 
+def qx46_densified_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing over SPARSE order keys — the degradation case
+    pack_coordinates' contract documents: keys spaced ~10^6 apart put
+    one doc per bucket and blow the offsets table up toward O(n).
+    The fix is the id-densification pass (operators/packing.py
+    densify_order — the distributed zipWithIndex recurrence: range
+    partition, per-partition counts, prefix over the tiny count
+    table, rank within partitions), then packing by the dense rank
+    with healthy n/group_size buckets. Output keys are the ORIGINAL
+    sparse ids plus the dense rank, so the oracle (naive
+    row_number/global-window SQL) pins both the densification and the
+    packing arithmetic."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        densify_order,
+        pack_coordinates,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    sparse = docs.select(
+        (F.col("doc_id") * F.lit(1_000_003) + F.lit(17)).alias(
+            "sparse_id"
+        ),
+        "text",
+    )
+    dense = densify_order(sparse, "sparse_id")
+    coords = pack_coordinates(
+        dense,
+        F.size(tokens(F.col("text"))),
+        budget=256,
+        order_col="dense_id",
+    )
+    return coords.join(
+        dense.select("sparse_id", "dense_id"), "dense_id"
+    ).select(
+        "sparse_id",
+        "dense_id",
+        "n_tokens",
+        "tokens_before",
+        "seq_id",
+        "seq_offset",
+        "crosses_boundary",
+    )
+
+
+_ORACLE_QX46 = f"""
+WITH t AS (
+  SELECT doc_id * 1000003 + 17 AS sparse_id,
+         CAST(len({_SQL_TOKENS.format(col="text")}) AS BIGINT) AS n_tokens
+  FROM documents
+), d AS (
+  SELECT sparse_id, n_tokens,
+         CAST(row_number() OVER (ORDER BY sparse_id) - 1 AS BIGINT)
+           AS dense_id
+  FROM t
+), c AS (
+  SELECT sparse_id, dense_id, n_tokens,
+    COALESCE(CAST(sum(n_tokens) OVER (ORDER BY dense_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+      AS tokens_before
+  FROM d
+)
+SELECT sparse_id, dense_id, n_tokens, tokens_before,
+  CAST(tokens_before // 256 AS BIGINT) AS seq_id,
+  CAST(tokens_before % 256 AS BIGINT) AS seq_offset,
+  (n_tokens > 0 AND
+   ((tokens_before + n_tokens - 1) // 256) > (tokens_before // 256))
+    AS crosses_boundary
+FROM c
+"""
+
+
 def qx34_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ENCODE: 64-d float vectors -> 8 int codes
     (8 subspaces x 16-entry codebook, deterministic codebook = the
@@ -2120,6 +2191,14 @@ QUERIES = [
         "content fingerprint reconstructed from token arrays",
         qx45_packed_sequences,
         _ORACLE_QX45,
+        tags=("ext", "packing"),
+    ),
+    Query(
+        "qx46_densified_packing",
+        "id densification (distributed zipWithIndex) + packing over "
+        "sparse 64-bit-spaced order keys",
+        qx46_densified_packing,
+        _ORACLE_QX46,
         tags=("ext", "packing"),
     ),
     Query(

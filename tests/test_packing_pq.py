@@ -264,6 +264,61 @@ def test_emit_packed_sequences_reconstructs_token_stream(spark):
     assert not any(r.doc_id == 1 for r in slices.collect())
 
 
+def test_densify_hash_sparse_keys_then_pack(spark):
+    """densify_order on genuinely sparse keys (md5-derived 60-bit):
+    the dense ids are exactly 0..n-1 and order-preserving, packing by
+    them matches the brute-force sequential layout, and the bucket
+    table is back to ceil(n/group_size) rows (the degradation the
+    operator exists to fix: raw sparse keys give ~1 row/bucket)."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        densify_order,
+    )
+
+    n, group, budget = 300, 64, 16
+    base = spark.range(n).select(
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15),
+               16, 10).cast("long").alias("k"),
+        (F.col("id") % 7 + 1).alias("nt"),
+    )
+    dense = densify_order(base, "k")
+    rows = sorted(
+        (r.k, r.dense_id, r.nt) for r in dense.collect()
+    )
+    assert [d for _, d, _ in rows] == list(range(n))  # bijection + order
+    coords = {
+        r.dense_id: r
+        for r in pack_coordinates(
+            dense, F.col("nt"), budget=budget,
+            order_col="dense_id", group_size=group,
+        ).collect()
+    }
+    before = 0
+    for k, d, nt in rows:
+        r = coords[d]
+        assert r.tokens_before == before
+        assert r.seq_id == before // budget
+        assert r.seq_offset == before % budget
+        before += nt
+    # dense keys restore the two-level scan's bucket bound
+    n_buckets = dense.select(
+        F.floor(F.col("dense_id") / group)
+    ).distinct().count()
+    assert n_buckets == -(-n // group)
+
+
+def test_densify_deterministic_across_runs(spark):
+    from gh_archive_clickhouse_spark.operators.packing import (
+        densify_order,
+    )
+
+    base = spark.range(500).select(
+        (F.col("id") * 999_983 % 1_000_003).alias("k")
+    )
+    a = sorted((r.k, r.dense_id) for r in densify_order(base, "k").collect())
+    b = sorted((r.k, r.dense_id) for r in densify_order(base, "k").collect())
+    assert a == b
+
+
 def test_emit_packed_sequences_adds_no_window(spark):
     """Scale contract: emission is a pure map stage — the plan carries
     exactly pack_coordinates' two windows (bucket-partitioned per-row
