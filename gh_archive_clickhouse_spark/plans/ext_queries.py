@@ -1276,7 +1276,9 @@ def qx46_densified_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "text",
     )
-    dense = densify_order(sparse, "sparse_id")
+    # Two consumers below (packing + the sparse_id join-back):
+    # materialized so the densify pipeline runs once, not per branch.
+    dense = materialize(densify_order(sparse, "sparse_id"), "qx46_dense")
     coords = pack_coordinates(
         dense,
         F.size(tokens(F.col("text"))),
