@@ -1252,6 +1252,58 @@ FROM sl GROUP BY seq_id
 """
 
 
+def qx47_ivf_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by IVF CLUSTER — the
+    production composition near_duplicate_pairs' docstring prescribes
+    (qx10 blocks by the fixture label; a real pipeline has no labels):
+    ivf_assign buckets the corpus by nearest centroid (map-only vs
+    broadcast centroids), then only same-cluster pairs are scored —
+    sum(cluster²) candidate work with the hot-block cap still armed on
+    top. One materialized assignment feeds the blocked self-join."""
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        near_duplicate_pairs,
+    )
+
+    emb = read(spark, sf_dir, "embeddings")
+    assigned = materialize(
+        qx11_ivf_assign(spark, sf_dir), "qx47_assign"
+    )
+    # Materialized: the blocked frame is consumed three times inside
+    # near_duplicate_pairs (block counts + both self-join sides).
+    blocked = materialize(emb.join(assigned, "vec_id"), "qx47_blocked")
+    return near_duplicate_pairs(
+        blocked, block_col="cluster_id", threshold=0.35, dim=EMB_DIM
+    )
+
+
+_ORACLE_QX47 = f"""
+WITH c AS (SELECT CAST(vec_id AS INTEGER) AS centroid_id, {_ED} AS cd
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         round({_sql_cosine('CAST(e.embedding AS DOUBLE[])', 'c.cd')}, 6)
+           AS sim
+  FROM embeddings e, c
+), best AS (
+  SELECT vec_id, centroid_id, row_number() OVER (
+           PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rk
+  FROM scored
+), assign AS (
+  SELECT vec_id, centroid_id AS cluster_id FROM best WHERE rk = 1
+), e AS (
+  SELECT em.vec_id, a.cluster_id, {_ED} AS ed
+  FROM embeddings em JOIN assign a ON em.vec_id = a.vec_id
+  WHERE a.cluster_id IN (
+    SELECT cluster_id FROM assign GROUP BY cluster_id
+    HAVING count(*) <= 10000)
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_sql_cosine('a.ed', 'b.ed')}, 6) AS cos_sim
+FROM e a JOIN e b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+WHERE round({_sql_cosine('a.ed', 'b.ed')}, 6) >= 0.35
+"""
+
+
 def qx46_densified_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing over SPARSE order keys — the degradation case
     pack_coordinates' contract documents: keys spaced ~10^6 apart put
@@ -2202,6 +2254,14 @@ QUERIES = [
         qx46_densified_packing,
         _ORACLE_QX46,
         tags=("ext", "packing"),
+    ),
+    Query(
+        "qx47_ivf_blocked_neardup",
+        "embedding near-dup pairs blocked by IVF cluster (the "
+        "label-free production blocking path)",
+        qx47_ivf_blocked_neardup,
+        _ORACLE_QX47,
+        tags=("ext", "dedup", "similarity"),
     ),
     Query(
         "qx34_pq_encode",

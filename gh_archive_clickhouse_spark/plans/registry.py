@@ -43,6 +43,7 @@ _NEW_R5 = (
     "qs10_incremental_ivfpq",
     "qx45_packed_sequences",
     "qx46_densified_packing",
+    "qx47_ivf_blocked_neardup",
 )
 # Round-1 rows, three driver rounds stale — the oldest official signal
 # in the repo; every one of these must land in the round-5 window.
