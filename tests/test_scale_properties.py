@@ -286,3 +286,60 @@ def test_packing_prefix_sum_invariants_at_10x(spark):
     rows = coords.orderBy("doc_id").select("tokens_before").collect()
     befores = [r.tokens_before for r in rows]
     assert befores == sorted(befores)
+
+
+def test_packed_sequence_emission_tiles_exactly_at_10x(spark):
+    """Emission over the 10× corpus: the slices are an EXACT tiling of
+    the packed token stream — every sequence except the last fills to
+    precisely the budget with gapless, non-overlapping slices, and
+    every document's slices reassemble [0, n_tokens) without loss.
+    This is the invariant that makes the emitted layout safe to feed a
+    trainer: any off-by-one here silently corrupts batch contents."""
+    from gh_archive_clickhouse_spark.functions.text import tokens
+    from gh_archive_clickhouse_spark.operators.packing import (
+        emit_packed_sequences,
+        pack_coordinates,
+    )
+
+    budget = 256
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
+    coords = materialize(
+        pack_coordinates(
+            _inflated(spark), F.size(tokens(F.col("text"))), budget=budget
+        ),
+        "scale_pack_coords",
+    )
+    slices = emit_packed_sequences(coords, budget)
+    total = coords.agg(F.sum("n_tokens")).first()[0]
+    n_seq = -(-total // budget)
+
+    by_seq: dict[int, list] = {}
+    by_doc: dict[int, list] = {}
+    for r in slices.collect():
+        by_seq.setdefault(r.seq_id, []).append((r.seq_pos, r.slice_len))
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.slice_start, r.slice_len)
+        )
+    assert set(by_seq) == set(range(n_seq))
+    for s, parts in by_seq.items():
+        parts.sort()
+        pos = 0
+        for start, ln in parts:
+            assert start == pos, (s, parts)  # gapless, no overlap
+            pos += ln
+        assert pos == (
+            budget if s < n_seq - 1 else total - (n_seq - 1) * budget
+        )
+    n_toks = {
+        r.doc_id: r.n_tokens
+        for r in coords.filter(F.col("n_tokens") > 0).collect()
+    }
+    assert set(by_doc) == set(n_toks)
+    for d, parts in by_doc.items():
+        parts.sort()
+        pos = 0
+        for start, ln in parts:
+            assert start == pos, (d, parts)
+            pos += ln
+        assert pos == n_toks[d]
