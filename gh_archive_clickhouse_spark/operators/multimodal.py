@@ -308,12 +308,19 @@ def _decode_pcm(payload: bytes) -> tuple[int, int, list[int]]:
 
         import numpy as np
         import soundfile as sf
-
-        samples, rate = sf.read(io.BytesIO(data), dtype="int16")
-        arr = np.atleast_2d(samples.T)
-        return rate, arr.shape[0], [int(x) for x in arr.T.reshape(-1)]
     except ImportError:
         pass
+    else:
+        try:
+            samples, rate = sf.read(io.BytesIO(data), dtype="int16")
+            arr = np.atleast_2d(samples.T)
+            return rate, arr.shape[0], [int(x) for x in arr.T.reshape(-1)]
+        except Exception:
+            # soundfile present but can't decode this payload — fall
+            # through to the stdlib path (mirrors _decode_pixels'
+            # Pillow→stdlib chain), so the NotImplementedError
+            # contract below holds with or without the library.
+            pass
     if data[:4] != RIFF_SIG:
         raise NotImplementedError(
             "no decoder for this format in this environment: soundfile "
@@ -406,8 +413,9 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 out["n_samples"].append(len(samples) // n_ch)
                 out["sum_code"].append(sum(samples))
                 out["sum_sq"].append(sum(s * s for s in samples))
-                out["min_code"].append(min(samples))
-                out["max_code"].append(max(samples))
+                # zero-frame WAV is legal: NULL extrema, zero sums
+                out["min_code"].append(min(samples) if samples else None)
+                out["max_code"].append(max(samples) if samples else None)
             yield pd.DataFrame(
                 {
                     id_col: pd.array(out["doc_id"], dtype="int64"),
@@ -420,8 +428,9 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     "n_samples": pd.array(out["n_samples"], dtype="int32"),
                     "sum_code": pd.array(out["sum_code"], dtype="int64"),
                     "sum_sq": pd.array(out["sum_sq"], dtype="int64"),
-                    "min_code": pd.array(out["min_code"], dtype="int32"),
-                    "max_code": pd.array(out["max_code"], dtype="int32"),
+                    # nullable Int32: zero-frame payloads carry NULLs
+                    "min_code": pd.array(out["min_code"], dtype="Int32"),
+                    "max_code": pd.array(out["max_code"], dtype="Int32"),
                 }
             )
 
@@ -501,7 +510,7 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(_decode, schema=DECODED_FEATURES_SCHEMA)
 
 
-AHASH_SCHEMA = "doc_id long, ahash string"  # default-id_col output shape
+AHASH_SCHEMA = "doc_id long, ahash string"
 
 
 def perceptual_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -542,4 +551,6 @@ def perceptual_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     # Output schema follows id_col — a non-default id column keeps its
     # name instead of being silently renamed to doc_id.
-    return df.mapInPandas(_hash, schema=f"{id_col} long, ahash string")
+    return df.mapInPandas(
+        _hash, schema=AHASH_SCHEMA.replace("doc_id", id_col, 1)
+    )

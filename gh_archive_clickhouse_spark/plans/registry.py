@@ -69,8 +69,10 @@ _R1_STALE = (
     "qt28_idle_rich_customers",
     "qt29_array_map_battery",
 )
-# Round-3 rows refreshed with the remaining window slots (the rest of
-# the round-3 cohort leads the round-6 rotation).
+# Round-3 rows refreshed with the remaining window slots — exactly
+# filling the 50-entry window together with the three groups above
+# (len asserted below); the rest of the round-3 cohort leads the
+# round-6 rotation.
 _R3_REFRESH = (
     "qm5_audio_features",
     "qe1_dedup_latest",
@@ -90,7 +92,6 @@ _R3_REFRESH = (
     "qs5_stream_sliding_rates",
     "qt30_waiting_suppliers",
     "qt31_top_revenue_supplier",
-    "qx25_kmeans_ivf_build",
 )
 
 
@@ -114,8 +115,16 @@ _BY_NAME: dict[str, Query] = {
 
 _HEAD = _CHANGED_R5 + _NEW_R5 + _R1_STALE + _R3_REFRESH
 
+if len(_HEAD) != 50:  # pragma: no cover - registry sanity
+    raise AssertionError(
+        f"priority head must exactly fill the 50-entry driver window, "
+        f"got {len(_HEAD)}"
+    )
+
 _ALL: list[Query] = [
-    *[_BY_NAME[n] for n in _HEAD if n in _BY_NAME],
+    # Strict indexing: a misspelled head entry must raise, not
+    # silently fall out of the verification window.
+    *[_BY_NAME[n] for n in _HEAD],
     # --- tail: round-4-verified and the rest of the round-3 cohort,
     # in module order ---
     *[q for q in ext_queries.QUERIES if q.name not in _HEAD],

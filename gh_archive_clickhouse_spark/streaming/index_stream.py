@@ -67,6 +67,17 @@ def incremental_ivfpq_sink(
     fold once the committed window exceeds ``keep_epochs``.
     """
 
+    head = cents.head(1)
+    if not head or not head[0][0]:
+        raise ValueError(
+            "centroid table is empty — nothing to index by (same guard "
+            "as build_ivfpq_index: an empty fold would silently park "
+            "every vector in the sentinel cell)"
+        )
+    # The fold reads the table back with an explicit schema; it must
+    # name the actual id column, not assume the default.
+    schema = INDEX_SCHEMA.replace("vec_id", id_col, 1)
+
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         rows = ivfpq_index_rows(
@@ -84,7 +95,7 @@ def incremental_ivfpq_sink(
         _compact_old_epochs(
             spark,
             index_path,
-            INDEX_SCHEMA,
+            schema,
             int(epoch_id),
             dedup_cols=[id_col],
             keep_epochs=keep_epochs,

@@ -678,3 +678,51 @@ def test_pii_scrub_on_synthetic_hits(spark, tmp_path):
     con.close()
     assert list(got.scrubbed_md5) == list(opdf.scrubbed_md5)
     assert (got.reset_index().astype(str) == opdf.reset_index().astype(str)).all().all()
+
+
+def test_wav_decode_zero_frame_payload(spark):
+    """A syntactically valid RIFF/WAV with zero frames must decode to
+    an n_samples=0 row with NULL extrema, not crash the Arrow task."""
+    import io
+    import wave
+
+    from gh_archive_clickhouse_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"")
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    (r,) = decode_audio_features(df).collect()
+    assert (r.n_samples, r.sum_code, r.sum_sq) == (0, 0, 0)
+    assert r.min_code is None and r.max_code is None
+
+
+def test_ivfpq_sink_rejects_empty_centroids(spark, tmp_path):
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        _prep_cents,
+        pq_codebook,
+    )
+    from gh_archive_clickhouse_spark.streaming.index_stream import (
+        incremental_ivfpq_sink,
+    )
+    from gh_archive_clickhouse_spark.plans.common import read as _read
+    from tests.conftest import SF_DIR
+
+    emb = _read(spark, SF_DIR, "embeddings")
+    empty = _prep_cents(
+        emb.filter(F.col("vec_id") < 0).select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("embedding").alias("c"),
+        )
+    )
+    with pytest.raises(ValueError, match="centroid table is empty"):
+        incremental_ivfpq_sink(
+            str(tmp_path / "idx"), pq_codebook(emb), empty
+        )
