@@ -1304,6 +1304,75 @@ WHERE round({_sql_cosine('a.ed', 'b.ed')}, 6) >= 0.35
 """
 
 
+def qx48_embedding_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benchmark decontamination in EMBEDDING space — the semantic
+    twin of qx23's n-gram overlap: a training example is contaminated
+    when it sits too close to any held-out benchmark embedding
+    (paraphrased eval questions that share no 8-gram still collapse
+    in embedding space). Benchmark set = vec_id % 50 == 7 (~2% of the
+    fixture); corpus = the rest.
+
+    100 TB shape: the benchmark set is SMALL and fixed (eval suites,
+    not corpora), so it broadcasts as one collect_list row and every
+    corpus vector computes its max benchmark cosine in a single
+    map-only fold — one corpus pass, zero shuffle, like qx23's
+    broadcast gram set and qx38's weight map. Output per corpus
+    vector: rounded max benchmark similarity + the contaminated flag
+    at 0.35 (the p90-p99 band of the fixture's max-bench cosine at
+    every SF, so the flag genuinely fires)."""
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        _with_norm,
+    )
+
+    emb = read(spark, sf_dir, "embeddings")
+    bench_row = (
+        emb.filter(F.col("vec_id") % 50 == 7)
+        .select(F.col("embedding").cast("array<double>").alias("bv"))
+        .withColumn(
+            "bn",
+            F.expr(
+                "sqrt(aggregate(bv, cast(0 as double), "
+                "(s, v) -> s + v * v))"
+            ),
+        )
+        .agg(F.collect_list(F.struct("bv", "bn")).alias("__bench"))
+    )
+    corpus = _with_norm(
+        emb.filter(F.col("vec_id") % 50 != 7),
+        "embedding", "__v", "__n", EMB_DIM,
+    )
+    sim = (
+        "CASE WHEN __n > 0 AND e.bn > 0 THEN "
+        "round(aggregate(zip_with(__v, e.bv, (p, q) -> p * q), "
+        "cast(0 as double), (s, v) -> s + v) / (__n * e.bn), 6) "
+        "ELSE CAST(NULL AS DOUBLE) END"
+    )
+    max_sim = F.expr(f"array_max(transform(__bench, e -> {sim}))")
+    return (
+        ensure_parallelism(corpus)
+        .crossJoin(F.broadcast(bench_row))
+        .select(
+            "vec_id",
+            max_sim.alias("max_bench_sim"),
+            (max_sim >= F.lit(0.35)).alias("contaminated"),
+        )
+    )
+
+
+_ORACLE_QX48 = f"""
+WITH b AS (SELECT {_ED} AS bd FROM embeddings WHERE vec_id % 50 = 7),
+c AS (SELECT vec_id, {_ED} AS ed FROM embeddings WHERE vec_id % 50 <> 7)
+SELECT c.vec_id,
+       max(round({_sql_cosine('c.ed', 'b.bd')}, 6)) AS max_bench_sim,
+       (max(round({_sql_cosine('c.ed', 'b.bd')}, 6)) >= 0.35)
+         AS contaminated
+FROM c CROSS JOIN b
+GROUP BY c.vec_id
+"""
+
+
 def qx46_densified_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing over SPARSE order keys — the degradation case
     pack_coordinates' contract documents: keys spaced ~10^6 apart put
@@ -2262,6 +2331,14 @@ QUERIES = [
         qx47_ivf_blocked_neardup,
         _ORACLE_QX47,
         tags=("ext", "dedup", "similarity"),
+    ),
+    Query(
+        "qx48_embedding_decontamination",
+        "benchmark decontamination in embedding space: max cosine vs "
+        "broadcast benchmark set, map-only corpus pass",
+        qx48_embedding_decontamination,
+        _ORACLE_QX48,
+        tags=("ext", "similarity", "decontamination"),
     ),
     Query(
         "qx34_pq_encode",

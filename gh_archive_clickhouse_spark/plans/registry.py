@@ -44,6 +44,7 @@ _NEW_R5 = (
     "qx45_packed_sequences",
     "qx46_densified_packing",
     "qx47_ivf_blocked_neardup",
+    "qx48_embedding_decontamination",
 )
 # Round-1 rows, three driver rounds stale — the oldest official signal
 # in the repo; every one of these must land in the round-5 window.
@@ -91,7 +92,6 @@ _R3_REFRESH = (
     "qs3_stream_running_totals",
     "qs5_stream_sliding_rates",
     "qt30_waiting_suppliers",
-    "qt31_top_revenue_supplier",
 )
 
 
