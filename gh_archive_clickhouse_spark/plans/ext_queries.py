@@ -1373,6 +1373,52 @@ GROUP BY c.vec_id
 """
 
 
+def qx49_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test SPLIT — the last step before a
+    corpus ships: each doc hashes (md5, salted so re-splitting with a
+    new salt is a one-token change) into one of 100 buckets; buckets
+    0-97 → train, 98 → val, 99 → test. Hash-based splitting is the
+    only shape that survives a distributed pipeline: it needs no
+    global coordination, re-runs identically on any partitioning, and
+    new documents join their split without reshuffling old ones.
+    Map-only, zero shuffle. Output: (doc_id, bucket, split)."""
+    docs = read(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"),
+                               F.lit("split-v1"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 98, "train")
+        .when(bucket == 98, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+_ORACLE_QX49 = """
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'),
+                         1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket = 98 THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
 def qx46_densified_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing over SPARSE order keys — the degradation case
     pack_coordinates' contract documents: keys spaced ~10^6 apart put
@@ -2339,6 +2385,14 @@ QUERIES = [
         qx48_embedding_decontamination,
         _ORACLE_QX48,
         tags=("ext", "similarity", "decontamination"),
+    ),
+    Query(
+        "qx49_corpus_split",
+        "deterministic salted-hash train/val/test split "
+        "(coordination-free, partitioning-invariant)",
+        qx49_corpus_split,
+        _ORACLE_QX49,
+        tags=("ext",),
     ),
     Query(
         "qx34_pq_encode",
