@@ -40,8 +40,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+import itertools
+
+_DENSIFY_SEQ = itertools.count()
+
+
 def densify_order(
-    df: DataFrame, order_col: str, out_col: str = "dense_id"
+    df: DataFrame,
+    order_col: str,
+    out_col: str = "dense_id",
+    name: str | None = None,
+    validate_distinct: bool = False,
 ) -> DataFrame:
     """Assign each row its 0-based rank in ``order_col`` order — the
     id-densification pass :func:`pack_coordinates`'s contract asks for
@@ -66,14 +75,31 @@ def densify_order(
     Correct for ANY sampled range boundaries: global rank = partition
     offset + within-partition rank as long as partitions are
     key-contiguous, so the result is deterministic even though range
-    partitioning samples. CONTRACT: ``order_col`` values are distinct
-    (ranks are otherwise ambiguous); duplicate keys raise downstream
-    in packing anyway.
+    partitioning samples. CONTRACT: ``order_col`` values must be
+    DISTINCT — ties make the ranks run-to-run ambiguous and nothing
+    downstream detects them; pass ``validate_distinct=True`` to pay
+    one extra aggregate for an explicit check when the source doesn't
+    guarantee uniqueness. ``name`` keys the materialization under
+    ``SPARK_GRAFT_MATERIALIZE_DIR`` — defaulted to a per-call-unique
+    value so two densify passes in one pipeline never clobber each
+    other's table.
 
     Returns the input columns plus ``out_col`` (long, 0-based).
     """
     from gh_archive_clickhouse_spark.plans.common import materialize
 
+    if validate_distinct:
+        dup = (
+            df.groupBy(F.col(order_col))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .head(1)
+        )
+        if dup:
+            raise ValueError(
+                f"densify_order requires distinct {order_col!r} values; "
+                f"found duplicate key {dup[0][0]!r}"
+            )
     # Materialized ONCE: both consumers below (the per-partition
     # counts and the rank join) must see the exact same partition-id
     # stamping, so the range shuffle may not be re-planned per branch.
@@ -81,7 +107,7 @@ def densify_order(
         df.repartitionByRange(F.col(order_col)).withColumn(
             "__pid", F.spark_partition_id()
         ),
-        "densify_parts",
+        name or f"densify_parts_{next(_DENSIFY_SEQ)}",
     )
     counts = parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pn"))
     w_parts = Window.orderBy("__pid").rowsBetween(
@@ -216,13 +242,20 @@ def emit_packed_sequences(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     b = F.lit(budget).cast("long")
+    # First spanned sequence is DERIVED from tokens_before, never
+    # trusted from coords.seq_id: if the caller's budget disagreed
+    # with the one coords was packed at, reusing seq_id would make
+    # F.sequence(first, last) DESCEND (Spark steps -1 when start >
+    # stop) and emit negative-length garbage slices silently. Derived,
+    # first <= last always holds; the two are identical when budgets
+    # match.
     spanned = coords.filter(F.col("n_tokens") > 0).select(
         order_col,
         "n_tokens",
         "tokens_before",
         F.explode(
             F.sequence(
-                F.col("seq_id"),
+                F.floor(F.col("tokens_before") / b).cast("long"),
                 F.floor(
                     (F.col("tokens_before") + F.col("n_tokens") - 1) / b
                 ).cast("long"),

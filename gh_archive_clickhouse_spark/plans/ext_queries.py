@@ -1184,10 +1184,14 @@ def qx45_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = read(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("__t"))
-    coords = pack_coordinates(
-        docs, F.size(tokens(F.col("text"))), budget=256
+    # Tokenize ONCE: the token arrays feed both the packing branch and
+    # the slice join-back — materialized so the corpus scan +
+    # tokenization never run twice.
+    toks = materialize(
+        docs.select("doc_id", tokens(F.col("text")).alias("__t")),
+        "qx45_toks",
     )
+    coords = pack_coordinates(toks, F.size(F.col("__t")), budget=256)
     slices = emit_packed_sequences(coords, 256)
     sliced = slices.join(toks, "doc_id").select(
         "seq_id",

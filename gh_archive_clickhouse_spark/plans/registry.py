@@ -95,10 +95,6 @@ _R3_REFRESH = (
 )
 
 
-def _named(queries: list[Query], names: tuple[str, ...]) -> list[Query]:
-    return [q for q in queries if q.name in names]
-
-
 _BY_NAME: dict[str, Query] = {
     q.name: q
     for mod in (

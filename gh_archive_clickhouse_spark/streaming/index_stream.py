@@ -67,8 +67,13 @@ def incremental_ivfpq_sink(
     fold once the committed window exceeds ``keep_epochs``.
     """
 
-    head = cents.head(1)
-    if not head or not head[0][0]:
+    # ``cents`` must be _prep_cents' ONE-ROW shape (an __cents array
+    # column), not a raw centroid table — validate by array size so a
+    # first centroid id of 0 can't be mistaken for emptiness, and an
+    # un-prepped frame fails here on the missing column rather than
+    # deep inside the per-batch fold.
+    head = cents.select(F.size("__cents").alias("__n")).head(1)
+    if not head or head[0][0] <= 0:
         raise ValueError(
             "centroid table is empty — nothing to index by (same guard "
             "as build_ivfpq_index: an empty fold would silently park "

@@ -470,3 +470,43 @@ def test_perceptual_ahash_known_image(spark):
     # mean of 0..63 is 31.5 -> bits 0..31 are '0', 32..63 are '1'
     assert rows[1] == "0" * 32 + "1" * 32
     assert rows[1] == rows[2]
+
+
+def test_emit_budget_mismatch_never_descends(spark):
+    """Coordinates packed at one budget, emitted at another: the
+    spanned-sequence range is derived from tokens_before (never from
+    coords.seq_id), so the explode can never descend into
+    negative-length slices — every emitted slice is positive and
+    consistent with the EMISSION budget."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        emit_packed_sequences,
+    )
+
+    docs = _docs(spark, [(i, " ".join(["t"] * 10)) for i in range(40)])
+    n_tok = F.size(F.array_remove(F.split(F.col("text"), " "), ""))
+    coords = pack_coordinates(docs, n_tok, budget=128)
+    rows = emit_packed_sequences(coords, 256).collect()
+    assert rows
+    for r in rows:
+        assert r.slice_len > 0 and r.seq_pos >= 0 and r.slice_start >= 0
+        assert r.seq_id == (
+            # the slice's sequence follows the emission budget
+            ({i: i for i in range(40)}[r.doc_id] * 10 + r.slice_start)
+            // 256
+        )
+
+
+def test_densify_validate_distinct(spark):
+    from gh_archive_clickhouse_spark.operators.packing import (
+        densify_order,
+    )
+
+    dup = spark.createDataFrame([(1,), (2,), (2,)], "k long")
+    with pytest.raises(ValueError, match="distinct"):
+        densify_order(dup, "k", validate_distinct=True)
+    ok = densify_order(
+        spark.createDataFrame([(5,), (3,)], "k long"),
+        "k",
+        validate_distinct=True,
+    ).collect()
+    assert sorted((r.k, r.dense_id) for r in ok) == [(3, 0), (5, 1)]
