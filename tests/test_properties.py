@@ -472,3 +472,83 @@ def test_incremental_mv_any_batching_equals_batch(spark, tmp_path_factory, assig
         n, mn, mx = expect.get(key, (0, eid, eid))
         expect[key] = (n + 1, min(mn, eid), max(mx, eid))
     assert got == expect
+
+
+# ------------------------------------------ packing / emission / densify
+
+_corpora = st.lists(
+    st.integers(0, 40),  # token counts per doc, zero included
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(n_toks=_corpora, budget=st.integers(1, 17))
+@_SET
+def test_pack_and_emit_tile_property(spark, n_toks, budget):
+    """Arbitrary corpora x arbitrary budgets: pack_coordinates must
+    reproduce the sequential layout exactly, and emit_packed_sequences
+    must tile both every document and every sequence with gapless
+    positive slices."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        emit_packed_sequences,
+        pack_coordinates,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(n_toks)), "doc_id long, nt long"
+    )
+    coords = pack_coordinates(
+        df, F.col("nt"), budget=budget, group_size=3
+    ).localCheckpoint(eager=True)
+    got = {r.doc_id: r for r in coords.collect()}
+    run = 0
+    for i, n in enumerate(n_toks):
+        r = got[i]
+        assert (r.tokens_before, r.n_tokens) == (run, n)
+        assert r.seq_id == run // budget and r.seq_offset == run % budget
+        run += n
+    slices = emit_packed_sequences(coords, budget).collect()
+    per_doc: dict = {}
+    per_seq: dict = {}
+    for r in slices:
+        assert r.slice_len > 0 and r.seq_pos >= 0
+        per_doc.setdefault(r.doc_id, []).append((r.slice_start, r.slice_len))
+        per_seq.setdefault(r.seq_id, []).append((r.seq_pos, r.slice_len))
+    assert set(per_doc) == {i for i, n in enumerate(n_toks) if n > 0}
+    for i, parts in per_doc.items():
+        parts.sort()
+        pos = 0
+        for start, ln in parts:
+            assert start == pos
+            pos += ln
+        assert pos == n_toks[i]
+    total = sum(n_toks)
+    n_seq = -(-total // budget) if total else 0
+    assert set(per_seq) == set(range(n_seq))
+    for s, parts in per_seq.items():
+        parts.sort()
+        pos = 0
+        for start, ln in parts:
+            assert start == pos
+            pos += ln
+        assert pos == (budget if s < n_seq - 1 else total - (n_seq - 1) * budget)
+
+
+@given(
+    keys=st.lists(
+        st.integers(-(2**40), 2**40), min_size=1, max_size=30, unique=True
+    )
+)
+@_SET
+def test_densify_rank_property(spark, keys):
+    """Any distinct key set (negative, sparse, adjacent): dense ids
+    are exactly the argsort positions 0..n-1."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        densify_order,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.dense_id for r in densify_order(df, "k").collect()}
+    want = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == want
