@@ -816,6 +816,73 @@ def containment_pairs(
     )
 
 
+def long_gram_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 20,
+    max_df: int = 50,
+    min_shared: int = 1,
+) -> DataFrame:
+    """ExactSubstr-style VERBATIM-SPAN detector: pairs of documents
+    sharing at least ``min_shared`` sliding ``gram``-token windows.
+
+    A copied span of L >= gram tokens contributes L - gram + 1 shared
+    windows NO MATTER where it sits — this is what the fixed-boundary
+    passage profile (``passage_dup_stats``) structurally misses (a
+    span straddling a chunk boundary matches no chunk) and what
+    3-shingle containment can only infer statistically. With gram=20,
+    a shared window is ~20 tokens of verbatim text: essentially zero
+    false-positive rate on natural language, the regime of the
+    "deduplicate training data" exact-substring pass.
+
+    Physical shape == containment_pairs: codegen sliding-window hash
+    explode, distinct-after-hash, stop-gram df cap (> ``max_df``
+    dropped — same hot-key defusal), materialized inverted index,
+    self-equi-join + pair-count aggregate. Candidate volume bounded by
+    max_df x kept windows — linear in the corpus.
+
+    Output: (doc_a, doc_b, shared_grams) with doc_a < doc_b; an
+    upper-bound span estimate is shared_grams + gram - 1 tokens when
+    the overlap is one contiguous run.
+    """
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
+    inv = (
+        _shingle_hash_rows(df, text_col, id_col, gram, "word")
+        .filter(F.col("__x").isNotNull())
+        .select(F.col(id_col), F.col("__x").alias("__gh"))
+        .distinct()
+    )
+    kept = materialize(
+        inv.join(
+            inv.groupBy("__gh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__gh"),
+            "__gh",
+        ),
+        "longgram_kept_index",
+    )
+    left = kept.alias("l")
+    right = kept.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.__gh") == F.col("r.__gh"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .filter(F.col("shared_grams") >= min_shared)
+    )
+
+
 def shingle_jaccard(a_col: str = "sha_", b_col: str = "shb_") -> Column:
     """Exact Jaccard of two distinct-shingle array columns, 6-dp
     rounded, 0.0 on an empty union — THE verification formula every

@@ -1423,6 +1423,78 @@ FROM h
 """
 
 
+def qx50_long_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style verbatim-span dedup over sliding 20-token
+    grams (operators/dedup.long_gram_overlap_pairs) — the pass that
+    catches long copied spans NO MATTER where they sit, which
+    fixed-boundary passage chunks (qx36) structurally miss and
+    3-shingle containment (qx37) can only infer statistically.
+
+    The fixture has no natural verbatim 20-token overlaps, so the
+    query PLANTS them (the qm6/qm7 pattern: a generator with a
+    closed-form oracle): every doc_id % 7 == 0 with >= 32 tokens
+    spawns a copy doc (id + 1,000,000) whose text is a unique filler
+    prefix + the original's first 32 tokens. A 32-token copied span
+    with gram=20 yields exactly 13 shared windows, and the operator
+    must recover exactly those pairs — any window arithmetic,
+    hashing, or df-cap divergence breaks the hash match."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        long_gram_overlap_pairs,
+    )
+
+    docs = read(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokens(F.col("text"))
+    did = F.col("doc_id").cast("string")
+    copies = docs.filter(
+        (F.col("doc_id") % 7 == 0) & (F.size(t) >= 32)
+    ).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("cpa"), did),
+            F.concat(F.lit("cpb"), did),
+            F.concat(F.lit("cpc"), did),
+            F.concat_ws(" ", F.slice(t, 1, 32)),
+        ).alias("text"),
+    )
+    return long_gram_overlap_pairs(
+        docs.unionByName(copies), gram=20, max_df=50
+    )
+
+
+_ORACLE_QX50 = f"""
+WITH toks0 AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col="text")} AS t FROM documents
+), copies AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         'cpa' || CAST(doc_id AS VARCHAR) ||
+         ' cpb' || CAST(doc_id AS VARCHAR) ||
+         ' cpc' || CAST(doc_id AS VARCHAR) || ' ' ||
+         array_to_string(t[1:32], ' ') AS text
+  FROM toks0 WHERE doc_id % 7 = 0 AND len(t) >= 32
+), corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id, text FROM copies
+), ct AS (
+  SELECT doc_id, {_SQL_TOKENS.format(col="text")} AS t FROM corpus
+), sh AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 19),
+           i -> array_to_string(t[i:i+19], ' '))) AS s
+  FROM ct WHERE len(t) >= 20
+), inv AS (
+  SELECT DISTINCT doc_id, {_sql_word_hash31('s')} AS hh FROM sh
+), kept AS (
+  SELECT i.doc_id, i.hh FROM inv i
+  JOIN (SELECT hh FROM inv GROUP BY hh HAVING count(*) <= 50) d USING (hh)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared_grams
+FROM kept a JOIN kept b ON a.hh = b.hh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 1
+"""
+
+
 def qx46_densified_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing over SPARSE order keys — the degradation case
     pack_coordinates' contract documents: keys spaced ~10^6 apart put
@@ -2397,6 +2469,14 @@ QUERIES = [
         qx49_corpus_split,
         _ORACLE_QX49,
         tags=("ext",),
+    ),
+    Query(
+        "qx50_long_gram_overlap",
+        "ExactSubstr-style verbatim-span pairs over sliding 20-token "
+        "grams (planted span copies, df-capped inverted index)",
+        qx50_long_gram_overlap,
+        _ORACLE_QX50,
+        tags=("ext", "dedup"),
     ),
     Query(
         "qx34_pq_encode",

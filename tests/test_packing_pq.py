@@ -510,3 +510,47 @@ def test_densify_validate_distinct(spark):
         validate_distinct=True,
     ).collect()
     assert sorted((r.k, r.dense_id) for r in ok) == [(3, 0), (5, 1)]
+
+
+def test_long_gram_catches_boundary_straddling_span(spark):
+    """The motivating case for the sliding-gram pass: a 25-token span
+    copied at an offset that straddles the 16-token chunk boundary —
+    passage_dup_stats (fixed chunks) sees ZERO duplicate chunks, the
+    sliding 20-gram detector finds the pair with exactly
+    25-20+1 = 6 shared windows."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        long_gram_overlap_pairs,
+    )
+
+    span = " ".join(f"s{i}" for i in range(25))
+    # doc 1: span at offset 0; doc 2: span at offset 8 -> chunks of
+    # doc 2 slice the span at tokens 8 and 24, matching none of doc
+    # 1's chunks (offsets 0/16)
+    docs = _docs(
+        spark,
+        [
+            (1, span + " " + " ".join(f"a{i}" for i in range(10))),
+            (2, " ".join(f"b{i}" for i in range(8)) + " " + span),
+        ],
+    )
+    rows = passage_dup_stats(docs).collect()
+    assert all(r.n_dup_chunks == 0 for r in rows)  # chunk pass blind
+    pairs = long_gram_overlap_pairs(docs, gram=20).collect()
+    assert len(pairs) == 1
+    assert (pairs[0].doc_a, pairs[0].doc_b, pairs[0].shared_grams) == (
+        1, 2, 6,
+    )
+
+
+def test_long_gram_df_cap_defuses_hot_window(spark):
+    """A boilerplate 20-token window shared by > max_df docs creates
+    no pairs (stop-gram guard, same policy as containment's)."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        long_gram_overlap_pairs,
+    )
+
+    boiler = " ".join(f"w{i}" for i in range(20))
+    docs = _docs(spark, [(i, f"u{i} {boiler}") for i in range(12)])
+    assert long_gram_overlap_pairs(docs, gram=20, max_df=10).collect() == []
+    quad = long_gram_overlap_pairs(docs, gram=20, max_df=20).collect()
+    assert len(quad) == 12 * 11 / 2
