@@ -33,6 +33,15 @@ from gh_archive_clickhouse_spark.functions.hashing import (
 from gh_archive_clickhouse_spark.functions.text import tokens, word_shingles
 from gh_archive_clickhouse_spark.operators._util import ensure_parallelism
 
+import itertools
+
+# Per-call uniquifier for materialized scratch indexes: two operator
+# calls composed lazily in one pipeline must never overwrite each
+# other's table under SPARK_GRAFT_MATERIALIZE_DIR. The dir is
+# job-scoped scratch (checkpoint-dir lifecycle — clean it per job);
+# callers wanting a REUSABLE persisted index pass a stable ``name``.
+_INDEX_SEQ = itertools.count()
+
 
 def latest_by_key(
     df: DataFrame, keys: list[str], order: list[Column]
@@ -723,6 +732,7 @@ def containment_pairs(
     shingle_k: int = 3,
     max_df: int = 50,
     threshold: float = 0.6,
+    name: str | None = None,
 ) -> DataFrame:
     """Containment near-dup pairs: |A∩B| / min(|A|,|B|) over word
     k-shingle sets — the ASYMMETRIC overlap measure that catches
@@ -770,7 +780,7 @@ def containment_pairs(
             .select("__sh31"),
             "__sh31",
         ),
-        "containment_kept_index",
+        name or f"containment_kept_index_{next(_INDEX_SEQ)}",
     )
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     left = kept.alias("l")
@@ -823,6 +833,7 @@ def long_gram_overlap_pairs(
     gram: int = 20,
     max_df: int = 50,
     min_shared: int = 1,
+    name: str | None = None,
 ) -> DataFrame:
     """ExactSubstr-style VERBATIM-SPAN detector: pairs of documents
     sharing at least ``min_shared`` sliding ``gram``-token windows.
@@ -862,7 +873,7 @@ def long_gram_overlap_pairs(
             .select("__gh"),
             "__gh",
         ),
-        "longgram_kept_index",
+        name or f"longgram_kept_index_{next(_INDEX_SEQ)}",
     )
     left = kept.alias("l")
     right = kept.alias("r")

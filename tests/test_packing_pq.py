@@ -489,11 +489,9 @@ def test_emit_budget_mismatch_never_descends(spark):
     assert rows
     for r in rows:
         assert r.slice_len > 0 and r.seq_pos >= 0 and r.slice_start >= 0
-        assert r.seq_id == (
-            # the slice's sequence follows the emission budget
-            ({i: i for i in range(40)}[r.doc_id] * 10 + r.slice_start)
-            // 256
-        )
+        # the slice's sequence follows the EMISSION budget (each doc
+        # holds 10 tokens, so its global offset is doc_id * 10)
+        assert r.seq_id == (r.doc_id * 10 + r.slice_start) // 256
 
 
 def test_densify_validate_distinct(spark):
@@ -554,3 +552,22 @@ def test_long_gram_df_cap_defuses_hot_window(spark):
     assert long_gram_overlap_pairs(docs, gram=20, max_df=10).collect() == []
     quad = long_gram_overlap_pairs(docs, gram=20, max_df=20).collect()
     assert len(quad) == 12 * 11 / 2
+
+
+def test_long_gram_two_lazy_calls_no_clobber(spark, tmp_path, monkeypatch):
+    """Two lazily-composed operator calls under
+    SPARK_GRAFT_MATERIALIZE_DIR must not overwrite each other's scratch
+    index (per-call-unique names): collecting BOTH only after both are
+    built must still honor each call's own df cap."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        long_gram_overlap_pairs,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_DIR", str(tmp_path))
+    boiler = " ".join(f"w{i}" for i in range(20))
+    docs = _docs(spark, [(i, f"u{i} {boiler}") for i in range(12)])
+    capped = long_gram_overlap_pairs(docs, gram=20, max_df=10)
+    uncapped = long_gram_overlap_pairs(docs, gram=20, max_df=20)
+    # consume only AFTER both pipelines were constructed+materialized
+    assert len(uncapped.collect()) == 12 * 11 / 2
+    assert capped.collect() == []
