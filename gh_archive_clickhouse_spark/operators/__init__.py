@@ -10,18 +10,35 @@ from gh_archive_clickhouse_spark.operators.asof import (
     range_join_count,
 )
 from gh_archive_clickhouse_spark.operators.dedup import (
+    connected_components,
+    containment_pairs,
     dedup_exact_text,
     latest_by_key,
     latest_by_key_agg,
+    long_gram_overlap_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    passage_dup_stats,
     simhash,
+)
+from gh_archive_clickhouse_spark.operators.packing import (
+    densify_order,
+    emit_packed_sequences,
+    pack_coordinates,
+    sequence_fill_stats,
 )
 from gh_archive_clickhouse_spark.operators.sessionize import sessionize
 from gh_archive_clickhouse_spark.operators.similarity import (
+    build_ivfpq_index,
     cosine_topk,
     ivf_assign,
+    kmeans_fit,
     near_duplicate_pairs,
+    pq_adc_topk,
+    pq_codebook,
+    pq_encode,
+    probe_ivfpq_index,
+    quantize_int8,
 )
 from gh_archive_clickhouse_spark.operators.topk import top_k_per_group
 from gh_archive_clickhouse_spark.operators.ttl import expire_older_than
@@ -29,16 +46,31 @@ from gh_archive_clickhouse_spark.operators.ttl import expire_older_than
 __all__ = [
     "asof_join",
     "range_join_count",
+    "connected_components",
+    "containment_pairs",
     "dedup_exact_text",
     "latest_by_key",
     "latest_by_key_agg",
+    "long_gram_overlap_pairs",
     "lsh_candidate_pairs",
     "minhash_signatures",
+    "passage_dup_stats",
     "simhash",
+    "densify_order",
+    "emit_packed_sequences",
+    "pack_coordinates",
+    "sequence_fill_stats",
     "sessionize",
+    "build_ivfpq_index",
     "cosine_topk",
     "ivf_assign",
+    "kmeans_fit",
     "near_duplicate_pairs",
+    "pq_adc_topk",
+    "pq_codebook",
+    "pq_encode",
+    "probe_ivfpq_index",
+    "quantize_int8",
     "top_k_per_group",
     "expire_older_than",
 ]
