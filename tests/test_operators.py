@@ -726,3 +726,28 @@ def test_ivfpq_sink_rejects_empty_centroids(spark, tmp_path):
         incremental_ivfpq_sink(
             str(tmp_path / "idx"), pq_codebook(emb), empty
         )
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "qx46_densified_packing",
+        "qx47_ivf_blocked_neardup",
+        "qx45_packed_sequences",
+    ],
+)
+def test_round5_queries_durable_materialize_path(
+    spark, tmp_path, monkeypatch, qname
+):
+    """The round-5 queries that materialize intermediate frames return
+    identical results on the cluster-durable path (written parquet
+    index tables under SPARK_GRAFT_MATERIALIZE_DIR) as on the default
+    localCheckpoint path."""
+    from gh_archive_clickhouse_spark.plans.registry import QUERIES
+    from tests.conftest import SF_DIR
+
+    base = QUERIES[qname].builder(spark, SF_DIR).collect()
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_DIR", str(tmp_path))
+    durable = QUERIES[qname].builder(spark, SF_DIR).collect()
+    assert sorted(map(tuple, durable)) == sorted(map(tuple, base))
+    assert any(tmp_path.iterdir()), "no index table was written"
