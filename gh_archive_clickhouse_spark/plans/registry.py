@@ -47,6 +47,7 @@ _NEW_R5 = (
     "qx48_embedding_decontamination",
     "qx49_corpus_split",
     "qx50_long_gram_overlap",
+    "qs11_stream_quality_gate",
 )
 # Round-1 rows, three driver rounds stale — the oldest official signal
 # in the repo; every one of these must land in the round-5 window.
@@ -91,7 +92,6 @@ _R3_REFRESH = (
     "qm4_resize_plumbing",
     "qs1_stream_hourly_counts",
     "qs2_stream_session_windows",
-    "qs3_stream_running_totals",
 )
 
 

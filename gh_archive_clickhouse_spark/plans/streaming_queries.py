@@ -28,11 +28,18 @@ from gh_archive_clickhouse_spark.plans.common import Query, read, ts_fmt
 from gh_archive_clickhouse_spark.plans.ext_queries import (
     ORACLE_LSH_CANDIDATES as _ORACLE_QS4,
     _ORACLE_QX40 as _ORACLE_QS10,
+    _ORACLE_QX5,
 )
 from gh_archive_clickhouse_spark.streaming.analytics import (
     hourly_type_counts,
     running_user_totals,
     session_aggregates,
+)
+
+# The stream's curated table must equal the batch quality filter.
+_ORACLE_QS11 = (
+    f"SELECT doc_id, quality FROM ({_ORACLE_QX5}) q "
+    "WHERE quality >= 0.75"
 )
 
 _SEQ = itertools.count()
@@ -542,6 +549,78 @@ def qs10_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def qs11_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-GATED streaming ingest: the curation filter applied at
+    ingest time rather than in a later batch sweep — each micro-batch
+    of arriving documents runs the (stateless, codegen) quality-score
+    kernel and only docs at/above the bar land in the curated table,
+    written as replay-idempotent epoch partitions (dynamic overwrite;
+    a replayed batch rewrites its own epoch). The read-back must equal
+    the BATCH quality filter over the same corpus — which is exactly
+    what the oracle (qx5's score SQL + the threshold) asserts. The
+    per-batch work is a pure map stage: at firehose scale this is the
+    cheapest possible gate placement, dropping rejects before they are
+    ever stored."""
+    import shutil
+    import tempfile
+
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="qs11_")
+    out = f"{base}/curated"
+
+    def _gate(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            quality_score(batch_df)
+            .filter(F.col("quality") >= 0.75)
+            .select("doc_id", "quality")
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(out)
+        )
+
+    try:
+        src = f"{base}/docs"
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(_gate)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .start()
+            )
+            q.awaitTermination()
+        # Explicit schema (a fully-rejected corpus leaves no data
+        # files); dropDuplicates tolerates at-least-once replays;
+        # eager checkpoint pins the frame before scratch cleanup.
+        return (
+            spark.read.schema("doc_id long, quality double, epoch int")
+            .parquet(out)
+            .select("doc_id", "quality")
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _ORACLE_QS9 = """
 WITH cohorts AS (
   SELECT user_id, min(ts) AS signup_ts FROM events
@@ -642,6 +721,14 @@ QUERIES = [
         qs10_incremental_ivfpq,
         _ORACLE_QS10,
         tags=("streaming", "similarity"),
+    ),
+    Query(
+        "qs11_stream_quality_gate",
+        "quality-gated streaming ingest: per-batch map-only score + "
+        "filter into replay-idempotent epoch partitions",
+        qs11_stream_quality_gate,
+        _ORACLE_QS11,
+        tags=("streaming", "quality"),
     ),
     Query(
         "qs5_stream_sliding_rates",
