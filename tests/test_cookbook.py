@@ -1,0 +1,64 @@
+"""The README cookbook, executed: the end-to-end training-corpus
+composition over public operators must keep running exactly as
+documented (doc-rot guard). Mirrors README.md's 'Cookbook' section."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gh_archive_clickhouse_spark.functions.text import tokens
+from gh_archive_clickhouse_spark.operators import (
+    densify_order,
+    emit_packed_sequences,
+    long_gram_overlap_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    pack_coordinates,
+)
+from gh_archive_clickhouse_spark.operators.dedup import dedup_survivors
+from gh_archive_clickhouse_spark.operators.text_analysis import quality_score
+from tests.conftest import SF_DIR
+
+
+def test_readme_cookbook_composition(spark):
+    from gh_archive_clickhouse_spark.plans.common import read
+
+    docs = read(spark, SF_DIR, "documents").select("doc_id", "text")
+    n0 = docs.count()
+
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    docs = dedup_survivors(docs, pairs)
+    span_pairs = long_gram_overlap_pairs(docs, gram=20)
+    docs = dedup_survivors(docs, span_pairs)
+
+    keep = quality_score(docs).filter(F.col("quality") >= 0.75)
+    docs = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
+    n_curated = docs.count()
+    assert 0 < n_curated < n0  # both gates really cut something
+
+    split = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("split-v1")
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    train = docs.filter(split < 98)
+    dense = densify_order(train, "doc_id")
+    coords = pack_coordinates(
+        dense,
+        F.size(tokens(F.col("text"))),
+        budget=4096,
+        order_col="dense_id",
+    )
+    layout = emit_packed_sequences(coords, 4096, order_col="dense_id")
+    total = coords.agg(F.sum("n_tokens")).first()[0]
+    # the layout covers the whole train token stream
+    assert layout.agg(F.sum("slice_len")).first()[0] == total
