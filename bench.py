@@ -106,18 +106,39 @@ def main() -> None:
         ),
         3,
     )
-    line = json.dumps(
-        {
-            "metric": "total_query_wall_sec",
-            "value": total,
-            "unit": "sec",
-            "batch_total": round(total - stream_total, 3),
-            "stream_total": stream_total,
-            "queries": short,
-            "sf": sf,
-        },
-        separators=(",", ":"),
-    )
+    def _render(qmap: dict[str, float]) -> str:
+        return json.dumps(
+            {
+                "metric": "total_query_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "batch_total": round(total - stream_total, 3),
+                "stream_total": stream_total,
+                "queries": qmap,
+                "sf": sf,
+            },
+            separators=(",", ":"),
+        )
+
+    line = _render(short)
+    # Keep the one-line JSON inside the driver's 2000-char stdout
+    # snapshot as the registry grows: first shave timing precision to
+    # 2 dp, then keep only the slowest queries (totals above are
+    # computed from the FULL set either way) with an explicit count of
+    # what was dropped — never silently truncate mid-JSON.
+    if len(line) > 1900:
+        line = _render({k: round(v, 2) for k, v in short.items()})
+    n_keep = len(short)
+    while len(line) > 1900 and n_keep > 10:
+        n_keep -= 10
+        slowest = {
+            k: round(v, 2)
+            for k, v in sorted(short.items(), key=lambda kv: -kv[1])[
+                :n_keep
+            ]
+        }
+        slowest["queries_omitted"] = len(short) - n_keep
+        line = _render(slowest)
     print(line)
 
 
