@@ -106,19 +106,20 @@ def main() -> None:
         ),
         3,
     )
-    def _render(qmap: dict[str, float]) -> str:
-        return json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "batch_total": round(total - stream_total, 3),
-                "stream_total": stream_total,
-                "queries": qmap,
-                "sf": sf,
-            },
-            separators=(",", ":"),
-        )
+    def _render(qmap: dict[str, float], omitted: int = 0) -> str:
+        payload = {
+            "metric": "total_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "batch_total": round(total - stream_total, 3),
+            "stream_total": stream_total,
+            "queries": qmap,
+            "sf": sf,
+        }
+        if omitted:
+            # sibling field, NOT a fake entry inside the timing map
+            payload["queries_omitted"] = omitted
+        return json.dumps(payload, separators=(",", ":"))
 
     line = _render(short)
     # Keep the one-line JSON inside the driver's 2000-char stdout
@@ -130,15 +131,14 @@ def main() -> None:
         line = _render({k: round(v, 2) for k, v in short.items()})
     n_keep = len(short)
     while len(line) > 1900 and n_keep > 10:
-        n_keep -= 10
+        n_keep = max(10, n_keep - 10)
         slowest = {
             k: round(v, 2)
             for k, v in sorted(short.items(), key=lambda kv: -kv[1])[
                 :n_keep
             ]
         }
-        slowest["queries_omitted"] = len(short) - n_keep
-        line = _render(slowest)
+        line = _render(slowest, omitted=len(short) - n_keep)
     print(line)
 
 

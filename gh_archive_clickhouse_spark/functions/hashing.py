@@ -48,3 +48,25 @@ def minhash_param_hash(word_hash: Column, i: Column) -> Column:
     a = (F.lit(2) * i + F.lit(1)).cast("long")
     b = (F.lit(12345) * i + F.lit(17)).cast("long")
     return (a * word_hash + b) % F.lit(MERSENNE31)
+
+
+def split_bucket(
+    col: Column | str, salt: str = "split-v1", n_buckets: int = 100
+) -> Column:
+    """Deterministic salted-hash split bucket in [0, n_buckets):
+    ``md5(id || salt)`` hex-prefix as an integer, mod n_buckets — the
+    coordination-free, partitioning-invariant corpus-split primitive
+    (qx49; re-splitting with a new salt is a one-token change HERE and
+    nowhere else). SQL mirror:
+    ``('0x' || substr(md5(CAST(id AS VARCHAR) || '<salt>'), 1, 8))
+    ::BIGINT % n``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8
+            ),
+            16, 10,
+        ).cast("long"),
+        F.lit(n_buckets),
+    )

@@ -1385,19 +1385,15 @@ def qx49_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shape that survives a distributed pipeline: it needs no
     global coordination, re-runs identically on any partitioning, and
     new documents join their split without reshuffling old ones.
-    Map-only, zero shuffle. Output: (doc_id, bucket, split)."""
-    docs = read(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"),
-                               F.lit("split-v1"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long"),
-        F.lit(100),
+    Map-only, zero shuffle. Output: (doc_id, bucket, split). The
+    bucket formula lives in ONE place (functions/hashing.split_bucket)
+    shared with the README cookbook and its doc-rot test."""
+    from gh_archive_clickhouse_spark.functions.hashing import (
+        split_bucket,
     )
+
+    docs = read(spark, sf_dir, "documents")
+    bucket = split_bucket("doc_id")
     return docs.select(
         "doc_id",
         bucket.alias("bucket"),

@@ -208,7 +208,7 @@ def qs4_stream_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
             "append"
         ).parquet(src)
         schema = spark.read.parquet(src).schema
@@ -329,7 +329,7 @@ def qs7_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        ev.filter(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
             "append"
         ).parquet(src)
         schema = spark.read.parquet(src).schema
@@ -507,7 +507,7 @@ def qs10_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-        emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.mode(
+        emb.filter(F.col("vec_id") % 2 != 0).coalesce(1).write.mode(
             "append"
         ).parquet(src)
         schema = spark.read.parquet(src).schema
@@ -590,7 +590,7 @@ def qs11_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
             "append"
         ).parquet(src)
         schema = spark.read.parquet(src).schema

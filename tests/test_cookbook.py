@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from gh_archive_clickhouse_spark.functions.hashing import split_bucket
 from gh_archive_clickhouse_spark.functions.text import tokens
 from gh_archive_clickhouse_spark.operators import (
     densify_order,
@@ -23,11 +24,13 @@ from tests.conftest import SF_DIR
 def test_readme_cookbook_composition(spark):
     from gh_archive_clickhouse_spark.plans.common import read
 
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
     docs = read(spark, SF_DIR, "documents").select("doc_id", "text")
     n0 = docs.count()
 
-    pairs = lsh_candidate_pairs(minhash_signatures(docs))
-    docs = dedup_survivors(docs, pairs)
+    sigs = materialize(minhash_signatures(docs), "cookbook_sigs")
+    docs = dedup_survivors(docs, lsh_candidate_pairs(sigs))
     span_pairs = long_gram_overlap_pairs(docs, gram=20)
     docs = dedup_survivors(docs, span_pairs)
 
@@ -36,21 +39,7 @@ def test_readme_cookbook_composition(spark):
     n_curated = docs.count()
     assert 0 < n_curated < n0  # both gates really cut something
 
-    split = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("doc_id").cast("string"), F.lit("split-v1")
-                    )
-                ),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long"),
-        F.lit(100),
-    )
-    train = docs.filter(split < 98)
+    train = docs.filter(split_bucket("doc_id") < 98)
     dense = densify_order(train, "doc_id")
     coords = pack_coordinates(
         dense,
