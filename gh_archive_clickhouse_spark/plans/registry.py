@@ -27,71 +27,81 @@ from gh_archive_clickhouse_spark.plans.common import Query
 # the recorded CORRECTNESS_r*.json rounds and fails if any query would
 # exceed the staleness budget.
 
-# Code changed in round 5 (existing green rows invalidated):
-_CHANGED_R5 = (
-    "qt32_cheapest_supplier",   # zero-quantity division guard
-    "qx33_sequence_packing",    # pack_coordinates broadcast removal
-    "qx35_pq_adc_topk",         # single-query limit(1) contract
-    "qx40_ivfpq_search",        # inherits pq_adc_topk change
-    "qm7_image_dedup_ahash",    # perceptual_ahash id_col schema
-    "qx32_semantic_dedup",      # near_duplicate_pairs block cap
-    "qx10_embedding_neardup",   # near_duplicate_pairs block cap
+# NOTE (driver-artifact coupling): the _HEAD below is built for the
+# round AFTER the newest committed CORRECTNESS_r*.json. Landing a new
+# driver results file therefore REQUIRES rotating this head in the
+# SAME commit, or tests/test_registry_rotation.py goes red — that
+# coupling is deliberate (the red test prints the exact list to
+# rotate in).
+
+# Code changed in round 6 (existing green rows invalidated):
+_CHANGED_R6 = (
+    "qs4_stream_incremental_lsh",  # size-tiered epoch fold, parallel fold write
+    "qs10_incremental_ivfpq",      # parallel per-batch append + fold change
+    "qx35_pq_adc_topk",            # multi-row query frame now raises
+    "qx40_ivfpq_search",           # inherits pq_adc_topk change
 )
-# New in round 5 (never driver-verified):
-_NEW_R5 = (
-    "qm8_real_audio_decode",
-    "qs10_incremental_ivfpq",
-    "qx45_packed_sequences",
-    "qx46_densified_packing",
-    "qx47_ivf_blocked_neardup",
-    "qx48_embedding_decontamination",
-    "qx49_corpus_split",
-    "qx50_long_gram_overlap",
-    "qs11_stream_quality_gate",
+# New in round 6 (never driver-verified): appended as they are built;
+# each addition here displaces the tail _R4_REFRESH entry so the head
+# stays exactly 50.
+_NEW_R6 = ()
+# Round-3 rows, two driver rounds stale — the oldest official signal
+# in the repo; every one of these must land in the round-6 window
+# (the rotation tripwire test enumerates exactly this set).
+_R3_STALE = (
+    "qs3_stream_running_totals",
+    "qs5_stream_sliding_rates",
+    "qt30_waiting_suppliers",
+    "qt31_top_revenue_supplier",
+    "qx1_exact_dedup",
+    "qx2_cosine_topk",
+    "qx3_token_lang_stats",
+    "qx4_language_id",
+    "qx5_quality_score",
+    "qx6_fingerprint",
+    "qx7_simhash",
+    "qx8_minhash_signature",
+    "qx9_lsh_candidates",
+    "qx11_ivf_assign",
+    "qx12_ivf_topk",
+    "qx13_simhash_neardup",
+    "qx14_srp_buckets",
+    "qx15_srp_topk",
+    "qx16_token_quantiles",
+    "qx17_user_event_ranks",
+    "qx18_udtf_bigrams",
+    "qx19_bpe_token_stats",
+    "qx20_chargram_jaccard",
+    "qx21_deterministic_sample",
+    "qx24_embedding_quantize",
+    "qx25_kmeans_ivf_build",
+    "qx27_pii_scrub",
+    "qx28_mixture_weights",
+    "qx29_sketch_rollup",
 )
-# Round-1 rows, three driver rounds stale — the oldest official signal
-# in the repo; every one of these must land in the round-5 window.
-_R1_STALE = (
-    "qt3_semi_join",
-    "qt4_top_orders_per_customer",
-    "qt5_rollup",
-    "qt6_union",
-    "qt6_intersect",
-    "qt6_except",
-    "qt7_approx_distinct",
-    "qt8_scalar_strings",
-    "qt9_scalar_dates",
-    "qt19_forecast_revenue",
-    "qt20_volume_shipping",
-    "qt21_market_share",
-    "qt22_returned_items",
-    "qt23_promo_revenue",
-    "qt24_small_qty_revenue",
-    "qt25_large_volume_customers",
-    "qt26_disjunctive_revenue",
-    "qt27_late_shipment_priority",
-    "qt28_idle_rich_customers",
-    "qt29_array_map_battery",
-)
-# Round-3 rows refreshed with the remaining window slots — exactly
-# filling the 50-entry window together with the three groups above
-# (len asserted below); the rest of the round-3 cohort leads the
-# round-6 rotation.
-_R3_REFRESH = (
-    "qm5_audio_features",
-    "qe1_dedup_latest",
-    "qe2_daily_rollup",
-    "qe3_json_projection",
-    "qe4_hourly_type_series",
-    "qe10_salted_type_totals",
-    "qe11_json_battery",
-    "qe13_funnel",
-    "qm1_multimodal_meta",
-    "qm2_image_features",
-    "qm3_frame_sample",
-    "qm4_resize_plumbing",
-    "qs1_stream_hourly_counts",
-    "qs2_stream_session_windows",
+# Round-4 rows refreshed with the remaining window slots — filling the
+# 50-entry window together with the three groups above (len asserted
+# below); the rest of the round-4 cohort leads the round-7 rotation.
+_R4_REFRESH = (
+    "qe5_ttl_survivors",
+    "qe6_topk_users",
+    "qe7_sessionization",
+    "qe8_asof_click_before_purchase",
+    "qe9_range_join_errors",
+    "qe12_variant_projection",
+    "qe14_cohort_retention",
+    "qe15_hourly_anomaly",
+    "qt1_pricing_summary",
+    "qt2_regional_revenue",
+    "qt10_window_battery",
+    "qt12_shipping_priority",
+    "qx22_tfidf_top_terms",
+    "qx26_dedup_clusters",
+    "qx34_pq_encode",
+    # Swap-out candidates when _NEW_R6 grows (refreshed again in r7
+    # regardless):
+    "qt13_order_count_distribution",
+    "qt16_correlated_scalar",
 )
 
 
@@ -109,7 +119,7 @@ _BY_NAME: dict[str, Query] = {
     for q in mod.QUERIES
 }
 
-_HEAD = _CHANGED_R5 + _NEW_R5 + _R1_STALE + _R3_REFRESH
+_HEAD = _CHANGED_R6 + _NEW_R6 + _R3_STALE + _R4_REFRESH
 
 if len(_HEAD) != 50:  # pragma: no cover - registry sanity
     raise AssertionError(
