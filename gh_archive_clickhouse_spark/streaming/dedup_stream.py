@@ -14,12 +14,18 @@ later of a, b arrives — the union of per-batch pair sets equals
 
 Retention: both tables are epoch-partitioned for replay idempotency,
 and epochs older than the replayable window are periodically FOLDED
-into one consolidated ``epoch=-1`` partition — total file count stays
-O(keep_epochs), not O(stream lifetime). See ``_compact_old_epochs``.
+into one consolidated ``epoch=-1`` partition — directory count stays
+O(keep_epochs), not O(stream lifetime), and the consolidated
+partition is compacted on a SIZE-TIERED schedule so total rewrite
+work over the stream's lifetime is amortized O(N log N), never the
+O(N²) of rewriting the whole corpus every few batches. See
+``_compact_old_epochs``.
 """
 
 from __future__ import annotations
 
+import json
+import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,6 +58,24 @@ def _epoch_dirs(path: str) -> list[tuple[int, Path]]:
     return out
 
 
+FOLD_MANIFEST = "_fold_manifest.json"
+
+
+def _consolidated_file_bytes(
+    cons: Path, major_names: set[str]
+) -> tuple[int, int]:
+    """(bytes written by the last major rewrite, bytes minor-appended
+    since) for the consolidated partition dir."""
+    major_b = minor_b = 0
+    if cons.exists():
+        for f in cons.rglob("*.parquet"):
+            if str(f.relative_to(cons)) in major_names:
+                major_b += f.stat().st_size
+            else:
+                minor_b += f.stat().st_size
+    return major_b, minor_b
+
+
 def _compact_old_epochs(
     spark: SparkSession,
     path: str,
@@ -60,30 +84,60 @@ def _compact_old_epochs(
     dedup_cols: list[str],
     keep_epochs: int = 4,
     partition_cols: list[str] | None = None,
-) -> bool:
+    tier_factor: int = 4,
+    target_file_bytes: int = 128 << 20,
+) -> str:
     """Fold committed epoch partitions into the consolidated
-    ``epoch=-1`` partition so the long-running table's file count is
-    O(keep_epochs), not O(stream lifetime).
+    ``epoch=-1`` partition so the long-running table's directory count
+    is O(keep_epochs), not O(stream lifetime). Returns which fold ran:
+    ``"none"``, ``"minor"``, or ``"major"``.
+
+    Two-tier design (the consolidated partition IS the whole
+    historical corpus for these tables, so rewriting it per fold would
+    be O(N²/keep_epochs) total work — the classic repeated-full-
+    compaction blowup):
+
+    * MINOR fold — every time ≥ ``keep_epochs`` committed epochs have
+      accumulated: their data files are RENAMED into ``epoch=-1``.
+      Because ``partitionBy`` derives the epoch column from the
+      directory name (it is not stored in the files), a rename
+      reassigns the rows to the consolidated partition with zero
+      read/compute/write — O(files) metadata ops per fold, O(N) over
+      the stream's lifetime. Any sub-partition layout (the IVF-PQ
+      index's ``cluster_id=C`` dirs) is preserved by moving files at
+      their partition-relative paths, so probe pruning never degrades.
+    * MAJOR fold — SIZE-TIERED: only when the bytes minor-appended
+      since the last major rewrite reach ``1/tier_factor`` of that
+      rewrite's output (tracked in a hidden ``_fold_manifest.json``)
+      is ``epoch=-1`` actually read, de-duplicated on ``dedup_cols``
+      (collapsing any crash-replay leftovers), and rewritten — IN
+      PARALLEL: repartitioned by the pruning sub-key when
+      ``partition_cols`` has one (one task and one file per cluster),
+      else hash-bucketed on ``dedup_cols`` into
+      ceil(bytes/target_file_bytes) tasks/files. Each byte is
+      rewritten only when the consolidation has grown by a constant
+      factor, so total major-fold work is amortized O(N log N).
+
+    Between major rewrites the consolidated partition accumulates one
+    small file set per minor fold (LSM L0-style); readers just see
+    more files, never more rows.
 
     Safety argument (at-least-once foreachBatch): once epoch E starts,
     epochs < E are committed and will never be replayed, so folding
     them cannot collide with a dynamic-overwrite replay; the CURRENT
-    epoch's partition is never touched. Crash-safety ordering: the
-    consolidated partition is (1) materialized via eager
-    localCheckpoint (so the write below doesn't overwrite files it is
-    still reading), (2) written, and only then (3) the folded epoch
-    dirs are removed — a crash between (2) and (3) leaves duplicate
-    rows, which ``dedup_cols`` de-duplicates on the next fold and
-    every consumer tolerates (pair logs and signature tables are
-    sets).
+    epoch's partition is never touched. Minor folds are per-file
+    renames — a crash mid-loop leaves each file in exactly one place,
+    no duplicates. A crash inside the major fold's partition commit
+    can leave duplicate rows, which ``dedup_cols`` de-duplicates on
+    the next major fold and every consumer tolerates (pair logs and
+    signature tables are sets; the MV reader dedups on src_epoch). A
+    stale/lost manifest only makes the next major fold run early.
 
     Local-filesystem partition surgery; an object-store deployment
-    routes the same fold through a table format's REPLACE/compaction
-    (Delta OPTIMIZE, Iceberg rewrite_data_files) instead of renames.
-    ``partition_cols`` (default ``["epoch"]``) must lead with
-    ``epoch`` — tables that also partition by a pruning key (the
-    IVF-PQ index's cluster_id) keep that sublayout through the fold.
-    Returns True if a fold ran.
+    routes the minor fold through a table format's metadata-only
+    rewrite and the major fold through its compaction (Delta OPTIMIZE,
+    Iceberg rewrite_data_files). ``partition_cols`` (default
+    ``["epoch"]``) must lead with ``epoch``.
     """
     partition_cols = partition_cols or ["epoch"]
     if partition_cols[0] != "epoch":
@@ -96,27 +150,63 @@ def _compact_old_epochs(
         if e not in (current_epoch, COMPACTED_EPOCH)
     ]
     if len(old) < keep_epochs:
-        return False
+        return "none"
+    root = Path(path)
+    cons = root / f"epoch={COMPACTED_EPOCH}"
+    # ---- minor fold: move committed epochs' data files into the
+    # consolidated partition at their partition-relative paths (part
+    # file names embed task/attempt UUIDs, so collisions cannot occur)
+    for _e, d in sorted(old):
+        for f in sorted(p for p in d.rglob("*") if p.is_file()):
+            if f.name.startswith(("_", ".")):
+                continue
+            dest = cons / f.relative_to(d)
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            f.rename(dest)
+        shutil.rmtree(d, ignore_errors=True)
+    # ---- size tier: is a major rewrite due?
+    manifest = root / FOLD_MANIFEST
+    major_names: set[str] = set()
+    if manifest.exists():
+        try:
+            major_names = set(
+                json.loads(manifest.read_text()).get("major_files", [])
+            )
+        except (ValueError, OSError):
+            major_names = set()
+    major_b, minor_b = _consolidated_file_bytes(cons, major_names)
+    if major_b and minor_b * tier_factor < major_b:
+        return "minor"
+    # ---- major fold: read, dedup, rewrite in parallel
     folded = (
         spark.read.schema(schema)
         .parquet(path)
-        .filter(F.col("epoch") != current_epoch)
+        .filter(F.col("epoch") == COMPACTED_EPOCH)
         .dropDuplicates(dedup_cols)
-        .withColumn("epoch", F.lit(COMPACTED_EPOCH))
-        .repartition(1)
-        .localCheckpoint(eager=True)
     )
+    if len(partition_cols) > 1:
+        folded = folded.repartition(*partition_cols[1:])
+    else:
+        n_files = max(1, -(-(major_b + minor_b) // target_file_bytes))
+        folded = folded.repartition(int(n_files), *dedup_cols)
+    folded = folded.localCheckpoint(eager=True)
     (
         folded.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .parquet(path)
     )
-    import shutil
-
-    for _e, d in old:
-        shutil.rmtree(d, ignore_errors=True)
-    return True
+    manifest.write_text(
+        json.dumps(
+            {
+                "major_files": sorted(
+                    str(f.relative_to(cons))
+                    for f in cons.rglob("*.parquet")
+                )
+            }
+        )
+    )
+    return "major"
 
 
 def incremental_lsh_sink(
@@ -137,8 +227,9 @@ def incremental_lsh_sink(
     are untouched. Per-epoch increments are compacted to a few files
     (post-compute repartition), and epochs older than the replayable
     window fold into one consolidated partition per
-    ``_compact_old_epochs`` — the table's total file count is bounded
-    by O(keep_epochs) for the stream's whole lifetime.
+    ``_compact_old_epochs`` — the table's directory count is bounded
+    by O(keep_epochs) for the stream's whole lifetime, and the
+    consolidation is rewritten only on the size-tiered schedule.
     """
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:

@@ -22,9 +22,13 @@ cannot change them.
 Retention mirrors the LSH signature table (dedup_stream.py): epoch
 partitions are dynamic-overwrite idempotent under foreachBatch replay,
 and epochs older than the replayable window fold into the consolidated
-``epoch=-1`` partition — file count stays O(keep_epochs × clusters)
-for the stream's lifetime, and the per-cluster sublayout survives the
-fold so probe pruning never degrades.
+``epoch=-1`` partition — directory count stays O(keep_epochs ×
+clusters) for the stream's lifetime, the per-cluster sublayout
+survives the fold so probe pruning never degrades, and the
+consolidation itself is rewritten only on the size-tiered schedule
+(minor folds are pure file renames; the major rewrite repartitions by
+``cluster_id``, one task per cluster) so a billion-vector index is
+never funneled through a single task nor rewritten per batch.
 """
 
 from __future__ import annotations
@@ -61,10 +65,14 @@ def incremental_ivfpq_sink(
     ``codebook`` is :func:`pq_codebook`'s one-row frame and ``cents``
     :func:`_prep_cents`'s — both fixed before the stream starts (the
     trained quantizer). Per batch: one map-only projection of the NEW
-    vectors (zero shuffle, zero reads of the existing index), one
-    dynamic-overwrite write of the batch's epoch partition (replay
-    rewrites its own epoch, never appends duplicates), then the epoch
-    fold once the committed window exceeds ``keep_epochs``.
+    vectors (zero reads of the existing index), one repartition by
+    ``cluster_id`` (the write's only shuffle — clusters write in
+    PARALLEL, one task and one file per populated (epoch, cluster)
+    directory, so a backfill-scale batch never serializes through a
+    single writer), one dynamic-overwrite write of the batch's epoch
+    partition (replay rewrites its own epoch, never appends
+    duplicates), then the epoch fold once the committed window
+    exceeds ``keep_epochs``.
     """
 
     # ``cents`` must be _prep_cents' ONE-ROW shape (an __cents array
@@ -91,7 +99,7 @@ def incremental_ivfpq_sink(
         )
         (
             rows.withColumn("epoch", F.lit(int(epoch_id)))
-            .repartition(1)
+            .repartition("cluster_id")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("epoch", "cluster_id")

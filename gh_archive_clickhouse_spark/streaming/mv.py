@@ -21,8 +21,9 @@ partial row carries its ``src_epoch`` as a DATA column: both the
 reader and the next fold first dropDuplicates on (key, src_epoch),
 making duplicates harmless everywhere. Old epochs fold into the
 consolidated partition via the same machinery as the LSH index
-(dedup_stream._compact_old_epochs) — file count stays O(keep_epochs)
-for the stream's lifetime.
+(dedup_stream._compact_old_epochs) — directory count stays
+O(keep_epochs) for the stream's lifetime, with the consolidation
+rewritten only on that machinery's size-tiered schedule.
 """
 
 from __future__ import annotations

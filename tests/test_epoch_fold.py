@@ -1,0 +1,181 @@
+"""Properties of the size-tiered epoch fold (_compact_old_epochs).
+
+The consolidated ``epoch=-1`` partition of a streaming-maintained
+table (LSH signature index, IVF-PQ index, MV partials) is the whole
+historical corpus; the fold must therefore (a) never rewrite it just
+because new epochs arrived — minor folds are pure file renames and
+the major rewrite is gated on a size tier — and (b) when the major
+rewrite does run, write in parallel (one task per cluster / size
+bucket), never ``repartition(1)``.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+    FOLD_MANIFEST,
+    _compact_old_epochs,
+)
+
+SCHEMA = "doc_id long, epoch int"
+CLUSTER_SCHEMA = "vec_id long, epoch int, cluster_id int"
+
+
+def _write_epoch(spark, path, epoch, lo, hi, cluster_mod=None):
+    df = spark.range(lo, hi).select(F.col("id").alias("doc_id"))
+    if cluster_mod is not None:
+        df = df.select(
+            F.col("doc_id").alias("vec_id"),
+            (F.col("doc_id") % cluster_mod).cast("int").alias("cluster_id"),
+        )
+    part_cols = ["epoch"] + (["cluster_id"] if cluster_mod else [])
+    (
+        df.withColumn("epoch", F.lit(epoch))
+        .repartition(2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*part_cols)
+        .parquet(path)
+    )
+
+
+def _cons_files(path):
+    cons = Path(path) / "epoch=-1"
+    return sorted(
+        str(f.relative_to(cons)) for f in cons.rglob("*.parquet")
+    )
+
+
+def test_minor_fold_is_rename_only_and_tier_gates_major(spark, tmp_path):
+    """After a large consolidation exists, small incoming epochs fold
+    as pure renames — the consolidation is NOT rewritten (same file
+    names survive, manifest untouched) and no rows are lost."""
+    path = str(tmp_path / "t")
+    # Bootstrap: 6 fat epochs -> first fold is the bootstrap major.
+    for e in range(6):
+        _write_epoch(spark, path, e, e * 1000, e * 1000 + 1000)
+    kind = _compact_old_epochs(
+        spark, path, SCHEMA, current_epoch=6, dedup_cols=["doc_id"],
+        keep_epochs=2,
+    )
+    assert kind == "major"
+    manifest_before = json.loads(
+        (Path(path) / FOLD_MANIFEST).read_text()
+    )
+    files_before = set(_cons_files(path))
+    assert files_before == set(manifest_before["major_files"])
+
+    # Two small epochs (5 rows each vs 6000 consolidated): the fold
+    # must be minor — renames only, tier not met.
+    _write_epoch(spark, path, 7, 100000, 100005)
+    _write_epoch(spark, path, 8, 200000, 200005)
+    small_files = {
+        f.name
+        for e in (7, 8)
+        for f in (Path(path) / f"epoch={e}").glob("*.parquet")
+    }
+    kind = _compact_old_epochs(
+        spark, path, SCHEMA, current_epoch=9, dedup_cols=["doc_id"],
+        keep_epochs=2,
+    )
+    assert kind == "minor"
+    files_after = set(_cons_files(path))
+    # the major generation's files were NOT rewritten…
+    assert files_before <= files_after
+    # …the small epochs' files were moved in BY NAME (rename, not
+    # recompute)…
+    assert small_files <= {Path(f).name for f in files_after}
+    # …their epoch dirs are gone, and the manifest is untouched.
+    assert not (Path(path) / "epoch=7").exists()
+    assert json.loads(
+        (Path(path) / FOLD_MANIFEST).read_text()
+    ) == manifest_before
+    # no rows lost, all now consolidated
+    got = spark.read.schema(SCHEMA).parquet(path)
+    assert got.count() == 6010
+    assert got.filter(F.col("epoch") == -1).count() == 6010
+
+
+def test_major_fold_fires_once_tier_met_and_dedups(spark, tmp_path):
+    """Minor-appended bytes reaching 1/tier_factor of the major
+    generation trigger the rewrite, which collapses planted
+    crash-duplicate rows."""
+    path = str(tmp_path / "t")
+    for e in range(2):
+        _write_epoch(spark, path, e, 0, 200)
+    assert (
+        _compact_old_epochs(
+            spark, path, SCHEMA, 2, ["doc_id"], keep_epochs=2
+        )
+        == "major"
+    )
+    # duplicate doc_ids 0..199 arrive again (crash-replay shape) in
+    # epochs comparable in size to the consolidation -> tier met.
+    for e in (3, 4):
+        _write_epoch(spark, path, e, 0, 200)
+    kind = _compact_old_epochs(
+        spark, path, SCHEMA, 5, ["doc_id"], keep_epochs=2, tier_factor=4
+    )
+    assert kind == "major"
+    got = spark.read.schema(SCHEMA).parquet(path)
+    assert got.count() == 200  # deduped
+
+
+def test_major_fold_writes_clusters_in_parallel(spark, tmp_path):
+    """With a cluster sublayout the major rewrite repartitions by
+    cluster_id: >1 task (one file per cluster dir), sublayout
+    preserved for probe pruning."""
+    path = str(tmp_path / "t")
+    for e in range(4):
+        _write_epoch(
+            spark, path, e, e * 100, e * 100 + 100, cluster_mod=4
+        )
+    kind = _compact_old_epochs(
+        spark,
+        path,
+        CLUSTER_SCHEMA,
+        4,
+        ["vec_id"],
+        keep_epochs=2,
+        partition_cols=["epoch", "cluster_id"],
+    )
+    assert kind == "major"
+    cons = Path(path) / "epoch=-1"
+    cluster_dirs = sorted(
+        d for d in cons.iterdir() if d.name.startswith("cluster_id=")
+    )
+    assert len(cluster_dirs) == 4
+    # one task per cluster: exactly one data file each, so the 400
+    # rows were written by 4 parallel tasks, not a single funnel
+    for d in cluster_dirs:
+        assert len(list(d.glob("*.parquet"))) == 1
+    got = spark.read.schema(CLUSTER_SCHEMA).parquet(path)
+    assert got.count() == 400
+
+
+def test_major_fold_bucket_count_scales_with_bytes(spark, tmp_path):
+    """Without a sublayout the rewrite hash-buckets on the dedup key
+    into ceil(bytes/target) files — more than one for a consolidation
+    bigger than the target file size."""
+    path = str(tmp_path / "t")
+    for e in range(4):
+        _write_epoch(spark, path, e, e * 2000, e * 2000 + 2000)
+    kind = _compact_old_epochs(
+        spark,
+        path,
+        SCHEMA,
+        4,
+        ["doc_id"],
+        keep_epochs=2,
+        target_file_bytes=4096,
+    )
+    assert kind == "major"
+    files = _cons_files(path)
+    assert len(files) > 1, files
+    got = spark.read.schema(SCHEMA).parquet(path)
+    assert got.count() == 8000
+    assert got.select("doc_id").distinct().count() == 8000
