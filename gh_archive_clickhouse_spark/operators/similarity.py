@@ -166,6 +166,31 @@ def srp_bucket(
 NEARDUP_MAX_BLOCK = 10_000
 
 
+def hot_blocks(
+    emb: DataFrame,
+    block_col: str = "label",
+    max_block_size: int = NEARDUP_MAX_BLOCK,
+) -> DataFrame:
+    """Blocks LARGER than ``max_block_size`` — the ones
+    :func:`near_duplicate_pairs` excludes from pairing.
+
+    Companion detection surface for the cap: callers run this (a tiny
+    aggregate, ≤ n/cap rows) to learn WHICH blocks were skipped and
+    how big they are, then subdivide them with a finer key (IVF
+    sub-cluster via ``ivf_assign`` over the block's members) instead
+    of silently losing their pairs. Returns (block_col, block_size).
+    """
+    if max_block_size <= 0:
+        raise ValueError(
+            f"max_block_size must be positive, got {max_block_size}"
+        )
+    return (
+        emb.groupBy(F.col(block_col))
+        .agg(F.count(F.lit(1)).alias("block_size"))
+        .filter(F.col("block_size") > max_block_size)
+    )
+
+
 def near_duplicate_pairs(
     emb: DataFrame,
     block_col: str = "label",
@@ -192,7 +217,11 @@ def near_duplicate_pairs(
     sub-cluster via ``ivf_assign`` over the block's members) instead of
     pairing inside it. The exclusion list is a tiny aggregate
     (≤ n/cap rows — only blocks ABOVE the cap); ``max_block_size=None``
-    disables the cap (fixture-scale tests only).
+    disables the cap (fixture-scale tests only). The exclusion is
+    SILENT here by design (this operator stays a pure pair stream);
+    callers that need to know which blocks were skipped run
+    :func:`hot_blocks` with the same cap — same tiny aggregate, and
+    the list doubles as the worklist for finer-key subdivision.
 
     The threshold filter is deliberately left where Catalyst pushes it:
     into the broadcast-join condition, so non-dup pairs die inside the
@@ -202,16 +231,7 @@ def near_duplicate_pairs(
     in one task; a well-partitioned cluster input passes through).
     """
     if max_block_size is not None:
-        if max_block_size <= 0:
-            raise ValueError(
-                f"max_block_size must be positive, got {max_block_size}"
-            )
-        hot = (
-            emb.groupBy(F.col(block_col))
-            .agg(F.count(F.lit(1)).alias("__bn"))
-            .filter(F.col("__bn") > max_block_size)
-            .select(block_col)
-        )
+        hot = hot_blocks(emb, block_col, max_block_size).select(block_col)
         emb = emb.join(hot, on=block_col, how="left_anti")
     normed = _with_norm(emb, vec_col, "__v", "__n", dim)
     a = ensure_parallelism(normed).select(
@@ -543,11 +563,20 @@ def pq_adc_topk(
     contract), so ``codes[mm]`` indexes the distance table directly.
 
     SINGLE-QUERY contract: the distance table is built for exactly one
-    query row (``limit(1)`` enforces it — a multi-row query frame
-    would otherwise cross-join several distance tables against the
-    codes and merge their top-k silently). Batched multi-query search
-    is the rank-window shape (qx41), not this scan.
+    query row — a multi-row (or empty) query frame raises ValueError
+    instead of silently picking an arbitrary row, since the caller bug
+    would otherwise yield a plausible-looking answer for an
+    unspecified query vector. Batched multi-query search is the
+    rank-window shape (qx41), not this scan. (The check is a
+    ``take(2)`` on the already-tiny query frame, which is broadcast
+    right after anyway.)
     """
+    if len(query.take(2)) != 1:
+        raise ValueError(
+            "pq_adc_topk is a single-query scan: the query frame must "
+            "have exactly one row (batched multi-query search is "
+            "the qx41 rank-window shape)"
+        )
     sub = dim // m
     dist = _pq_sub_l2("__q", "e.cvec", "mm", sub)
     dtable = (
@@ -555,7 +584,7 @@ def pq_adc_topk(
         f"transform(__cb, e -> {dist}))"
     )
     dt_row = (
-        query.limit(1)
+        query
         .select(F.col(query_vec_col).cast("array<double>").alias("__q"))
         .crossJoin(F.broadcast(codebook))
         .select(F.expr(dtable).alias("__dt"))

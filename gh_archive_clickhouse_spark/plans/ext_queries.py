@@ -29,6 +29,7 @@ from gh_archive_clickhouse_spark.operators.dedup import (
 from gh_archive_clickhouse_spark.operators._util import ensure_parallelism
 from gh_archive_clickhouse_spark.operators.multimodal import attach_binary_payload
 from gh_archive_clickhouse_spark.operators.similarity import (
+    NEARDUP_MAX_BLOCK,
     cosine_topk,
     ivf_assign,
     near_duplicate_pairs,
@@ -625,11 +626,12 @@ ORDER BY cos_sim DESC, vec_id ASC
 LIMIT 10
 """
 
-# Mirrors near_duplicate_pairs' hot-block cap (NEARDUP_MAX_BLOCK):
-# blocks above the cap are excluded from pairing in BOTH engines.
+# Mirrors near_duplicate_pairs' hot-block cap: interpolating
+# NEARDUP_MAX_BLOCK keeps the cap single-sourced, so the oracles can
+# never desynchronize from the operator.
 _SQL_COLD_BLOCKS = (
     "SELECT label FROM embeddings GROUP BY label "
-    "HAVING count(*) <= 10000"
+    f"HAVING count(*) <= {NEARDUP_MAX_BLOCK}"
 )
 
 _ORACLE_QX10 = f"""
@@ -1299,7 +1301,7 @@ scored AS (
   FROM embeddings em JOIN assign a ON em.vec_id = a.vec_id
   WHERE a.cluster_id IN (
     SELECT cluster_id FROM assign GROUP BY cluster_id
-    HAVING count(*) <= 10000)
+    HAVING count(*) <= {NEARDUP_MAX_BLOCK})
 )
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_sql_cosine('a.ed', 'b.ed')}, 6) AS cos_sim

@@ -396,6 +396,43 @@ def test_neardup_cap_validation(spark):
         )
 
 
+def test_hot_blocks_reports_the_excluded_blocks(spark):
+    """The companion detection surface for the cap: hot_blocks with
+    the same cap names exactly the blocks near_duplicate_pairs
+    skipped, with their sizes — so a caller can subdivide instead of
+    silently losing pairs."""
+    from gh_archive_clickhouse_spark.operators.similarity import hot_blocks
+
+    vec = [1.0, 0.0, 0.0, 0.0]
+    cold = [
+        (100 * b + i, f"cold{b}", vec) for b in range(3) for i in range(4)
+    ]
+    hot = [(1000 + i, "hot", vec) for i in range(100)]
+    got = hot_blocks(
+        _emb(spark, cold + hot), max_block_size=10
+    ).collect()
+    assert [(r.label, r.block_size) for r in got] == [("hot", 100)]
+
+
+def test_pq_adc_topk_rejects_multi_row_query(spark):
+    """A multi-row (or empty) query frame is a caller bug — raise,
+    never silently score an arbitrary row."""
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        pq_adc_topk as adc,
+    )
+
+    emb = read(spark, SF_DIR, "embeddings")
+    cb = pq_codebook(emb)
+    enc = pq_encode(emb, m=8, dim=64, codebook=cb)
+    two = emb.filter(F.col("vec_id") < 2).select(
+        F.col("embedding").alias("q")
+    )
+    with pytest.raises(ValueError, match="exactly one row"):
+        adc(enc, two, cb, m=8, dim=64)
+    with pytest.raises(ValueError, match="exactly one row"):
+        adc(enc, two.limit(0), cb, m=8, dim=64)
+
+
 # ------------------------------------------------------ persisted IVFPQ
 
 
