@@ -33,14 +33,11 @@ from gh_archive_clickhouse_spark.functions.hashing import (
 from gh_archive_clickhouse_spark.functions.text import tokens, word_shingles
 from gh_archive_clickhouse_spark.operators._util import ensure_parallelism
 
-import itertools
-
-# Per-call uniquifier for materialized scratch indexes: two operator
-# calls composed lazily in one pipeline must never overwrite each
-# other's table under SPARK_GRAFT_MATERIALIZE_DIR. The dir is
-# job-scoped scratch (checkpoint-dir lifecycle — clean it per job);
-# callers wanting a REUSABLE persisted index pass a stable ``name``.
-_INDEX_SEQ = itertools.count()
+# Scratch-vs-durable materialization: callers wanting a REUSABLE
+# persisted index pass a stable ``name`` (written at the materialize
+# dir root, never swept); anonymous calls go through materialize's
+# scratch path — per-call-unique under _scratch/<app>/, garbage-
+# collected by its TTL sweep.
 
 
 def latest_by_key(
@@ -780,7 +777,8 @@ def containment_pairs(
             .select("__sh31"),
             "__sh31",
         ),
-        name or f"containment_kept_index_{next(_INDEX_SEQ)}",
+        name or "containment_kept_index",
+        durable=name is not None,
     )
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     left = kept.alias("l")
@@ -873,7 +871,8 @@ def long_gram_overlap_pairs(
             .select("__gh"),
             "__gh",
         ),
-        name or f"longgram_kept_index_{next(_INDEX_SEQ)}",
+        name or "longgram_kept_index",
+        durable=name is not None,
     )
     left = kept.alias("l")
     right = kept.alias("r")

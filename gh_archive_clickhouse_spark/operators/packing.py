@@ -40,9 +40,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-import itertools
-
-_DENSIFY_SEQ = itertools.count()
 
 
 def densify_order(
@@ -107,7 +104,8 @@ def densify_order(
         df.repartitionByRange(F.col(order_col)).withColumn(
             "__pid", F.spark_partition_id()
         ),
-        name or f"densify_parts_{next(_DENSIFY_SEQ)}",
+        name or "densify_parts",
+        durable=name is not None,
     )
     counts = parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pn"))
     w_parts = Window.orderBy("__pid").rowsBetween(

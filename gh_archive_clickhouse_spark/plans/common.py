@@ -18,6 +18,7 @@ Spark output against DuckDB running the oracle SQL on the same files):
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -152,7 +153,59 @@ class Query:
     tags: tuple[str, ...] = field(default=())
 
 
-def materialize(df: DataFrame, name: str) -> DataFrame:
+# Process-level uniquifier for scratch materializations: two operator
+# calls composed lazily in one pipeline must never overwrite each
+# other's table (materialize's read-back is LAZY, so a later write to
+# the same path would silently replace the earlier call's data).
+_SCRATCH_SEQ = itertools.count()
+# Scratch trees from OTHER applications older than this are garbage-
+# collected on this process's first durable materialize. A day is far
+# past any plausible concurrent-job overlap; tests set it to 0.
+SCRATCH_TTL_ENV = "SPARK_GRAFT_SCRATCH_TTL"
+_SWEPT = False
+
+
+def sweep_scratch(
+    current_app_id: str | None = None, min_age_seconds: float = 0.0
+) -> list[str]:
+    """Remove per-application scratch trees under
+    ``SPARK_GRAFT_MATERIALIZE_DIR/_scratch``.
+
+    ``current_app_id`` (a live job passes its own
+    ``sparkContext.applicationId``) is always kept;
+    ``min_age_seconds`` protects recently-modified trees — i.e. other
+    jobs still running — from a concurrent sweep. Returns the removed
+    application ids.
+    """
+    import os
+    import shutil
+    import time
+    from pathlib import Path
+
+    base = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
+    if not base:
+        return []
+    scratch = Path(base) / "_scratch"
+    if not scratch.exists():
+        return []
+    removed = []
+    now = time.time()
+    for d in scratch.iterdir():
+        if not d.is_dir() or d.name == current_app_id:
+            continue
+        newest = max(
+            (p.stat().st_mtime for p in d.rglob("*")),
+            default=d.stat().st_mtime,
+        )
+        if now - newest >= min_age_seconds:
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(d.name)
+    return removed
+
+
+def materialize(
+    df: DataFrame, name: str, durable: bool = False
+) -> DataFrame:
     """Compute-once materialization for frames consumed by both sides
     of a self-join (LSH signatures, IVF assignments): Spark plans each
     side of a self-join independently, so an unmaterialized input runs
@@ -161,17 +214,38 @@ def materialize(df: DataFrame, name: str) -> DataFrame:
     Default: lazy ``localCheckpoint`` — block-manager-backed, zero
     extra I/O, ideal for interactive/bench runs; its blocks die with
     their executors. Set ``SPARK_GRAFT_MATERIALIZE_DIR`` to a
-    cluster-visible path to instead WRITE the frame as a parquet index
-    table and read it back — the durable form for multi-stage jobs on
-    real clusters where executor loss is routine (and the natural
-    persistence point: a signature/index table written once is probed
-    by every later dedup/ANN run, not just this query).
+    cluster-visible path to instead WRITE the frame as a parquet table
+    and read it back — the durable form for multi-stage jobs on real
+    clusters where executor loss is routine.
+
+    Lifecycle: by default the table is SCRATCH — written under
+    ``_scratch/<spark application id>/<name>_<seq>`` (per-call-unique,
+    so lazily-composed operator calls can never clobber each other)
+    and garbage-collected: this process's first scratch write sweeps
+    trees left by finished applications (older than
+    ``SPARK_GRAFT_SCRATCH_TTL`` seconds, default one day), and
+    :func:`sweep_scratch` is the explicit form. ``durable=True``
+    (operators set it when the CALLER supplied a stable index name)
+    writes to ``<dir>/<name>`` and is never swept — the reusable form
+    for a signature/index table probed by every later dedup/ANN run,
+    not just this query.
     """
     import os
 
     base = os.environ.get("SPARK_GRAFT_MATERIALIZE_DIR")
     if base:
-        path = f"{base}/{name}"
+        if durable:
+            path = f"{base}/{name}"
+        else:
+            global _SWEPT
+            app = df.sparkSession.sparkContext.applicationId
+            if not _SWEPT:
+                _SWEPT = True
+                ttl = float(os.environ.get(SCRATCH_TTL_ENV, 86400))
+                sweep_scratch(current_app_id=app, min_age_seconds=ttl)
+            path = (
+                f"{base}/_scratch/{app}/{name}_{next(_SCRATCH_SEQ)}"
+            )
         df.write.mode("overwrite").parquet(path)
         return df.sparkSession.read.parquet(path)
     return df.localCheckpoint(eager=False)

@@ -485,8 +485,59 @@ def test_materialize_durable_parquet_path(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_DIR", str(tmp_path))
     durable = qx13_simhash_neardup(spark, SF_DIR).collect()
     assert sorted(map(tuple, durable)) == sorted(map(tuple, base))
-    written = list(tmp_path.glob("qx13_fingerprints/*.parquet"))
+    written = list(
+        tmp_path.glob("_scratch/*/qx13_fingerprints_*/*.parquet")
+    )
     assert written, "signature table was not written"
+
+
+def test_scratch_tables_are_garbage_collected(
+    spark, tmp_path, monkeypatch
+):
+    """Scratch materializations don't accumulate across jobs: a new
+    application's first scratch write sweeps expired trees left by
+    finished applications, live/current trees are protected, and a
+    caller-NAMED durable index is never touched."""
+    import os
+    import time
+
+    from gh_archive_clickhouse_spark.plans import common
+    from gh_archive_clickhouse_spark.plans.common import (
+        materialize,
+        sweep_scratch,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE_DIR", str(tmp_path))
+    monkeypatch.setenv(common.SCRATCH_TTL_ENV, "1000")
+    monkeypatch.setattr(common, "_SWEPT", False)
+    # a finished previous run's scratch tree, last touched long ago
+    old = tmp_path / "_scratch" / "local-dead" / "cc_edges_0"
+    old.mkdir(parents=True)
+    (old / "part-0.parquet").write_bytes(b"x")
+    stale = time.time() - 5000
+    for p in (old / "part-0.parquet", old):
+        os.utime(p, (stale, stale))
+    # a concurrently-running job's tree (fresh mtime): protected
+    live = tmp_path / "_scratch" / "local-live" / "sigs_0"
+    live.mkdir(parents=True)
+    (live / "part-0.parquet").write_bytes(b"x")
+    # a named durable index: never swept
+    durable_src = spark.range(3)
+    materialize(durable_src, "my_index", durable=True)
+
+    df = materialize(spark.range(5), "scratch_frame")
+    assert df.count() == 5
+    apps = sorted(p.name for p in (tmp_path / "_scratch").iterdir())
+    assert "local-dead" not in apps          # expired tree swept
+    assert "local-live" in apps              # fresh tree protected
+    assert (tmp_path / "my_index").exists()  # durable never touched
+
+    # second "run": explicit end-of-job sweep with no age grace
+    cur = spark.sparkContext.applicationId
+    removed = sweep_scratch(current_app_id=None, min_age_seconds=0)
+    assert set(removed) >= {"local-live", cur}
+    assert not list((tmp_path / "_scratch").iterdir())
+    assert (tmp_path / "my_index").exists()
 
 
 def test_kmeans_fit_matches_numpy_reference(spark):
