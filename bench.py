@@ -72,10 +72,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
         best = float("inf")
-        # Streaming contract queries run the whole stream (checkpoint,
-        # state store, memory sink) inside the builder; one timed run
-        # is the honest startup-inclusive number.
-        n_runs = 1 if "streaming" in q.tags else runs
+        # Streaming queries run the whole stream (checkpoint, state
+        # store, memory sink) inside the builder. They get the SAME
+        # min-of-N treatment as batch queries: the r4→r5 comparison
+        # showed single-run stream numbers swing ±45% on byte-identical
+        # code (fresh-checkpoint/state-store startup jitter), which
+        # would eventually mask a real regression; min-of-two is the
+        # repeatable machinery cost.
+        n_runs = runs
         for _ in range(n_runs):
             t0 = time.perf_counter()
             q.builder(spark, sf_dir).write.mode("overwrite").format(
