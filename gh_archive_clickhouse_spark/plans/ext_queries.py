@@ -915,6 +915,54 @@ FROM s
 """
 
 
+def qm9_real_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: per row, write a genuine mono
+    8×4 Y4M (yuv4mpeg2) stream with ``2 + (doc_id % 3)`` frames whose
+    frame-f luma byte i is ``(doc_id*31 + f*17 + i) % 256``, then
+    decode the BYTES back through the actual container path (PyAV
+    when installed, the pure-stdlib Y4M parser otherwise — Y4M frames
+    are uncompressed, so the parse IS the decode) and emit one row
+    per frame with integer-exact luma checksums. Two chained Arrow
+    map stages (row-exploding on the decode side), no shuffle; the
+    oracle is the closed form of the pixel generator — so any decode
+    error (header misparse, frame-boundary drift, plane-size mixup)
+    hash-fails. The video twin of qm6/qm8, replacing the last
+    fake-decode holdout."""
+    from gh_archive_clickhouse_spark.operators.multimodal import (
+        attach_y4m_payload,
+        decode_video_features,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    return decode_video_features(attach_y4m_payload(docs))
+
+
+# Per (doc, frame) the 32 luma bytes are the contiguous run
+# base..base+31 mod 256 with base = (doc*31 + f*17) % 256, so the
+# stats close over: k = max(0, base+32-256) values wrap past 255;
+# sum = 32*base + (0+..+31) - 256*k; min/max follow from whether the
+# run wrapped.
+_ORACLE_QM9 = """
+WITH f AS (
+  SELECT doc_id, unnest(range(0, 2 + doc_id % 3)) AS fi
+  FROM documents
+), b AS (
+  SELECT doc_id, fi, (doc_id * 31 + fi * 17) % 256 AS base,
+         greatest(0, (doc_id * 31 + fi * 17) % 256 + 32 - 256) AS k
+  FROM f
+)
+SELECT doc_id,
+       CAST(fi AS INTEGER) AS frame_idx,
+       CAST(8 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       CAST(32 * base + 496 - 256 * k AS BIGINT) AS sum_px,
+       CAST(CASE WHEN k > 0 THEN 0 ELSE base END AS INTEGER) AS min_px,
+       CAST(CASE WHEN k > 0 THEN 255 ELSE base + 31 END
+            AS INTEGER) AS max_px
+FROM b
+"""
+
+
 _ORACLE_QM7 = """
 WITH px AS (
   SELECT doc_id,
@@ -3054,6 +3102,15 @@ FROM m2
         "blobs, decode bytes back, emit integer-exact checksums",
         qm8_real_audio_decode,
         _ORACLE_QM8,
+        tags=("ext", "multimodal"),
+    ),
+    Query(
+        "qm9_real_video_decode",
+        "real Y4M video decode kernel: write doc-derived multi-frame "
+        "yuv4mpeg2 streams, decode bytes back, one row per frame with "
+        "integer-exact luma checksums",
+        qm9_real_video_decode,
+        _ORACLE_QM9,
         tags=("ext", "multimodal"),
     ),
     Query(

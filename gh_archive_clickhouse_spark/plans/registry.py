@@ -44,7 +44,9 @@ _CHANGED_R6 = (
 # New in round 6 (never driver-verified): appended as they are built;
 # each addition here displaces the tail _R4_REFRESH entry so the head
 # stays exactly 50.
-_NEW_R6 = ()
+_NEW_R6 = (
+    "qm9_real_video_decode",
+)
 # Round-3 rows, two driver rounds stale — the oldest official signal
 # in the repo; every one of these must land in the round-6 window
 # (the rotation tripwire test enumerates exactly this set).
@@ -98,10 +100,9 @@ _R4_REFRESH = (
     "qx22_tfidf_top_terms",
     "qx26_dedup_clusters",
     "qx34_pq_encode",
-    # Swap-out candidates when _NEW_R6 grows (refreshed again in r7
+    # Swap-out candidate when _NEW_R6 grows (refreshed again in r7
     # regardless):
     "qt13_order_count_distribution",
-    "qt16_correlated_scalar",
 )
 
 
