@@ -321,3 +321,139 @@ def ngram_contamination(
         n_cont.alias("n_contaminated"),
         F.round(n_cont / n_grams.cast("double"), 6).alias("rate"),
     )
+
+
+# ------------------------------------------------------- BPE vocab
+
+BPE_WORD_RE = "^[A-Za-z0-9]+$"
+BPE_MAX_WORD_LEN = 32
+
+
+def bpe_pair_election(words: DataFrame) -> DataFrame:
+    """One merge round's pair election over a (syms, wcnt) word
+    table: adjacent-pair explode weighted by word count → hash
+    aggregate (map-side partials — at |distinct pairs| ≪ exploded
+    volume the combine does almost all the work) → orderBy+limit(1),
+    which compiles to TakeOrderedAndProject (per-task top-1, driver
+    merge of #partitions rows), never a global sort. Returns the
+    1-row (l, r, pair_count) frame."""
+    idx = F.when(
+        F.size("syms") >= 2,
+        F.sequence(F.lit(1), F.size("syms") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    pair = F.explode(
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at("syms", i).alias("l"),
+                F.element_at("syms", i + F.lit(1)).alias("r"),
+            ),
+        )
+    ).alias("pr")
+    return (
+        words.select(pair, "wcnt")
+        .groupBy("pr.l", "pr.r")
+        .agg(F.sum("wcnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+        .limit(1)
+    )
+
+
+def bpe_vocab_build(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 8,
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary construction — the merge-table
+    build every tokenizer training run performs before packing.
+
+    Classic Sennrich-style BPE, shaped for 100 TB:
+
+    1. ONE corpus-wide shuffle builds the word-frequency table
+       (map-side-combined hash aggregate). Everything after runs on
+       that table — |distinct words|, millions of rows, not the
+       corpus — so R merge rounds never rescan the corpus.
+    2. Per round: adjacent symbol pairs are exploded from each word's
+       symbol array weighted by word count and hash-aggregated
+       (map-side partials again); the winning pair is elected with
+       orderBy+limit(1) — TakeOrderedAndProject (per-task top-1 +
+       driver merge), never a global sort.
+    3. The elected pair is applied as a greedy left-to-right fold
+       over each word's symbols (pure ``aggregate`` higher-order
+       function, no UDF): the merged symbol a||b never re-matches
+       ``a`` in the same round (b is non-empty), so checking only the
+       fold output's last element reproduces exact non-overlapping
+       greedy semantics. The word table is re-materialized per round
+       (the qx25 Lloyd-iteration pattern) to keep lineage flat.
+
+    Only the 1-row election result crosses to the driver per round
+    (same class as connected_components' convergence probe).
+
+    Conventions (mirrored in the SQL oracle): words are whitespace
+    tokens matching ``[A-Za-z0-9]+`` with length <= 32 (punctuation
+    and over-long tokens are out of vocabulary scope, the standard
+    pre-tokenizer split); no end-of-word marker; election ties break
+    on (pair_count DESC, left ASC, right ASC).
+
+    Returns one row per executed merge round:
+    (merge_round, left, right, merged, pair_count). Stops early if no
+    pair remains.
+    """
+    spark = docs.sparkSession
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
+    word = F.explode(tokens(F.col(text_col))).alias("word")
+    words = (
+        docs.select(word)
+        .filter(
+            F.col("word").rlike(BPE_WORD_RE)
+            & (F.length("word") <= BPE_MAX_WORD_LEN)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .select(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, 1),
+            ).alias("syms"),
+            "wcnt",
+        )
+    )
+    words = materialize(words, "bpe_words")
+
+    merges = []
+    for rnd in range(1, rounds + 1):
+        elected = bpe_pair_election(words).head(1)
+        if not elected:
+            break
+        left, right, pair_count = (
+            elected[0].l, elected[0].r, elected[0].pair_count
+        )
+        merged = left + right
+        merges.append((rnd, left, right, merged, int(pair_count)))
+        la, ra, ma = F.lit(left), F.lit(right), F.lit(merged)
+        folded = F.aggregate(
+            F.slice("syms", F.lit(2), F.size("syms") - 1),
+            F.array(F.element_at("syms", 1)),
+            lambda out, x: F.when(
+                (F.element_at(out, -1) == la) & (x == ra),
+                F.concat(
+                    F.slice(out, F.lit(1), F.size(out) - 1),
+                    F.array(ma),
+                ),
+            ).otherwise(F.concat(out, F.array(x))),
+        )
+        words = materialize(
+            words.select(
+                F.when(F.size("syms") < 2, F.col("syms"))
+                .otherwise(folded)
+                .alias("syms"),
+                "wcnt",
+            ),
+            f"bpe_words_r{rnd}",
+        )
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left string, right string, merged string, "
+        "pair_count bigint",
+    )

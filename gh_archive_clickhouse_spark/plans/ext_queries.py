@@ -1541,6 +1541,78 @@ HAVING count(*) >= 1
 """
 
 
+BPE_ROUNDS = 8
+
+
+def qx51_bpe_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary construction (operators/text_analysis.
+    bpe_vocab_build): 8 merge-pair elections over the corpus
+    word-frequency table — the tokenizer-training loop every pipeline
+    runs before token counting (qx19) and packing (qx33). One
+    corpus-wide shuffle builds the word table; each round is a
+    map-side-combined pair count + TakeOrderedAndProject election + a
+    pure higher-order-function merge fold, re-materialized per round
+    (the qx25 bounded-iteration pattern)."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_vocab_build,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    return bpe_vocab_build(docs, rounds=BPE_ROUNDS)
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled per-round CTEs mirroring bpe_vocab_build exactly:
+    pair counting weighted by word frequency, (count DESC, l, r)
+    election, and the same greedy left-to-right merge fold — as a
+    string accumulator in list_reduce (the last space-separated
+    token of the accumulator IS the fold output's last element, and
+    a||b can never equal a, so checking it reproduces non-overlapping
+    greedy semantics, matching the Spark aggregate())."""
+    last = "regexp_extract(acc, '[^ ]*$')"
+    parts = [f"""
+w0 AS (
+  SELECT list_transform(range(1, len(word) + 1), i -> word[i]) AS syms,
+         CAST(COUNT(*) AS BIGINT) AS wcnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND regexp_matches(word, '^[A-Za-z0-9]+$')
+    AND len(word) <= 32
+  GROUP BY word
+)"""]
+    for n in range(1, rounds + 1):
+        parts.append(f"""
+p{n} AS (
+  SELECT unnest(list_transform(range(1, len(syms)), i ->
+           {{'l': syms[i], 'r': syms[i + 1]}})) AS pr, wcnt
+  FROM w{n - 1}
+),
+t{n} AS (
+  SELECT pr.l AS l, pr.r AS r, pr.l || pr.r AS merged,
+         CAST(SUM(wcnt) AS BIGINT) AS pair_count
+  FROM p{n} GROUP BY pr.l, pr.r
+  ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
+),
+w{n} AS (
+  SELECT CASE WHEN len(syms) < 2 THEN syms
+         ELSE string_split(list_reduce(syms, (acc, x) ->
+           CASE WHEN {last} = t.l AND x = t.r
+                THEN substr(acc, 1, len(acc) - len({last})) || t.merged
+                ELSE acc || ' ' || x END), ' ') END AS syms,
+         wcnt
+  FROM w{n - 1}, t{n} t
+)""")
+        # noqa: the cross join with the 1-row t{n} applies the merge
+    unions = "\nUNION ALL\n".join(
+        f'SELECT CAST({n} AS INTEGER) AS merge_round, l AS "left", '
+        f'r AS "right", merged, pair_count FROM t{n}'
+        for n in range(1, rounds + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + unions
+
+
+_ORACLE_QX51 = _bpe_oracle(BPE_ROUNDS)
+
+
 def qx46_densified_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing over SPARSE order keys — the degradation case
     pack_coordinates' contract documents: keys spaced ~10^6 apart put
@@ -2523,6 +2595,15 @@ QUERIES = [
         qx50_long_gram_overlap,
         _ORACLE_QX50,
         tags=("ext", "dedup"),
+    ),
+    Query(
+        "qx51_bpe_vocab_build",
+        "BPE vocabulary build: 8 merge-pair elections over the "
+        "word-frequency table (map-side-combined pair counts, "
+        "TakeOrdered election, HOF merge fold)",
+        qx51_bpe_vocab_build,
+        _ORACLE_QX51,
+        tags=("ext", "text", "iterative"),
     ),
     Query(
         "qx34_pq_encode",

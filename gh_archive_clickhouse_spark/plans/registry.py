@@ -46,6 +46,7 @@ _CHANGED_R6 = (
 # stays exactly 50.
 _NEW_R6 = (
     "qm9_real_video_decode",
+    "qx51_bpe_vocab_build",
 )
 # Round-3 rows, two driver rounds stale — the oldest official signal
 # in the repo; every one of these must land in the round-6 window
@@ -100,9 +101,6 @@ _R4_REFRESH = (
     "qx22_tfidf_top_terms",
     "qx26_dedup_clusters",
     "qx34_pq_encode",
-    # Swap-out candidate when _NEW_R6 grows (refreshed again in r7
-    # regardless):
-    "qt13_order_count_distribution",
 )
 
 

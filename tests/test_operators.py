@@ -875,3 +875,86 @@ def test_round5_queries_durable_materialize_path(
     durable = QUERIES[qname].builder(spark, SF_DIR).collect()
     assert sorted(map(tuple, durable)) == sorted(map(tuple, base))
     assert any(tmp_path.iterdir()), "no index table was written"
+
+
+# ------------------------------------------------------------- BPE
+
+
+def test_bpe_vocab_build_matches_reference(spark):
+    """bpe_vocab_build == a literal pure-Python BPE (word-frequency
+    table, (count DESC, l, r) election, greedy left-to-right merge)
+    — including the overlapping-run case ('aaaa' merges to two 'aa',
+    not three)."""
+    import collections
+    import re
+
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_vocab_build,
+    )
+
+    texts = [
+        "low low low lower lowest news newer",
+        "low news new new aaaa aaaa",
+        "x" * 40 + " ok!! punct, skipped",  # filtered: too long / non-alnum
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_vocab_build(docs, rounds=6).collect()]
+
+    wc = collections.Counter(
+        w
+        for t in texts
+        for w in t.split(" ")
+        if w and re.fullmatch("[A-Za-z0-9]+", w) and len(w) <= 32
+    )
+    words = {tuple(w): c for w, c in wc.items()}
+    expect = []
+    for rnd in range(1, 7):
+        pc = collections.Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (left, right), n = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merged = left + right
+        expect.append((rnd, left, right, merged, n))
+        new: dict = {}
+        for syms, c in words.items():
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        words = new
+    assert got == expect
+    # the planted 'aaaa' words merged pairwise, not greedily-overlapping
+    assert ("a", "a") in {(l, r) for _, l, r, _, _ in got}
+
+
+def test_bpe_election_is_takeordered_with_partial_agg(spark):
+    """The merge-round election plan: pair counting is a map-side-
+    combined hash aggregate and the top-1 pick compiles to
+    TakeOrderedAndProject — never a global Sort of the pair table."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_pair_election,
+    )
+
+    words = spark.createDataFrame(
+        [(["l", "o", "w"], 3), (["n", "e", "w"], 2)],
+        "syms array<string>, wcnt long",
+    )
+    plan = (
+        bpe_pair_election(words)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert plan.count("HashAggregate") >= 2, plan[:3000]  # partial+final
+    assert "Sort " not in plan, plan[:3000]
