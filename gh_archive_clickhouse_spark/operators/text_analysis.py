@@ -329,6 +329,51 @@ BPE_WORD_RE = "^[A-Za-z0-9]+$"
 BPE_MAX_WORD_LEN = 32
 
 
+def _bpe_words(docs: DataFrame, text_col: str) -> DataFrame:
+    """Corpus → (word, syms, wcnt) word-frequency table under the BPE
+    conventions (alnum words, length cap, char-split symbols). The
+    single corpus-wide shuffle of the whole BPE path."""
+    word = F.explode(tokens(F.col(text_col))).alias("word")
+    return (
+        docs.select(word)
+        .filter(
+            F.col("word").rlike(BPE_WORD_RE)
+            & (F.length("word") <= BPE_MAX_WORD_LEN)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .select(
+            "word",
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, 1),
+            ).alias("syms"),
+            "wcnt",
+        )
+    )
+
+
+def _merge_fold(left: str, right: str, merged: str):
+    """The greedy left-to-right merge of one learned pair, as a pure
+    ``aggregate`` higher-order column over ``syms``: the merged
+    symbol a||b can never re-match ``a`` (b is non-empty), so checking
+    only the fold output's last element reproduces exact
+    non-overlapping greedy semantics."""
+    la, ra, ma = F.lit(left), F.lit(right), F.lit(merged)
+    folded = F.aggregate(
+        F.slice("syms", F.lit(2), F.size("syms") - 1),
+        F.array(F.element_at("syms", 1)),
+        lambda out, x: F.when(
+            (F.element_at(out, -1) == la) & (x == ra),
+            F.concat(
+                F.slice(out, F.lit(1), F.size(out) - 1),
+                F.array(ma),
+            ),
+        ).otherwise(F.concat(out, F.array(x))),
+    )
+    return F.when(F.size("syms") < 2, F.col("syms")).otherwise(folded)
+
+
 def bpe_pair_election(words: DataFrame) -> DataFrame:
     """One merge round's pair election over a (syms, wcnt) word
     table: adjacent-pair explode weighted by word count → hash
@@ -402,25 +447,9 @@ def bpe_vocab_build(
     spark = docs.sparkSession
     from gh_archive_clickhouse_spark.plans.common import materialize
 
-    word = F.explode(tokens(F.col(text_col))).alias("word")
-    words = (
-        docs.select(word)
-        .filter(
-            F.col("word").rlike(BPE_WORD_RE)
-            & (F.length("word") <= BPE_MAX_WORD_LEN)
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("wcnt"))
-        .select(
-            F.transform(
-                F.sequence(F.lit(1), F.length("word")),
-                lambda i: F.substring(F.col("word"), i, 1),
-            ).alias("syms"),
-            "wcnt",
-        )
+    words = materialize(
+        _bpe_words(docs, text_col).drop("word"), "bpe_words"
     )
-    words = materialize(words, "bpe_words")
-
     merges = []
     for rnd in range(1, rounds + 1):
         elected = bpe_pair_election(words).head(1)
@@ -431,24 +460,9 @@ def bpe_vocab_build(
         )
         merged = left + right
         merges.append((rnd, left, right, merged, int(pair_count)))
-        la, ra, ma = F.lit(left), F.lit(right), F.lit(merged)
-        folded = F.aggregate(
-            F.slice("syms", F.lit(2), F.size("syms") - 1),
-            F.array(F.element_at("syms", 1)),
-            lambda out, x: F.when(
-                (F.element_at(out, -1) == la) & (x == ra),
-                F.concat(
-                    F.slice(out, F.lit(1), F.size(out) - 1),
-                    F.array(ma),
-                ),
-            ).otherwise(F.concat(out, F.array(x))),
-        )
         words = materialize(
             words.select(
-                F.when(F.size("syms") < 2, F.col("syms"))
-                .otherwise(folded)
-                .alias("syms"),
-                "wcnt",
+                _merge_fold(left, right, merged).alias("syms"), "wcnt"
             ),
             f"bpe_words_r{rnd}",
         )
@@ -456,4 +470,56 @@ def bpe_vocab_build(
         merges,
         "merge_round int, left string, right string, merged string, "
         "pair_count bigint",
+    )
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    merges: list[tuple[str, str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned BPE merge table — tokenizer ENCODE, the
+    counterpart of :func:`bpe_vocab_build` and the pass that turns a
+    curated corpus into token counts for packing (qx33) and budget
+    planning.
+
+    Applying merges in learned order is the standard BPE encode
+    algorithm; each merge is the same greedy ``aggregate`` fold as
+    the build, unrolled once per merge — map-only over the word
+    table, no UDF. Shaped for 100 TB: the DISTINCT-word table is
+    encoded once (not the corpus — duplicate words pay nothing), then
+    per-word token counts join back to the exploded corpus (AQE
+    decides broadcast vs shuffle by the vocabulary's actual size) and
+    fold into per-doc sums. Word-filter conventions follow
+    bpe_vocab_build; docs with no in-vocabulary word drop out (inner
+    join), mirrored by the oracle.
+
+    Returns (id_col, n_vocab_words, n_bpe_tokens).
+    """
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
+    enc = _bpe_words(docs, text_col)
+    for left, right, merged in merges:
+        enc = enc.select(
+            "word", _merge_fold(left, right, merged).alias("syms"), "wcnt"
+        )
+    enc = materialize(
+        enc.select("word", F.size("syms").alias("n_tokens")),
+        "bpe_encoded_vocab",
+    )
+    corpus = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    ).filter(
+        F.col("word").rlike(BPE_WORD_RE)
+        & (F.length("word") <= BPE_MAX_WORD_LEN)
+    )
+    return (
+        corpus.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vocab_words"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+        )
     )

@@ -41,6 +41,8 @@ from gh_archive_clickhouse_spark.operators.udf_ops import (
     user_event_ranks,
 )
 from gh_archive_clickhouse_spark.operators.text_analysis import (
+    BPE_MAX_WORD_LEN,
+    BPE_WORD_RE,
     deterministic_sample,
     fingerprint,
     language_id,
@@ -1561,22 +1563,25 @@ def qx51_bpe_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_vocab_build(docs, rounds=BPE_ROUNDS)
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_rounds_cte(rounds: int) -> str:
     """Unrolled per-round CTEs mirroring bpe_vocab_build exactly:
     pair counting weighted by word frequency, (count DESC, l, r)
     election, and the same greedy left-to-right merge fold — as a
     string accumulator in list_reduce (the last space-separated
     token of the accumulator IS the fold output's last element, and
     a||b can never equal a, so checking it reproduces non-overlapping
-    greedy semantics, matching the Spark aggregate())."""
+    greedy semantics, matching the Spark aggregate()). The word
+    column is carried through every w{n} so the final round doubles
+    as the encode table (qx52)."""
     last = "regexp_extract(acc, '[^ ]*$')"
     parts = [f"""
 w0 AS (
-  SELECT list_transform(range(1, len(word) + 1), i -> word[i]) AS syms,
+  SELECT word,
+         list_transform(range(1, len(word) + 1), i -> word[i]) AS syms,
          CAST(COUNT(*) AS BIGINT) AS wcnt
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-  WHERE word <> '' AND regexp_matches(word, '^[A-Za-z0-9]+$')
-    AND len(word) <= 32
+  WHERE word <> '' AND regexp_matches(word, '{BPE_WORD_RE}')
+    AND len(word) <= {BPE_MAX_WORD_LEN}
   GROUP BY word
 )"""]
     for n in range(1, rounds + 1):
@@ -1593,7 +1598,8 @@ t{n} AS (
   ORDER BY pair_count DESC, l ASC, r ASC LIMIT 1
 ),
 w{n} AS (
-  SELECT CASE WHEN len(syms) < 2 THEN syms
+  SELECT word,
+         CASE WHEN len(syms) < 2 THEN syms
          ELSE string_split(list_reduce(syms, (acc, x) ->
            CASE WHEN {last} = t.l AND x = t.r
                 THEN substr(acc, 1, len(acc) - len({last})) || t.merged
@@ -1601,16 +1607,62 @@ w{n} AS (
          wcnt
   FROM w{n - 1}, t{n} t
 )""")
-        # noqa: the cross join with the 1-row t{n} applies the merge
+        # the cross join with the 1-row t{n} applies the merge
+    return "WITH " + ",".join(parts)
+
+
+def _bpe_oracle(rounds: int) -> str:
     unions = "\nUNION ALL\n".join(
         f'SELECT CAST({n} AS INTEGER) AS merge_round, l AS "left", '
         f'r AS "right", merged, pair_count FROM t{n}'
         for n in range(1, rounds + 1)
     )
-    return "WITH " + ",".join(parts) + "\n" + unions
+    return _bpe_rounds_cte(rounds) + "\n" + unions
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    return (
+        _bpe_rounds_cte(rounds)
+        + f""",
+enc AS (
+  SELECT word, len(syms) AS n_tokens FROM w{rounds}
+),
+corpus AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
+       CAST(SUM(e.n_tokens) AS BIGINT) AS n_bpe_tokens
+FROM corpus c JOIN enc e USING (word)
+GROUP BY doc_id
+"""
+    )
 
 
 _ORACLE_QX51 = _bpe_oracle(BPE_ROUNDS)
+_ORACLE_QX52 = _bpe_encode_oracle(BPE_ROUNDS)
+
+
+def qx52_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE with the learned merge table
+    (operators/text_analysis.bpe_encode_stats): build the qx51
+    vocabulary, then apply its merges in learned order to the
+    DISTINCT-word table (duplicate words pay nothing) and join
+    per-word token counts back to the corpus for per-doc totals —
+    the pass that prices a curated corpus in tokens before packing
+    (qx33). Oracle: the same unrolled rounds, with the final round's
+    word→symbols table used as the encode dictionary."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_encode_stats,
+        bpe_vocab_build,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right, r.merged)
+        for r in bpe_vocab_build(docs, rounds=BPE_ROUNDS).collect()
+    ]
+    return bpe_encode_stats(docs, merges)
 
 
 def qx46_densified_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2603,6 +2655,15 @@ QUERIES = [
         "TakeOrdered election, HOF merge fold)",
         qx51_bpe_vocab_build,
         _ORACLE_QX51,
+        tags=("ext", "text", "iterative"),
+    ),
+    Query(
+        "qx52_bpe_encode",
+        "tokenizer encode with the learned merge table: distinct-word "
+        "table encoded once, per-word token counts joined back for "
+        "per-doc totals",
+        qx52_bpe_encode,
+        _ORACLE_QX52,
         tags=("ext", "text", "iterative"),
     ),
     Query(

@@ -47,6 +47,7 @@ _CHANGED_R6 = (
 _NEW_R6 = (
     "qm9_real_video_decode",
     "qx51_bpe_vocab_build",
+    "qx52_bpe_encode",
 )
 # Round-3 rows, two driver rounds stale — the oldest official signal
 # in the repo; every one of these must land in the round-6 window
@@ -100,7 +101,6 @@ _R4_REFRESH = (
     "qt12_shipping_priority",
     "qx22_tfidf_top_terms",
     "qx26_dedup_clusters",
-    "qx34_pq_encode",
 )
 
 

@@ -958,3 +958,53 @@ def test_bpe_election_is_takeordered_with_partial_agg(spark):
     assert "TakeOrderedAndProject" in plan, plan[:3000]
     assert plan.count("HashAggregate") >= 2, plan[:3000]  # partial+final
     assert "Sort " not in plan, plan[:3000]
+
+
+def test_bpe_encode_stats_matches_reference(spark):
+    """bpe_encode_stats applies a learned merge table exactly like a
+    literal in-order pure-Python encode; docs with no in-vocabulary
+    word drop out."""
+    import collections
+    import re
+
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_encode_stats,
+        bpe_vocab_build,
+    )
+
+    texts = ["low low lower newest", "new news lowest", "!!! ???"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [
+        (r.left, r.right, r.merged)
+        for r in bpe_vocab_build(docs, rounds=4).collect()
+    ]
+    got = {
+        r.doc_id: (r.n_vocab_words, r.n_bpe_tokens)
+        for r in bpe_encode_stats(docs, merges).collect()
+    }
+
+    def encode(word):
+        syms = list(word)
+        for left, right, merged in merges:
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    expect = {}
+    for i, t in enumerate(texts):
+        ws = [
+            w
+            for w in t.split(" ")
+            if w and re.fullmatch("[A-Za-z0-9]+", w) and len(w) <= 32
+        ]
+        if ws:
+            expect[i] = (len(ws), sum(encode(w) for w in ws))
+    assert got == expect
+    assert 2 not in got  # punctuation-only doc dropped
