@@ -128,6 +128,82 @@ def densify_order(
     )
 
 
+def budget_select(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    order_by: list[Column],
+    name: str | None = None,
+) -> DataFrame:
+    """Greedy budgeted selection: take rows in ``order_by`` order
+    until their cumulative ``weight_col`` reaches ``budget`` — the
+    "best documents up to N tokens" cut every corpus-curation run
+    makes after scoring.
+
+    The naive form is a running sum over one global window (single
+    task holding the corpus). This is the distributed form — the same
+    two-level recurrence as :func:`densify_order`, with WEIGHT sums in
+    place of row counts:
+
+    1. range-repartition on the selection order (each task one
+       contiguous rank range);
+    2. per-partition weight totals (tiny: one row per task);
+    3. exclusive prefix sum over the totals (a window over
+       O(partitions) rows);
+    4. broadcast offsets back; each row's global tokens-before =
+       partition offset + within-partition running sum; keep rows
+       with tokens_before < budget.
+
+    A row is selected iff the weight of all strictly-better rows is
+    below the budget (the greedy fill — the boundary row may overflow
+    the budget; halting exactly AT it would need partial documents).
+    CONTRACT: ``order_by`` must be a strict total order (include an
+    id tiebreaker), or selection is run-to-run ambiguous.
+
+    Returns the input columns plus ``tokens_before`` (long) as the
+    oracle-checkable witness of each kept row's cumulative position.
+    ``budget`` must be positive.
+    """
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    parts = materialize(
+        df.repartitionByRange(*order_by).withColumn(
+            "__pid", F.spark_partition_id()
+        ),
+        name or "budget_parts",
+        durable=name is not None,
+    )
+    totals = parts.groupBy("__pid").agg(
+        F.sum(weight_col).alias("__pw")
+    )
+    w_parts = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__pw").over(w_parts), F.lit(0)).alias("__poff"),
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        parts.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "tokens_before",
+            (
+                F.col("__poff")
+                + F.coalesce(F.sum(weight_col).over(w_in), F.lit(0))
+            ).cast("long"),
+        )
+        .filter(F.col("tokens_before") < budget)
+        .drop("__pid", "__poff")
+    )
+
+
 def pack_coordinates(
     df: DataFrame,
     n_tokens: Column,

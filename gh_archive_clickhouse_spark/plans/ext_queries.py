@@ -1643,6 +1643,50 @@ _ORACLE_QX51 = _bpe_oracle(BPE_ROUNDS)
 _ORACLE_QX52 = _bpe_encode_oracle(BPE_ROUNDS)
 
 
+TOKEN_BUDGET = 12_000
+
+
+def qx53_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (operators/packing.budget_select):
+    score every doc (the qx5 quality blend), then greedily keep the
+    best docs until their cumulative token count reaches the budget —
+    "the highest-quality 12k tokens". Distributed as the two-level
+    prefix-sum recurrence (range partition by (quality DESC, doc_id) →
+    per-partition weight totals → tiny offset window → broadcast
+    join), never a single global running-sum window over the corpus.
+    Each kept row carries tokens_before as the cumulative witness, so
+    the oracle (a naive global-window SQL) pins the exact greedy cut,
+    not just membership counts."""
+    from gh_archive_clickhouse_spark.operators.packing import budget_select
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "n_tokens", "quality")
+    return budget_select(
+        scored,
+        "n_tokens",
+        TOKEN_BUDGET,
+        [F.col("quality").desc(), F.col("doc_id").asc()],
+    )
+
+
+_ORACLE_QX53 = f"""
+WITH q AS ({_ORACLE_QX5}),
+c AS (
+  SELECT doc_id, n_tokens, quality,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY quality DESC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS tokens_before
+  FROM q
+)
+SELECT doc_id, n_tokens, quality, tokens_before
+FROM c WHERE tokens_before < {TOKEN_BUDGET}
+"""
+
+
 def qx52_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer ENCODE with the learned merge table
     (operators/text_analysis.bpe_encode_stats): build the qx51
@@ -2665,6 +2709,15 @@ QUERIES = [
         qx52_bpe_encode,
         _ORACLE_QX52,
         tags=("ext", "text", "iterative"),
+    ),
+    Query(
+        "qx53_budget_selection",
+        "token-budget corpus selection: best docs by quality until "
+        "12k cumulative tokens, via the two-level prefix-sum "
+        "recurrence (no global running-sum window)",
+        qx53_budget_selection,
+        _ORACLE_QX53,
+        tags=("ext", "text", "quality"),
     ),
     Query(
         "qx34_pq_encode",

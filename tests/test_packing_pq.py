@@ -608,3 +608,73 @@ def test_long_gram_two_lazy_calls_no_clobber(spark, tmp_path, monkeypatch):
     # consume only AFTER both pipelines were constructed+materialized
     assert len(uncapped.collect()) == 12 * 11 / 2
     assert capped.collect() == []
+
+
+# ------------------------------------------------------ budget select
+
+
+def test_budget_select_matches_naive_window(spark):
+    """Distributed two-level greedy fill == the naive global running
+    sum, including the boundary row (selected iff strictly-better
+    weight < budget, even when it overflows)."""
+    from gh_archive_clickhouse_spark.operators.packing import budget_select
+
+    rows = [(i, (i * 37) % 11 + 1, float((i * 7) % 5)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long, score double")
+    got = {
+        r.doc_id: r.tokens_before
+        for r in budget_select(
+            df, "w", 300,
+            [F.col("score").desc(), F.col("doc_id").asc()],
+        ).collect()
+    }
+    order = sorted(rows, key=lambda r: (-r[2], r[0]))
+    expect, acc = {}, 0
+    for doc_id, w, _ in order:
+        if acc < 300:
+            expect[doc_id] = acc
+        acc += w
+    assert got == expect
+    # boundary row overflows but is kept (greedy fill contract)
+    last = max(expect, key=lambda d: expect[d])
+    assert expect[last] < 300
+
+
+def test_budget_select_no_global_window_over_rows(spark):
+    """The scale contract: the only unpartitioned window runs over
+    the PER-PARTITION TOTALS, never the raw rows; offsets come back
+    via broadcast."""
+    import re
+
+    from gh_archive_clickhouse_spark.operators.packing import budget_select
+
+    docs = read(spark, SF_DIR, "documents")
+    df = budget_select(
+        docs.select("doc_id", F.lit(1).alias("w")),
+        "w",
+        100,
+        [F.col("doc_id").asc()],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # per-row running sum: PARTITIONED by __pid
+    assert re.search(r"windowspecdefinition\(__pid#\d+", plan), plan[:3000]
+    unpartitioned = [
+        ln
+        for ln in plan.splitlines()
+        if "Window [" in ln
+        and not re.search(r"windowspecdefinition\(__pid#\d+,", ln)
+    ]
+    assert len(unpartitioned) == 1 and "__pw" in unpartitioned[0], (
+        unpartitioned
+    )
+    assert "BroadcastExchange" in plan
+
+
+def test_budget_select_validates_budget(spark):
+    import pytest as _pytest
+
+    from gh_archive_clickhouse_spark.operators.packing import budget_select
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, w long")
+    with _pytest.raises(ValueError, match="budget"):
+        budget_select(df, "w", 0, [F.col("doc_id")])
