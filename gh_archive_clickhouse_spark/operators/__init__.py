@@ -22,6 +22,7 @@ from gh_archive_clickhouse_spark.operators.dedup import (
     simhash,
 )
 from gh_archive_clickhouse_spark.operators.packing import (
+    budget_select,
     densify_order,
     emit_packed_sequences,
     pack_coordinates,

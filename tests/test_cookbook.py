@@ -34,10 +34,43 @@ def test_readme_cookbook_composition(spark):
     span_pairs = long_gram_overlap_pairs(docs, gram=20)
     docs = dedup_survivors(docs, span_pairs)
 
-    keep = quality_score(docs).filter(F.col("quality") >= 0.75)
+    scored = quality_score(docs)
+    keep = scored.filter(F.col("quality") >= 0.75)
     docs = docs.join(keep.select("doc_id"), "doc_id", "left_semi")
     n_curated = docs.count()
     assert 0 < n_curated < n0  # both gates really cut something
+
+    # 3b. token-budget cap: best docs first (qx53's operator)
+    from gh_archive_clickhouse_spark.operators.packing import budget_select
+
+    sel = budget_select(
+        scored.join(docs.select("doc_id"), "doc_id", "left_semi"),
+        "n_tokens",
+        budget=5_000,
+        order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
+    )
+    docs = docs.join(sel.select("doc_id"), "doc_id", "left_semi")
+    n_budgeted = docs.count()
+    assert 0 < n_budgeted < n_curated  # the budget really cuts
+
+    # 3c. tokenizer training + pricing on the curated corpus
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_encode_stats,
+        bpe_vocab_build,
+    )
+
+    merges = [
+        (r.left, r.right, r.merged)
+        for r in bpe_vocab_build(docs, rounds=4).collect()
+    ]
+    assert len(merges) == 4
+    token_counts = bpe_encode_stats(docs, merges)
+    # BPE merges can only shrink the char-symbol count, never below
+    # the word count
+    priced = token_counts.join(sel, "doc_id").filter(
+        (F.col("n_bpe_tokens") < F.col("n_vocab_words"))
+    )
+    assert priced.count() == 0
 
     train = docs.filter(split_bucket("doc_id") < 98)
     dense = densify_order(train, "doc_id")
