@@ -191,6 +191,63 @@ def hot_blocks(
     )
 
 
+def near_duplicate_pairs_subdivided(
+    emb: DataFrame,
+    planes: list[list[int]],
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    dim: int | None = None,
+    max_block_size: int = NEARDUP_MAX_BLOCK,
+) -> DataFrame:
+    """Near-duplicate pairs with AUTOMATIC hot-block subdivision —
+    the production closure of :func:`near_duplicate_pairs`'s cap:
+    instead of excluding over-cap blocks, their members are
+    sub-blocked by an SRP-LSH bucket (:func:`srp_bucket` over
+    ``planes`` — map-only, training-free, deterministic) and paired
+    within (block, srp_bucket).
+
+    Cost: cold blocks pay exactly the base operator's sum(block²);
+    a hot block of size H splits into ≤ 2^planes sub-blocks of ~H/2^p
+    rows, so its pair volume drops quadratically with the plane
+    count. Recall: subdivision is the standard LSH trade — a true
+    near-dup pair lands in the same SRP bucket with probability
+    (1 - angle/π)^planes, so pairs straddling sub-buckets are missed;
+    more planes = cheaper and lower-recall. Degenerate sub-blocks
+    that STILL exceed the cap (identical vectors can defeat any
+    projection) remain excluded by the inner cap rather than going
+    quadratic.
+
+    A pair is emitted at most once: blocks partition the rows, and
+    within the hot side a pair needs equal (block, bucket).
+    """
+    hot = hot_blocks(emb, block_col, max_block_size).select(block_col)
+    cold = emb.join(hot, block_col, "left_anti")
+    # cold blocks are ≤ cap by construction — skip the inner re-check
+    cold_pairs = near_duplicate_pairs(
+        cold, block_col, id_col, vec_col, threshold, dim,
+        max_block_size=None,
+    )
+    # the hot list is ≤ n/cap rows — broadcast by construction
+    hot_emb = emb.join(F.broadcast(hot), block_col, "left_semi")
+    sub = srp_bucket(
+        hot_emb, planes, id_col=id_col, vec_col=vec_col
+    ).withColumn(
+        "__subblk",
+        F.concat_ws(
+            "#",
+            F.col(block_col).cast("string"),
+            F.col("bucket").cast("string"),
+        ),
+    )
+    hot_pairs = near_duplicate_pairs(
+        sub, "__subblk", id_col, vec_col, threshold, dim,
+        max_block_size=max_block_size,
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
 def near_duplicate_pairs(
     emb: DataFrame,
     block_col: str = "label",

@@ -204,6 +204,30 @@ def qx10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicate_pairs(emb, threshold=0.5, dim=EMB_DIM)
 
 
+QX54_CAP = 50
+
+
+def qx54_subdivided_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with AUTOMATIC hot-block subdivision
+    (operators/similarity.near_duplicate_pairs_subdivided): the cap's
+    production closure — over-cap label blocks are sub-blocked by the
+    deterministic SRP bucket (the qx14 planes) and paired within
+    (label, bucket) instead of being dropped. The cap is set to 50 so
+    the fixture genuinely exercises BOTH paths (4 of 10 labels are hot
+    at sf0.01; all at sf0.1). The oracle mirrors the full decision
+    tree: cold-block pairs + SRP-sub-blocked hot pairs with the inner
+    cap re-applied to degenerate sub-blocks."""
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        near_duplicate_pairs_subdivided,
+    )
+
+    emb = read(spark, sf_dir, "embeddings")
+    return near_duplicate_pairs_subdivided(
+        emb, SRP_SIGNS, threshold=0.35, dim=EMB_DIM,
+        max_block_size=QX54_CAP,
+    )
+
+
 def qx11_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read(spark, sf_dir, "embeddings")
     centroids = emb.filter(F.col("vec_id") < 8).select(
@@ -643,6 +667,39 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_sql_cosine('a.ed', 'b.ed')}, 6) AS cos_sim
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round({_sql_cosine('a.ed', 'b.ed')}, 6) >= 0.5
+"""
+
+# qx54: the full subdivision decision tree — cold-block pairs as in
+# qx10 (at the qx54 cap), hot-block members re-bucketed by the qx14
+# SRP projection and paired within (label, bucket), degenerate
+# sub-blocks re-excluded by the same cap.
+_ORACLE_QX54 = f"""
+WITH e AS (SELECT vec_id, label, {_ED} AS ed FROM embeddings),
+hot AS (SELECT label FROM e GROUP BY label HAVING count(*) > {QX54_CAP}),
+cold AS (SELECT * FROM e WHERE label NOT IN (SELECT label FROM hot)),
+cp AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_sql_cosine('a.ed', 'b.ed')}, 6) AS cos_sim
+  FROM cold a JOIN cold b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({_sql_cosine('a.ed', 'b.ed')}, 6) >= 0.35
+),
+hotv AS (
+  SELECT vec_id, label, ed, CAST({_srp_bucket_sql} AS INTEGER) AS bucket
+  FROM e WHERE label IN (SELECT label FROM hot)
+),
+okblk AS (
+  SELECT label, bucket FROM hotv GROUP BY label, bucket
+  HAVING count(*) <= {QX54_CAP}
+),
+hv AS (SELECT h.* FROM hotv h JOIN okblk USING (label, bucket)),
+hp AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_sql_cosine('a.ed', 'b.ed')}, 6) AS cos_sim
+  FROM hv a JOIN hv b
+    ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({_sql_cosine('a.ed', 'b.ed')}, 6) >= 0.35
+)
+SELECT * FROM cp UNION ALL SELECT * FROM hp
 """
 
 _ORACLE_QX11 = f"""
@@ -2718,6 +2775,15 @@ QUERIES = [
         qx53_budget_selection,
         _ORACLE_QX53,
         tags=("ext", "text", "quality"),
+    ),
+    Query(
+        "qx54_subdivided_neardup",
+        "embedding near-dup with automatic hot-block subdivision: "
+        "over-cap blocks re-bucketed by SRP and paired within "
+        "(label, bucket)",
+        qx54_subdivided_neardup,
+        _ORACLE_QX54,
+        tags=("ext", "dedup", "similarity"),
     ),
     Query(
         "qx34_pq_encode",

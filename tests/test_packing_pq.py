@@ -678,3 +678,45 @@ def test_budget_select_validates_budget(spark):
     df = spark.createDataFrame([(1, 1)], "doc_id long, w long")
     with _pytest.raises(ValueError, match="budget"):
         budget_select(df, "w", 0, [F.col("doc_id")])
+
+
+def test_neardup_subdivision_recovers_hot_block_pairs(spark):
+    """The cap's production closure: a hot block's pairs are NOT lost
+    — its members re-bucket by SRP and pair within (block, bucket);
+    a degenerate sub-block still over the cap stays excluded."""
+    from gh_archive_clickhouse_spark.operators.similarity import (
+        near_duplicate_pairs,
+        near_duplicate_pairs_subdivided,
+    )
+
+    e1, e2 = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]
+    planes = [[1, -1, 1, -1]]  # e1 -> bucket 1, e2 -> bucket 0
+    cold = [(100 + i, "cold", e1) for i in range(4)]
+    hot = [(200 + i, "hot", e1) for i in range(8)] + [
+        (300 + i, "hot", e2) for i in range(8)
+    ]
+    df = _emb(spark, cold + hot)  # "hot" has 16 rows, cap is 10
+
+    base = near_duplicate_pairs(
+        df, threshold=0.5, dim=4, max_block_size=10
+    ).collect()
+    assert len(base) == 6  # cold only: C(4,2); hot block dropped
+
+    sub = near_duplicate_pairs_subdivided(
+        df, planes, threshold=0.5, dim=4, max_block_size=10
+    ).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in sub}
+    # cold pairs intact + each hot direction pairs within its bucket
+    assert len(pairs) == 6 + 28 + 28
+    assert (200, 201) in pairs and (300, 301) in pairs
+    # no cross-direction pair leaked (different SRP buckets)
+    assert not any(a < 300 <= b for a, b in pairs if a >= 200)
+
+    # a degenerate sub-block that still exceeds the cap stays excluded
+    degen = [(400 + i, "degen", e1) for i in range(30)]
+    out = near_duplicate_pairs_subdivided(
+        _emb(spark, cold + degen), planes,
+        threshold=0.5, dim=4, max_block_size=10,
+    ).collect()
+    assert len(out) == 6  # cold pairs only
+    assert all(r.vec_a < 200 and r.vec_b < 200 for r in out)
