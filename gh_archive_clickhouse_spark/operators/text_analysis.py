@@ -523,3 +523,59 @@ def bpe_encode_stats(
             F.sum("n_tokens").alias("n_bpe_tokens"),
         )
     )
+
+
+# ------------------------------------------------- corpus rarity (LM)
+
+RARITY_SCALE = 1_000
+
+
+def rarity_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc inverse-frequency rarity — the perplexity-proxy quality
+    signal (CCNet-style LM filtering) without transcendentals: docs
+    dominated by corpus-rare words score high, boilerplate scores low.
+
+    A word's rarity is ``total_tokens / count(word)`` (the unigram
+    1/p(w)), kept ENGINE-EXACT as the integer
+    ``(RARITY_SCALE * total) div count`` — floor division on BIGINTs
+    is bit-identical everywhere, and the per-doc SUM of integers is
+    order-independent, so the result hash-matches any SQL oracle
+    (log-based perplexity would ride on log() ULP differences between
+    runtimes; see qx38's exp-free squash for the same policy). One
+    double division at the very end converts to a mean.
+
+    Scale shape: ONE shuffle builds the corpus vocabulary
+    (map-side-combined), its 1-row total broadcasts, the corpus-side
+    explode joins the vocabulary (AQE picks broadcast vs shuffle by
+    the vocabulary's real size) and folds per doc. Overflow bound:
+    sum_rarity_milli < n_doc_tokens * RARITY_SCALE * total, which
+    fits BIGINT through ~1e15-token corpora; raise to DECIMAL(38,0)
+    accumulation beyond that.
+
+    Returns (id_col, n_tokens, sum_rarity_milli, mean_rarity); docs
+    with zero tokens drop out.
+    """
+    corpus = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    vocab = corpus.groupBy("word").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__t"))
+    joined = (
+        corpus.join(vocab, "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.expr(f"({RARITY_SCALE} * __t) div __c").alias("__rm"),
+        )
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("__rm")
+    return joined.groupBy(id_col).agg(
+        n.cast("int").alias("n_tokens"),
+        s.alias("sum_rarity_milli"),
+        F.round(
+            (s / n).cast("double") / F.lit(float(RARITY_SCALE)), 6
+        ).alias("mean_rarity"),
+    )

@@ -1700,6 +1700,41 @@ _ORACLE_QX51 = _bpe_oracle(BPE_ROUNDS)
 _ORACLE_QX52 = _bpe_encode_oracle(BPE_ROUNDS)
 
 
+def qx55_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency rarity per doc (operators/text_analysis.
+    rarity_score) — the perplexity-proxy LM quality signal, kept
+    engine-exact by floor-dividing in BIGINT space instead of taking
+    logs (log() ULP drift between runtimes would break hash parity;
+    same policy as qx38's exp-free squash). One corpus shuffle for
+    the vocabulary, broadcast 1-row total, AQE-decided join back,
+    integer-exact per-doc fold."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        rarity_score,
+    )
+
+    return rarity_score(read(spark, sf_dir, "documents"))
+
+
+_ORACLE_QX55 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS word FROM documents
+), v AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY word
+), t AS (
+  SELECT CAST(sum(c) AS BIGINT) AS tt FROM v
+), j AS (
+  SELECT doc_id, (1000 * t.tt) // v.c AS rm
+  FROM toks JOIN v USING (word) CROSS JOIN t
+)
+SELECT doc_id,
+       CAST(count(*) AS INTEGER) AS n_tokens,
+       CAST(sum(rm) AS BIGINT) AS sum_rarity_milli,
+       round((CAST(sum(rm) AS DOUBLE) / count(*)) / 1000.0, 6)
+         AS mean_rarity
+FROM j GROUP BY doc_id
+"""
+
+
 TOKEN_BUDGET = 12_000
 
 
@@ -2784,6 +2819,14 @@ QUERIES = [
         qx54_subdivided_neardup,
         _ORACLE_QX54,
         tags=("ext", "dedup", "similarity"),
+    ),
+    Query(
+        "qx55_rarity_score",
+        "inverse-frequency rarity per doc (perplexity-proxy LM "
+        "filter), integer-exact via BIGINT floor division",
+        qx55_rarity_score,
+        _ORACLE_QX55,
+        tags=("ext", "text", "quality"),
     ),
     Query(
         "qx34_pq_encode",

@@ -50,6 +50,7 @@ _NEW_R6 = (
     "qx52_bpe_encode",
     "qx53_budget_selection",
     "qx54_subdivided_neardup",
+    "qx55_rarity_score",
 )
 # Round-3 rows, two driver rounds stale — the oldest official signal
 # in the repo; every one of these must land in the round-6 window
@@ -100,7 +101,6 @@ _R4_REFRESH = (
     "qt1_pricing_summary",
     "qt2_regional_revenue",
     "qt10_window_battery",
-    "qt12_shipping_priority",
 )
 
 

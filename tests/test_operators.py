@@ -1008,3 +1008,30 @@ def test_bpe_encode_stats_matches_reference(spark):
             expect[i] = (len(ws), sum(encode(w) for w in ws))
     assert got == expect
     assert 2 not in got  # punctuation-only doc dropped
+
+
+def test_rarity_score_matches_reference(spark):
+    """Integer-exact inverse-frequency rarity == a literal Python
+    computation; zero-token docs drop out."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        rarity_score,
+    )
+
+    texts = ["a a b", "b c", ""]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.sum_rarity_milli, r.mean_rarity)
+        for r in rarity_score(docs).collect()
+    }
+    # vocab: a=2, b=2, c=1; total=5
+    rm = {"a": 1000 * 5 // 2, "b": 1000 * 5 // 2, "c": 1000 * 5 // 1}
+    expect = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w]
+        if ws:
+            s = sum(rm[w] for w in ws)
+            expect[i] = (len(ws), s, round(s / len(ws) / 1000.0, 6))
+    assert got == expect
+    assert 2 not in got
