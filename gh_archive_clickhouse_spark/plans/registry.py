@@ -51,6 +51,7 @@ _NEW_R6 = (
     "qx53_budget_selection",
     "qx54_subdivided_neardup",
     "qx55_rarity_score",
+    "qs12_stream_budget_admission",
 )
 # Round-3 rows, two driver rounds stale — the oldest official signal
 # in the repo; every one of these must land in the round-6 window
@@ -100,7 +101,6 @@ _R4_REFRESH = (
     "qe15_hourly_anomaly",
     "qt1_pricing_summary",
     "qt2_regional_revenue",
-    "qt10_window_battery",
 )
 
 

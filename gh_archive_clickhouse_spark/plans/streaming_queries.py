@@ -42,6 +42,29 @@ _ORACLE_QS11 = (
     "WHERE quality >= 0.75"
 )
 
+# qs12: arrival order across the two doc_id-range micro-batches IS
+# plain doc_id order per source, and admitted-so-far == seen-so-far
+# for every admitted row (admission is a prefix), so the stateful
+# stream must equal this running-sum cut. The budget literal is
+# interpolated from ADMISSION_BUDGET (single source of truth).
+_ORACLE_QS12_TMPL = """
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS INTEGER) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS tokens_before
+  FROM t
+)
+SELECT source, doc_id, n_tokens, tokens_before
+FROM c WHERE tokens_before < {budget}
+"""
+
 _SEQ = itertools.count()
 
 _STREAM_PARTITIONS = 8
@@ -621,6 +644,89 @@ def qs11_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+ADMISSION_BUDGET = 1_000
+
+
+def qs12_stream_budget_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STATEFUL token-budget admission BY A STREAM (streaming/
+    analytics.token_budget_admission — the streaming twin of qx53's
+    batch budget cut): per source, documents are admitted in arrival
+    order until the source's cumulative admitted tokens reach the
+    budget; everything after is rejected before storage. State is one
+    long per source.
+
+    The fixture arrives as TWO micro-batches split by doc_id range
+    (every source spans both halves, so batch 2's admissions
+    genuinely depend on batch 1's accumulated state) with file
+    mtimes pinned far apart, making the file-stream's
+    modification-time ordering — and therefore the admission
+    sequence — deterministic. Arrival order is then plain doc_id
+    order per source, which is exactly the running sum the oracle
+    evaluates."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from gh_archive_clickhouse_spark.streaming.analytics import (
+        token_budget_admission,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.percentile_approx("doc_id", 0.5, 10000)
+    ).first()[0]
+    base = tempfile.mkdtemp(prefix="qs12_")
+    try:
+        src = f"{base}/docs"
+
+        def _parquet_files() -> set:
+            return {
+                f for f in os.listdir(src) if f.endswith(".parquet")
+            }
+
+        docs.filter(F.col("doc_id") < mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        first = _parquet_files()
+        docs.filter(F.col("doc_id") >= mid).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        second = _parquet_files() - first
+        # Pin file mtimes far apart so the file-stream's
+        # modification-time ordering matches the doc_id-range split
+        # regardless of write timing (same-second writes would
+        # otherwise tie and fall back to arbitrary path order).
+        now = time.time()
+        for f in first:
+            os.utime(f"{src}/{f}", (now, now))
+        for f in second:
+            os.utime(f"{src}/{f}", (now + 100, now + 100))
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _stream_shuffle_partitions(spark):
+            name = f"qs12_admitted_{next(_SEQ)}"
+            q = (
+                token_budget_admission(stream, ADMISSION_BUDGET)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            out = spark.table(name).localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _ORACLE_QS9 = """
 WITH cohorts AS (
   SELECT user_id, min(ts) AS signup_ts FROM events
@@ -728,6 +834,15 @@ QUERIES = [
         "filter into replay-idempotent epoch partitions",
         qs11_stream_quality_gate,
         _ORACLE_QS11,
+        tags=("streaming", "quality"),
+    ),
+    Query(
+        "qs12_stream_budget_admission",
+        "stateful per-source token-budget admission: two range-split "
+        "micro-batches, one long of state per source, admission "
+        "prefix == the batch running-sum cut",
+        qs12_stream_budget_admission,
+        _ORACLE_QS12_TMPL.format(budget=ADMISSION_BUDGET),
         tags=("streaming", "quality"),
     ),
     Query(

@@ -222,3 +222,88 @@ def view_purchase_attribution(
         ],
         how="inner",
     ).select("purchase_id", "view_id", "p_user", "purchase_ts", "view_ts")
+
+
+# ---- stateful token-budget admission (the streaming qx53) ------------
+
+_ADMIT_STATE_SCHEMA = "admitted long"
+_ADMIT_OUTPUT_SCHEMA = (
+    "source string, doc_id long, n_tokens int, tokens_before long"
+)
+
+
+def _budget_admission(budget: int):
+    def _admit(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        admitted = state.get[0] if state.exists else 0
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        rows = (
+            pd.concat(pdfs).sort_values("doc_id")
+            if pdfs
+            else pd.DataFrame(columns=["doc_id", "n_tokens"])
+        )
+        out: dict[str, list] = {
+            "source": [], "doc_id": [], "n_tokens": [],
+            "tokens_before": [],
+        }
+        for doc_id, n in zip(rows["doc_id"], rows["n_tokens"]):
+            if admitted < budget:
+                out["source"].append(key[0])
+                out["doc_id"].append(int(doc_id))
+                out["n_tokens"].append(int(n))
+                out["tokens_before"].append(int(admitted))
+                admitted += int(n)
+        state.update((int(admitted),))
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64", "n_tokens": "int32",
+                "tokens_before": "int64",
+            }
+        )
+
+    return _admit
+
+
+def token_budget_admission(docs: DataFrame, budget: int) -> DataFrame:
+    """Per-source token-budget ADMISSION over a document stream — the
+    streaming twin of the batch budget cut (operators/packing.
+    budget_select): each source admits documents in arrival order
+    until its cumulative admitted tokens reach ``budget``; everything
+    after is rejected before storage. The ingest-side cap a curation
+    pipeline applies per data source.
+
+    State is ONE long per source (cumulative admitted tokens) —
+    O(sources) forever, no timeout needed. Token counting runs
+    codegen-side BEFORE the kernel (F.size over the split, not
+    Python), so the Arrow boundary carries only (source, doc_id,
+    n_tokens). Within a micro-batch each source's slice is admitted
+    in doc_id order (the kernel sorts — micro-batch row order is not
+    deterministic, doc_id order is); across batches the admission
+    depends on the accumulated state, which is exactly what the
+    qs12 two-batch oracle pins.
+
+    A doc is admitted iff the source's previously-ADMITTED tokens are
+    under the budget (greedy fill, boundary doc may overflow — the
+    qx53 contract). After the first rejection nothing is ever
+    admitted again for that source, so admitted-so-far equals
+    seen-so-far for every admitted row — which is what makes the
+    declarative oracle (a per-source running sum in arrival order)
+    exact.
+    """
+    from gh_archive_clickhouse_spark.functions.text import tokens
+
+    slim = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("int").alias("n_tokens"),
+    )
+    return slim.groupBy("source").applyInPandasWithState(
+        _budget_admission(budget),
+        outputStructType=_ADMIT_OUTPUT_SCHEMA,
+        stateStructType=_ADMIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -591,3 +591,41 @@ def test_incremental_ivfpq_equals_batch_build_and_bounds_files(
         if d.is_dir()
     ]
     assert sub and all(s.startswith("cluster_id=") for s in sub), sub
+
+
+def test_stream_budget_admission_is_stateful_prefix(spark):
+    """qs12's operator: per-source admissions are exactly the doc_id-
+    prefix whose cumulative tokens stay under the budget, with batch
+    2's decisions depending on batch 1's accumulated state (the split
+    puts every source in both batches)."""
+    from gh_archive_clickhouse_spark.plans.streaming_queries import (
+        qs12_stream_budget_admission,
+    )
+
+    rows = qs12_stream_budget_admission(spark, SF_DIR).collect()
+    assert rows
+    docs = read(spark, SF_DIR, "documents").select(
+        "source", "doc_id", F.size(
+            F.array_remove(F.split(F.col("text"), " "), "")
+        ).alias("n")
+    ).collect()
+    by_source: dict = {}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        by_source.setdefault(r.source, []).append((r.doc_id, r.n))
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r.source, {})[r.doc_id] = (
+            r.n_tokens, r.tokens_before
+        )
+    from gh_archive_clickhouse_spark.plans.streaming_queries import (
+        ADMISSION_BUDGET,
+    )
+
+    for source, seq in by_source.items():
+        acc = 0
+        expect = {}
+        for doc_id, n in seq:
+            if acc < ADMISSION_BUDGET:
+                expect[doc_id] = (n, acc)
+            acc += n
+        assert got.get(source, {}) == expect, source
