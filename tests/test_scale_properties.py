@@ -343,3 +343,43 @@ def test_packed_sequence_emission_tiles_exactly_at_10x(spark):
             assert start == pos, (d, parts)
             pos += ln
         assert pos == n_toks[d]
+
+
+def test_budget_select_invariant_to_partitioning_at_10x(spark):
+    """The budget cut on the 10× corpus is a pure function of the
+    data: the same rows (and the same tokens_before witnesses) come
+    back no matter how the input is partitioned — the property that
+    makes the range-partition + offset recurrence safe on any cluster
+    layout — and the selection is the exact greedy prefix."""
+    from gh_archive_clickhouse_spark.functions.text import tokens
+    from gh_archive_clickhouse_spark.operators.packing import budget_select
+
+    base = _inflated(spark).select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("w")
+    )
+    order = [F.col("doc_id").asc()]
+    a = {
+        (r.doc_id, r.tokens_before)
+        for r in budget_select(base, "w", 5_000, order).collect()
+    }
+    b = {
+        (r.doc_id, r.tokens_before)
+        for r in budget_select(
+            base.repartition(37), "w", 5_000, order
+        ).collect()
+    }
+    c = {
+        (r.doc_id, r.tokens_before)
+        for r in budget_select(
+            base.coalesce(1), "w", 5_000, order
+        ).collect()
+    }
+    assert a == b == c and a
+    # exact greedy prefix: max doc_id selected has every smaller id
+    # selected too, and the boundary row starts under the budget
+    ids = sorted(d for d, _ in a)
+    all_ids = sorted(
+        r.doc_id for r in base.filter(F.col("doc_id") <= ids[-1]).collect()
+    )
+    assert ids == all_ids
+    assert max(t for _, t in a) < 5_000
