@@ -251,6 +251,53 @@ def materialize(
     return df.localCheckpoint(eager=False)
 
 
+_SHIPPED_CONTEXTS: set[str] = set()
+_PKG_ZIP: str | None = None
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Make the engine importable by PYTHON WORKERS regardless of the
+    host session's working directory.
+
+    Arrow kernels (mapInPandas / applyInPandasWithState) are pickled
+    BY MODULE REFERENCE, so executors must import
+    ``gh_archive_clickhouse_spark`` themselves. A session launched
+    from the repo root inherits it via cwd; any other launch dir (or
+    a real cluster without the package installed on executors) would
+    fail with ModuleNotFoundError deep inside the first Arrow stage.
+    Fix: zip the package once per process and ``addPyFile`` it once
+    per SparkContext — Spark ships the zip to every executor and adds
+    it to worker sys.path. On a cluster where the package IS properly
+    installed this is a no-op duplicate at the END of sys.path
+    (site-packages wins).
+    """
+    global _PKG_ZIP
+    sc = spark.sparkContext
+    ctx_id = sc.applicationId
+    if ctx_id in _SHIPPED_CONTEXTS:
+        return
+    if _PKG_ZIP is None:
+        import os
+        import tempfile
+        import zipfile
+
+        pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        root = os.path.dirname(pkg_dir)
+        fd, zpath = tempfile.mkstemp(
+            prefix="gh_archive_clickhouse_spark_", suffix=".zip"
+        )
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        zf.write(full, os.path.relpath(full, root))
+        _PKG_ZIP = zpath
+    sc.addPyFile(_PKG_ZIP)
+    _SHIPPED_CONTEXTS.add(ctx_id)
+
+
 def read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read a fixture table, normalizing nanosecond timestamps.
 
@@ -263,6 +310,9 @@ def read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # own SparkSession): nanosecond parquet support and a UTC session
     # timezone are part of this engine's semantics, not optional tuning
     # — timestamp formatting must not depend on the host JVM timezone.
+    # Likewise the package must reach the Python workers even when the
+    # session was launched outside the repo root.
+    ensure_package_on_workers(spark)
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if spark.conf.get("spark.sql.session.timeZone") != "UTC":
