@@ -574,10 +574,13 @@ Y4M_SIG = b"YUV4MPEG2 "
 Y4M_WIDTH = 8
 Y4M_HEIGHT = 4
 
-# Luma plane byte count per colorspace tag (chroma planes for the
-# subsampled spaces follow the luma plane and are skipped for stats).
+# Frame byte count per W*H for each supported 8-BIT colorspace tag
+# (chroma planes for the subsampled spaces follow the luma plane and
+# are skipped for stats). Exact tags only: high-bit-depth variants
+# (Cmono16, C420p10, ...) pack 2 bytes/sample and MUST raise rather
+# than be silently misparsed as their 8-bit namesakes.
 _Y4M_FRAME_FACTOR = {
-    "mono": 1.0,
+    "Cmono": 1.0,
     "C420": 1.5,
     "C420jpeg": 1.5,
     "C420paldv": 1.5,
@@ -655,11 +658,11 @@ def _decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
             cspace = t
     if not width or not height:
         raise ValueError("Y4M header missing W/H")
-    key = "mono" if cspace.startswith("Cmono") else cspace
-    factor = _Y4M_FRAME_FACTOR.get(key)
+    factor = _Y4M_FRAME_FACTOR.get(cspace)
     if factor is None:
         raise NotImplementedError(
-            f"unsupported Y4M colorspace {cspace!r}"
+            f"unsupported Y4M colorspace {cspace!r} (8-bit "
+            f"{sorted(_Y4M_FRAME_FACTOR)} only)"
         )
     luma = width * height
     frame_bytes = int(luma * factor)

@@ -159,8 +159,9 @@ class Query:
 # the same path would silently replace the earlier call's data).
 _SCRATCH_SEQ = itertools.count()
 # Scratch trees from OTHER applications older than this are garbage-
-# collected on this process's first durable materialize. A day is far
-# past any plausible concurrent-job overlap; tests set it to 0.
+# collected on this process's first SCRATCH materialize (durable
+# writes never sweep). A day is far past any plausible concurrent-job
+# overlap; tests set it to 0.
 SCRATCH_TTL_ENV = "SPARK_GRAFT_SCRATCH_TTL"
 _SWEPT = False
 
@@ -191,12 +192,19 @@ def sweep_scratch(
     removed = []
     now = time.time()
     for d in scratch.iterdir():
-        if not d.is_dir() or d.name == current_app_id:
+        # Another application sweeping the same shared dir can delete
+        # a tree out from under this scan — a vanishing entry is just
+        # "already swept", never an error (matching the
+        # ignore_errors rmtree below).
+        try:
+            if not d.is_dir() or d.name == current_app_id:
+                continue
+            newest = max(
+                (p.stat().st_mtime for p in d.rglob("*")),
+                default=d.stat().st_mtime,
+            )
+        except OSError:
             continue
-        newest = max(
-            (p.stat().st_mtime for p in d.rglob("*")),
-            default=d.stat().st_mtime,
-        )
         if now - newest >= min_age_seconds:
             shutil.rmtree(d, ignore_errors=True)
             removed.append(d.name)

@@ -1656,15 +1656,19 @@ t{n} AS (
 ),
 w{n} AS (
   SELECT word,
-         CASE WHEN len(syms) < 2 THEN syms
+         CASE WHEN t.l IS NULL OR len(syms) < 2 THEN syms
          ELSE string_split(list_reduce(syms, (acc, x) ->
            CASE WHEN {last} = t.l AND x = t.r
                 THEN substr(acc, 1, len(acc) - len({last})) || t.merged
                 ELSE acc || ' ' || x END), ' ') END AS syms,
          wcnt
-  FROM w{n - 1}, t{n} t
+  FROM w{n - 1} LEFT JOIN t{n} t ON TRUE
 )""")
-        # the cross join with the 1-row t{n} applies the merge
+        # LEFT JOIN ON TRUE (not a cross join): when a round elects
+        # NO pair (corpus exhausted before BPE_ROUNDS), t{n} is empty
+        # and a cross join would empty the whole word table — the
+        # encode dictionary (qx52) must instead pass through
+        # unchanged, matching bpe_encode_stats' early stop.
     return "WITH " + ",".join(parts)
 
 

@@ -63,17 +63,19 @@ FOLD_MANIFEST = "_fold_manifest.json"
 
 def _consolidated_file_bytes(
     cons: Path, major_names: set[str]
-) -> tuple[int, int]:
+) -> tuple[int, int, int]:
     """(bytes written by the last major rewrite, bytes minor-appended
-    since) for the consolidated partition dir."""
-    major_b = minor_b = 0
+    since, COUNT of minor-appended files) for the consolidated
+    partition dir."""
+    major_b = minor_b = minor_n = 0
     if cons.exists():
         for f in cons.rglob("*.parquet"):
             if str(f.relative_to(cons)) in major_names:
                 major_b += f.stat().st_size
             else:
                 minor_b += f.stat().st_size
-    return major_b, minor_b
+                minor_n += 1
+    return major_b, minor_b, minor_n
 
 
 def _compact_old_epochs(
@@ -86,6 +88,7 @@ def _compact_old_epochs(
     partition_cols: list[str] | None = None,
     tier_factor: int = 4,
     target_file_bytes: int = 128 << 20,
+    max_minor_files: int = 64,
 ) -> str:
     """Fold committed epoch partitions into the consolidated
     ``epoch=-1`` partition so the long-running table's directory count
@@ -120,7 +123,15 @@ def _compact_old_epochs(
 
     Between major rewrites the consolidated partition accumulates one
     small file set per minor fold (LSM L0-style); readers just see
-    more files, never more rows.
+    more files, never more rows. The byte tier alone would let a huge
+    consolidation sit behind an UNBOUNDED pile of tiny minor files
+    (1 TB of history gates ~250 GB of minors — 100k+ loose files), so
+    a second trigger caps the pile: once more than
+    ``max_minor_files`` minor files have accumulated, the major
+    rewrite runs regardless of bytes. That re-admits at most
+    O(S per max_minor_files minor folds) rewrite work — the standard
+    LSM L0 file-count compromise, a constant factor bounded by the
+    threshold, not the per-keep_epochs O(N²) this design replaces.
 
     Safety argument (at-least-once foreachBatch): once epoch E starts,
     epochs < E are committed and will never be replayed, so folding
@@ -174,8 +185,14 @@ def _compact_old_epochs(
             )
         except (ValueError, OSError):
             major_names = set()
-    major_b, minor_b = _consolidated_file_bytes(cons, major_names)
-    if major_b and minor_b * tier_factor < major_b:
+    major_b, minor_b, minor_n = _consolidated_file_bytes(
+        cons, major_names
+    )
+    if (
+        major_b
+        and minor_b * tier_factor < major_b
+        and minor_n <= max_minor_files
+    ):
         return "minor"
     # ---- major fold: read, dedup, rewrite in parallel
     folded = (

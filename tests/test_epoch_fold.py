@@ -179,3 +179,55 @@ def test_major_fold_bucket_count_scales_with_bytes(spark, tmp_path):
     got = spark.read.schema(SCHEMA).parquet(path)
     assert got.count() == 8000
     assert got.select("doc_id").distinct().count() == 8000
+
+
+def test_file_count_trigger_caps_minor_pile(spark, tmp_path):
+    """The byte tier alone would let a huge consolidation sit behind
+    an unbounded pile of tiny minor files; the max_minor_files
+    trigger forces the major rewrite once the pile exceeds the cap."""
+    path = str(tmp_path / "t")
+    for e in range(2):
+        _write_epoch(spark, path, e, e * 3000, e * 3000 + 3000)
+    assert (
+        _compact_old_epochs(
+            spark, path, SCHEMA, 2, ["doc_id"], keep_epochs=2
+        )
+        == "major"
+    )
+    # tiny epochs: bytes never reach the tier, but the file pile does
+    kinds = []
+    e = 3
+    for _ in range(4):
+        _write_epoch(spark, path, e, 100000 + e * 10, 100000 + e * 10 + 5)
+        _write_epoch(
+            spark, path, e + 1, 200000 + e * 10, 200000 + e * 10 + 5
+        )
+        kinds.append(
+            _compact_old_epochs(
+                spark, path, SCHEMA, e + 2, ["doc_id"],
+                keep_epochs=2, tier_factor=4, max_minor_files=5,
+            )
+        )
+        e += 2
+    assert "major" in kinds, kinds
+    # after the forced major, the pile is gone (manifest covers all)
+    import json
+    from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        _consolidated_file_bytes,
+    )
+
+    major_names = set(
+        json.loads((Path(path) / FOLD_MANIFEST).read_text())[
+            "major_files"
+        ]
+    )
+    last_kind = kinds[-1]
+    _mb, _nb, minor_n = _consolidated_file_bytes(
+        Path(path) / "epoch=-1", major_names
+    )
+    if last_kind == "major":
+        assert minor_n == 0
+    else:
+        assert minor_n <= 5 + 2  # bounded pile between majors
+    got = spark.read.schema(SCHEMA).parquet(path)
+    assert got.count() == 6000 + 8 * 5

@@ -247,6 +247,10 @@ def test_y4m_decoder_parses_foreign_streams_and_rejects_unknown():
         _decode_y4m(b"\x00\x00\x01\xbampeg-ps-ish")
     with pytest.raises(ValueError, match="truncated"):
         _decode_y4m(b"YUV4MPEG2 W4 H2 Cmono\nFRAME\n\x01\x02")
+    # high-bit-depth variants pack 2 bytes/sample — must DECLARE,
+    # never silently misparse as their 8-bit namesakes
+    with pytest.raises(NotImplementedError, match="colorspace"):
+        _decode_y4m(b"YUV4MPEG2 W2 H1 Cmono16\nFRAME\n\x00\x01\x00\x02")
 
 
 def test_sample_frames_takes_real_path_for_y4m(spark):
