@@ -543,8 +543,13 @@ def rarity_score(
     is bit-identical everywhere, and the per-doc SUM of integers is
     order-independent, so the result hash-matches any SQL oracle
     (log-based perplexity would ride on log() ULP differences between
-    runtimes; see qx38's exp-free squash for the same policy). One
-    double division at the very end converts to a mean.
+    runtimes; see qx38's exp-free squash for the same policy). The
+    MEAN stays integer too — micro-units via the overflow-safe split
+    ``(s div n)*1000 + ((s mod n)*1000) div n`` — because one double
+    division at the end was enough to hash-mismatch: at sf0.1 a real
+    doc landed exactly on a round(x, 6) half-boundary
+    (2406083/80/1000 = 30.0760375) where Spark's BigDecimal HALF_UP
+    and DuckDB's binary rounding disagree.
 
     Scale shape: ONE shuffle builds the corpus vocabulary
     (map-side-combined), its 1-row total broadcasts, the corpus-side
@@ -554,8 +559,8 @@ def rarity_score(
     fits BIGINT through ~1e15-token corpora; raise to DECIMAL(38,0)
     accumulation beyond that.
 
-    Returns (id_col, n_tokens, sum_rarity_milli, mean_rarity); docs
-    with zero tokens drop out.
+    Returns (id_col, n_tokens, sum_rarity_milli, mean_rarity_micro);
+    docs with zero tokens drop out.
     """
     corpus = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
@@ -570,12 +575,18 @@ def rarity_score(
             F.expr(f"({RARITY_SCALE} * __t) div __c").alias("__rm"),
         )
     )
-    n = F.count(F.lit(1))
-    s = F.sum("__rm")
-    return joined.groupBy(id_col).agg(
-        n.cast("int").alias("n_tokens"),
-        s.alias("sum_rarity_milli"),
-        F.round(
-            (s / n).cast("double") / F.lit(float(RARITY_SCALE)), 6
-        ).alias("mean_rarity"),
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.sum("__rm").alias("sum_rarity_milli"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_tokens",
+        "sum_rarity_milli",
+        (
+            F.expr("sum_rarity_milli div n_tokens") * F.lit(1000)
+            + F.expr(
+                "((sum_rarity_milli % n_tokens) * 1000) div n_tokens"
+            )
+        ).cast("long").alias("mean_rarity_micro"),
     )

@@ -1733,8 +1733,9 @@ WITH toks AS (
 SELECT doc_id,
        CAST(count(*) AS INTEGER) AS n_tokens,
        CAST(sum(rm) AS BIGINT) AS sum_rarity_milli,
-       round((CAST(sum(rm) AS DOUBLE) / count(*)) / 1000.0, 6)
-         AS mean_rarity
+       CAST((sum(rm) // count(*)) * 1000
+            + ((sum(rm) % count(*)) * 1000) // count(*)
+            AS BIGINT) AS mean_rarity_micro
 FROM j GROUP BY doc_id
 """
 

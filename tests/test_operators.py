@@ -1026,7 +1026,7 @@ def test_rarity_score_matches_reference(spark):
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
     got = {
-        r.doc_id: (r.n_tokens, r.sum_rarity_milli, r.mean_rarity)
+        r.doc_id: (r.n_tokens, r.sum_rarity_milli, r.mean_rarity_micro)
         for r in rarity_score(docs).collect()
     }
     # vocab: a=2, b=2, c=1; total=5
@@ -1036,6 +1036,7 @@ def test_rarity_score_matches_reference(spark):
         ws = [w for w in t.split(" ") if w]
         if ws:
             s = sum(rm[w] for w in ws)
-            expect[i] = (len(ws), s, round(s / len(ws) / 1000.0, 6))
+            micro = (s // len(ws)) * 1000 + ((s % len(ws)) * 1000) // len(ws)
+            expect[i] = (len(ws), s, micro)
     assert got == expect
     assert 2 not in got
