@@ -544,22 +544,25 @@ def rarity_score(
     order-independent, so the result hash-matches any SQL oracle
     (log-based perplexity would ride on log() ULP differences between
     runtimes; see qx38's exp-free squash for the same policy). The
-    MEAN stays integer too — micro-units via the overflow-safe split
-    ``(s div n)*1000 + ((s mod n)*1000) div n`` — because one double
-    division at the end was enough to hash-mismatch: at sf0.1 a real
-    doc landed exactly on a round(x, 6) half-boundary
-    (2406083/80/1000 = 30.0760375) where Spark's BigDecimal HALF_UP
-    and DuckDB's binary rounding disagree.
+    MEAN stays integer too — the same milli units, ``s div n`` —
+    because one double division at the end was enough to
+    hash-mismatch: at sf0.1 a real doc landed exactly on a
+    round(x, 6) half-boundary (2406083/80/1000 = 30.0760375) where
+    Spark's BigDecimal HALF_UP and DuckDB's binary rounding disagree.
+    Keeping the mean at the sum's own scale (no precision-amplifying
+    multiply) means it can never overflow before the sum does.
 
     Scale shape: ONE shuffle builds the corpus vocabulary
     (map-side-combined), its 1-row total broadcasts, the corpus-side
     explode joins the vocabulary (AQE picks broadcast vs shuffle by
-    the vocabulary's real size) and folds per doc. Overflow bound:
-    sum_rarity_milli < n_doc_tokens * RARITY_SCALE * total, which
-    fits BIGINT through ~1e15-token corpora; raise to DECIMAL(38,0)
-    accumulation beyond that.
+    the vocabulary's real size) and folds per doc. Overflow bound
+    (worst case — every doc word unique in the corpus):
+    sum_rarity_milli ≤ n_doc_tokens * RARITY_SCALE * total_tokens,
+    i.e. BIGINT-safe while n_doc_tokens * total ≲ 9e15 (a 1e4-token
+    doc in a 9e11-token corpus); the mean shares this bound exactly.
+    Raise to DECIMAL(38,0) accumulation beyond that.
 
-    Returns (id_col, n_tokens, sum_rarity_milli, mean_rarity_micro);
+    Returns (id_col, n_tokens, sum_rarity_milli, mean_rarity_milli);
     docs with zero tokens drop out.
     """
     corpus = df.select(
@@ -583,10 +586,7 @@ def rarity_score(
         F.col(id_col),
         "n_tokens",
         "sum_rarity_milli",
-        (
-            F.expr("sum_rarity_milli div n_tokens") * F.lit(1000)
-            + F.expr(
-                "((sum_rarity_milli % n_tokens) * 1000) div n_tokens"
-            )
-        ).cast("long").alias("mean_rarity_micro"),
+        F.expr("sum_rarity_milli div n_tokens")
+        .cast("long")
+        .alias("mean_rarity_milli"),
     )

@@ -1733,9 +1733,7 @@ WITH toks AS (
 SELECT doc_id,
        CAST(count(*) AS INTEGER) AS n_tokens,
        CAST(sum(rm) AS BIGINT) AS sum_rarity_milli,
-       CAST((sum(rm) // count(*)) * 1000
-            + ((sum(rm) % count(*)) * 1000) // count(*)
-            AS BIGINT) AS mean_rarity_micro
+       CAST(sum(rm) // count(*) AS BIGINT) AS mean_rarity_milli
 FROM j GROUP BY doc_id
 """
 

@@ -1021,22 +1021,26 @@ def test_rarity_score_matches_reference(spark):
         rarity_score,
     )
 
-    texts = ["a a b", "b c", ""]
+    # doc 3 has s % n != 0 so the mean's FLOOR semantics are pinned,
+    # not just the remainder-free cases
+    texts = ["a a b", "b c", "", "a b c"]
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
     got = {
-        r.doc_id: (r.n_tokens, r.sum_rarity_milli, r.mean_rarity_micro)
+        r.doc_id: (r.n_tokens, r.sum_rarity_milli, r.mean_rarity_milli)
         for r in rarity_score(docs).collect()
     }
-    # vocab: a=2, b=2, c=1; total=5
-    rm = {"a": 1000 * 5 // 2, "b": 1000 * 5 // 2, "c": 1000 * 5 // 1}
+    # vocab: a=3, b=3, c=2; total=8
+    rm = {"a": 1000 * 8 // 3, "b": 1000 * 8 // 3, "c": 1000 * 8 // 2}
     expect = {}
     for i, t in enumerate(texts):
         ws = [w for w in t.split(" ") if w]
         if ws:
             s = sum(rm[w] for w in ws)
-            micro = (s // len(ws)) * 1000 + ((s % len(ws)) * 1000) // len(ws)
-            expect[i] = (len(ws), s, micro)
+            expect[i] = (len(ws), s, s // len(ws))
     assert got == expect
     assert 2 not in got
+    # the flooring case really fired
+    s3, n3 = expect[3][1], expect[3][0]
+    assert s3 % n3 != 0
