@@ -403,3 +403,41 @@ def test_qx44_checks_fire_on_planted_violations(spark, tmp_path):
         "lineitem_price_nonneg": 1,
         "lineitem_discount_range": 1,
     }, out
+
+
+def test_arrow_kernels_work_from_foreign_cwd():
+    """Arrow kernels are pickled by module reference, so executors
+    must import the package themselves. A session launched OUTSIDE
+    the repo root (the shape of any external driver) must still run
+    mapInPandas queries — plans/common.ensure_package_on_workers
+    ships the package via addPyFile. Regression guard for the
+    ModuleNotFoundError found by soaking from /tmp."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    script = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.master('local[2]').getOrCreate()\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "from gh_archive_clickhouse_spark.plans.registry import QUERIES\n"
+        "df = QUERIES['qm1_multimodal_meta'].builder(\n"
+        "    spark, '/root/testdata/sf0.001')\n"
+        "print('ROWS', df.count())\n" % repo
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd="/tmp",
+        env={
+            k: v
+            for k, v in __import__("os").environ.items()
+            if k != "PYTHONPATH"
+        },
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ROWS" in out.stdout, out.stdout
