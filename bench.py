@@ -79,8 +79,7 @@ def main() -> None:
         # code (fresh-checkpoint/state-store startup jitter), which
         # would eventually mask a real regression; min-of-two is the
         # repeatable machinery cost.
-        n_runs = runs
-        for _ in range(n_runs):
+        for _ in range(runs):
             t0 = time.perf_counter()
             q.builder(spark, sf_dir).write.mode("overwrite").format(
                 "noop"

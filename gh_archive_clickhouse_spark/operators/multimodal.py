@@ -181,10 +181,14 @@ def sample_frames(
 
     Y4M payloads take the REAL kernel: decode the container via
     ``_decode_y4m`` and fingerprint every n-th DECODED luma plane.
-    Non-video payloads (the fixture attaches text bytes) fall back to
+    Text payloads (the fixture attaches utf-8 bytes) fall back to
     treating the payload as fixed-size ``frame_chars`` chunks — the
-    same sampling contract over a degenerate "codec". Either way the
-    Spark-side shape is the one that matters at 100 TB: Arrow-batched
+    same sampling contract over a degenerate "codec". Any OTHER
+    binary payload (mp4/webm/...) is handed to ``_decode_y4m`` too:
+    with PyAV installed that is a real decode, without it the
+    declared NotImplementedError — never a UnicodeDecodeError from
+    blindly text-decoding container bytes. Either way the Spark-side
+    shape is the one that matters at 100 TB: Arrow-batched
     row-exploding map (no shuffle, no driver), output bounded by
     ceil(n_frames/every_nth) rows per input, schema typed up-front,
     feeding the usual dedup/similarity operators frame-wise.
@@ -199,14 +203,21 @@ def sample_frames(
             md5s: list = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 data = bytes(payload)
-                if data.startswith(Y4M_SIG):
+                text = None
+                if not data.startswith(Y4M_SIG):
+                    try:
+                        text = data.decode("utf-8")
+                    except UnicodeDecodeError:
+                        text = None
+                if text is None:
+                    # real container path: Y4M signature, or opaque
+                    # binary routed to PyAV / the declared raise
                     _w, _h, frames = _decode_y4m(data)
                     for i in range(0, len(frames), every_nth):
                         ids.append(doc_id)
                         idxs.append(i)
                         md5s.append(hashlib.md5(frames[i]).hexdigest())
                     continue
-                text = data.decode("utf-8")  # degenerate chunk 'codec'
                 n_frames = -(-len(text) // frame_chars)
                 for i in range(0, n_frames, every_nth):
                     chunk = text[i * frame_chars : (i + 1) * frame_chars]

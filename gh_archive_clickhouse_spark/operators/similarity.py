@@ -222,14 +222,22 @@ def near_duplicate_pairs_subdivided(
     A pair is emitted at most once: blocks partition the rows, and
     within the hot side a pair needs equal (block, bucket).
     """
-    hot = hot_blocks(emb, block_col, max_block_size).select(block_col)
-    cold = emb.join(hot, block_col, "left_anti")
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
+    # The hot list feeds TWO joins (anti for cold, semi for hot) —
+    # materialized so the full-corpus block aggregate underneath runs
+    # once, not once per join side; ≤ n/cap rows, so broadcast on
+    # both sides.
+    hot = materialize(
+        hot_blocks(emb, block_col, max_block_size).select(block_col),
+        "subdiv_hot_blocks",
+    )
+    cold = emb.join(F.broadcast(hot), block_col, "left_anti")
     # cold blocks are ≤ cap by construction — skip the inner re-check
     cold_pairs = near_duplicate_pairs(
         cold, block_col, id_col, vec_col, threshold, dim,
         max_block_size=None,
     )
-    # the hot list is ≤ n/cap rows — broadcast by construction
     hot_emb = emb.join(F.broadcast(hot), block_col, "left_semi")
     sub = srp_bucket(
         hot_emb, planes, id_col=id_col, vec_col=vec_col
@@ -624,16 +632,24 @@ def pq_adc_topk(
     instead of silently picking an arbitrary row, since the caller bug
     would otherwise yield a plausible-looking answer for an
     unspecified query vector. Batched multi-query search is the
-    rank-window shape (qx41), not this scan. (The check is a
-    ``take(2)`` on the already-tiny query frame, which is broadcast
-    right after anyway.)
+    rank-window shape (qx41), not this scan. The validating ``take``
+    IS the query-side computation: the collected vector is re-lifted
+    as a literal one-row frame, so the (possibly expensive) query
+    subplan — a join+filter in ivfpq_search — executes exactly once
+    instead of once for the check and again for the broadcast.
     """
-    if len(query.take(2)) != 1:
+    rows = query.select(
+        F.col(query_vec_col).cast("array<double>").alias("__q")
+    ).take(2)
+    if len(rows) != 1:
         raise ValueError(
             "pq_adc_topk is a single-query scan: the query frame must "
             "have exactly one row (batched multi-query search is "
             "the qx41 rank-window shape)"
         )
+    q_lit = encoded.sparkSession.createDataFrame(
+        [(list(rows[0]["__q"]),)], "__q array<double>"
+    )
     sub = dim // m
     dist = _pq_sub_l2("__q", "e.cvec", "mm", sub)
     dtable = (
@@ -641,9 +657,7 @@ def pq_adc_topk(
         f"transform(__cb, e -> {dist}))"
     )
     dt_row = (
-        query
-        .select(F.col(query_vec_col).cast("array<double>").alias("__q"))
-        .crossJoin(F.broadcast(codebook))
+        q_lit.crossJoin(F.broadcast(codebook))
         .select(F.expr(dtable).alias("__dt"))
     )
     adist = (

@@ -40,6 +40,7 @@ _CHANGED_R6 = (
     "qs10_incremental_ivfpq",      # parallel per-batch append + fold change
     "qx35_pq_adc_topk",            # multi-row query frame now raises
     "qx40_ivfpq_search",           # inherits pq_adc_topk change
+    "qm3_frame_sample",            # sample_frames gained Y4M/binary dispatch
 )
 # New in round 6 (never driver-verified): appended as they are built;
 # each addition here displaces the tail _R4_REFRESH entry so the head
@@ -100,7 +101,6 @@ _R4_REFRESH = (
     "qe14_cohort_retention",
     "qe15_hourly_anomaly",
     "qt1_pricing_summary",
-    "qt2_regional_revenue",
 )
 
 

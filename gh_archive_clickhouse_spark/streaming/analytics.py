@@ -295,6 +295,11 @@ def token_budget_admission(docs: DataFrame, budget: int) -> DataFrame:
     """
     from gh_archive_clickhouse_spark.functions.text import tokens
 
+    if budget <= 0:
+        raise ValueError(
+            f"budget must be positive, got {budget} (the batch twin "
+            f"budget_select enforces the same)"
+        )
     slim = docs.select(
         "source",
         "doc_id",

@@ -264,6 +264,18 @@ def test_sample_frames_takes_real_path_for_y4m(spark):
         attach_y4m_payload,
     )
 
+    # an opaque non-Y4M binary payload (mp4-ish) must reach the
+    # declared-codec path (PyAV or NotImplementedError), never a
+    # UnicodeDecodeError from blindly text-decoding container bytes
+    mp4ish = spark.createDataFrame(
+        [(99, bytearray(b"\x00\x00\x00\x18ftypmp42\xff\xfe"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception) as exc:
+        sample_frames(mp4ish).collect()
+    assert "NotImplementedError" in str(exc.value), str(exc.value)[:500]
+    assert "UnicodeDecodeError" not in str(exc.value)
+
     docs = spark.range(0, 9).selectExpr("id AS doc_id")
     rows = sample_frames(
         attach_y4m_payload(docs), every_nth=2

@@ -416,6 +416,8 @@ def test_arrow_kernels_work_from_foreign_cwd():
     import sys
     from pathlib import Path
 
+    from tests.conftest import SF_DIR
+
     repo = str(Path(__file__).resolve().parent.parent)
     script = (
         "import sys; sys.path.insert(0, %r)\n"
@@ -423,9 +425,8 @@ def test_arrow_kernels_work_from_foreign_cwd():
         "spark = SparkSession.builder.master('local[2]').getOrCreate()\n"
         "spark.sparkContext.setLogLevel('ERROR')\n"
         "from gh_archive_clickhouse_spark.plans.registry import QUERIES\n"
-        "df = QUERIES['qm1_multimodal_meta'].builder(\n"
-        "    spark, '/root/testdata/sf0.001')\n"
-        "print('ROWS', df.count())\n" % repo
+        "df = QUERIES['qm1_multimodal_meta'].builder(spark, %r)\n"
+        "print('ROWS', df.count())\n" % (repo, SF_DIR)
     )
     out = subprocess.run(
         [sys.executable, "-c", script],
