@@ -927,3 +927,47 @@ def dedup_survivors(
         F.col("doc_id").alias(id_col)
     )
     return corpus.join(drops, id_col, "left_anti")
+
+
+def dedup_survivors_by(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Quality-aware canonical cut: keep the BEST-``score_col`` member
+    of each duplicate cluster (ties → lowest id) instead of
+    :func:`dedup_survivors`' min-id member — the policy production
+    curation actually wants, since near-dup clusters routinely mix a
+    clean original with mangled copies and min-id keeps whichever
+    happened to be crawled first.
+
+    Same scale shape as the min-id cut plus one tiny aggregate:
+    CC labels (O(log diameter) rounds) → join members to their scores
+    (uniform id equi-join) → per-cluster deterministic argmax via
+    ``max_by(id, struct(score, -id))`` (map-side-combinable, one row
+    per cluster) → anti-join the losers out. Never-paired rows
+    survive untouched. ``corpus`` must carry ``score_col``; ties on
+    the score break toward the LOWEST id so the cut is reproducible
+    across engines.
+    """
+    cc = connected_components(pairs, a_col=a_col, b_col=b_col)
+    members = cc.join(
+        corpus.select(
+            F.col(id_col).alias("doc_id"), F.col(score_col).alias("__s")
+        ),
+        "doc_id",
+    )
+    best = members.groupBy("cluster_rep").agg(
+        F.max_by(
+            F.col("doc_id"), F.struct(F.col("__s"), -F.col("doc_id"))
+        ).alias("__keep")
+    )
+    drops = (
+        members.join(best, "cluster_rep")
+        .filter(F.col("doc_id") != F.col("__keep"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return corpus.join(drops, id_col, "left_anti")

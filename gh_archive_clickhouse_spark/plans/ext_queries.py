@@ -1055,6 +1055,74 @@ def qx26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+_ORACLE_QX26 = """
+        WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b FROM ({qx9}) WHERE jaccard >= 0.7
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), nodes AS (
+          SELECT DISTINCT src AS node FROM edges
+        ), reach AS (
+          SELECT node, node AS label FROM nodes
+          UNION
+          SELECT e.src AS node, r.label
+          FROM edges e JOIN reach r ON e.dst = r.node
+        )
+        SELECT node AS doc_id, min(label) AS cluster_rep
+        FROM reach GROUP BY node
+""".format(qx9=_ORACLE_QX9)
+
+
+def qx56_quality_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical corpus (operators/dedup.
+    dedup_survivors_by): the qx31 cut upgraded to the policy
+    production curation actually wants — each duplicate cluster keeps
+    its HIGHEST-quality member (qx5's blend; ties → lowest id), not
+    whichever copy happened to be crawled first. Same CC + anti-join
+    shape plus one per-cluster deterministic argmax (max_by over a
+    (score, -id) struct — map-side-combinable, one row per
+    cluster)."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        dedup_survivors_by,
+    )
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "quality")
+    pairs = qx9_lsh_candidates(spark, sf_dir).filter(
+        F.col("jaccard") >= 0.7
+    )
+    return dedup_survivors_by(scored, pairs, "quality")
+
+
+_ORACLE_QX56 = f"""
+WITH q AS (SELECT doc_id, quality FROM ({_ORACLE_QX5})),
+cc AS ({{qx26}}),
+m AS (
+  SELECT cc.doc_id, cc.cluster_rep, q.quality
+  FROM cc JOIN q USING (doc_id)
+), ranked AS (
+  SELECT cluster_rep, doc_id,
+         row_number() OVER (
+           PARTITION BY cluster_rep
+           ORDER BY quality DESC, doc_id ASC) AS rk
+  FROM m
+), drops AS (
+  SELECT m.doc_id
+  FROM m JOIN ranked b
+    ON m.cluster_rep = b.cluster_rep AND b.rk = 1
+  WHERE m.doc_id <> b.doc_id
+)
+SELECT doc_id, quality FROM q
+WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+"""
+_ORACLE_QX56 = _ORACLE_QX56.format(qx26=_ORACLE_QX26)
+
+
 # Dialect-portable PII patterns (same semantics in Java regex and
 # DuckDB's RE2): no lookarounds, no \b word boundaries.
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
@@ -2832,6 +2900,15 @@ QUERIES = [
         tags=("ext", "text", "quality"),
     ),
     Query(
+        "qx56_quality_dedup_cut",
+        "quality-aware canonical cut: each duplicate cluster keeps "
+        "its highest-quality member (deterministic max_by argmax), "
+        "not the min-id one",
+        qx56_quality_dedup_cut,
+        _ORACLE_QX56,
+        tags=("ext", "dedup", "quality", "iterative"),
+    ),
+    Query(
         "qx34_pq_encode",
         "product-quantization encode: 64-d floats -> 8 codes, "
         "map-only vs broadcast codebook",
@@ -3424,24 +3501,7 @@ FROM m2
         "qx26_dedup_clusters",
         "connected components over verified LSH pairs (duplicate clusters)",
         qx26_dedup_clusters,
-        """
-        WITH RECURSIVE pairs AS (
-          SELECT doc_a, doc_b FROM ({qx9}) WHERE jaccard >= 0.7
-        ), edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION ALL
-          SELECT doc_b AS src, doc_a AS dst FROM pairs
-        ), nodes AS (
-          SELECT DISTINCT src AS node FROM edges
-        ), reach AS (
-          SELECT node, node AS label FROM nodes
-          UNION
-          SELECT e.src AS node, r.label
-          FROM edges e JOIN reach r ON e.dst = r.node
-        )
-        SELECT node AS doc_id, min(label) AS cluster_rep
-        FROM reach GROUP BY node
-""".format(qx9=_ORACLE_QX9),
+        _ORACLE_QX26,
         tags=("ext", "dedup", "iterative"),
     ),
     Query(

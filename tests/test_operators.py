@@ -1056,3 +1056,38 @@ def test_rarity_score_matches_reference(spark):
     # the flooring case really fired
     s3, n3 = expect[3][1], expect[3][0]
     assert s3 % n3 != 0
+
+
+def test_dedup_survivors_by_keeps_best_scoring_member(spark):
+    """Quality-aware cut: each duplicate cluster keeps its highest-
+    scoring member (ties -> lowest id), never-paired rows survive —
+    contrasted with the min-id policy on the same clusters."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        dedup_survivors,
+        dedup_survivors_by,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            # cluster {1,2,3}: best is the MIDDLE id
+            (1, 0.2), (2, 0.9), (3, 0.5),
+            # cluster {10,11}: score tie -> lowest id wins
+            (10, 0.7), (11, 0.7),
+            # never paired
+            (99, 0.1),
+        ],
+        "doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    by = sorted(
+        r.doc_id
+        for r in dedup_survivors_by(corpus, pairs, "score").collect()
+    )
+    assert by == [2, 10, 99]
+    # the min-id policy would have kept 1 instead of the best member
+    min_id = sorted(
+        r.doc_id for r in dedup_survivors(corpus, pairs).collect()
+    )
+    assert min_id == [1, 10, 99]
