@@ -348,6 +348,45 @@ def lsh_candidate_pairs_between(
     ).distinct()
 
 
+def cross_split_candidates(
+    sigs_a: DataFrame,
+    sigs_b: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded-LSH candidates BETWEEN two disjoint doc sets, keeping
+    sides — the eval-leakage detection primitive: after a train/val/
+    test split (qx49), any train doc that near-dups a held-out doc
+    leaks the benchmark into training. Unlike
+    :func:`lsh_candidate_pairs_between` (which canonicalizes the pair
+    as (lo, hi) for set semantics), the output preserves WHICH side
+    each id came from — (id_a from ``sigs_a``, id_b from ``sigs_b``)
+    — because the remediation is one-sided: drop the TRAIN member.
+
+    Scale: the same uniform (band_id, band_key) bucket join as every
+    LSH pass, but only a×b buckets are ever joined — the train×train
+    pair space (the overwhelming bulk of a 98/1/1 split) is never
+    generated. Returns distinct (id_a, id_b).
+    """
+    a = _banded(sigs_a, id_col, bands, rows_per_band).alias("l")
+    b = _banded(sigs_b, id_col, bands, rows_per_band).alias("r")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_key") == F.col("r.band_key"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 def simhash_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",

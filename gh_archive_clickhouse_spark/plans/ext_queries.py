@@ -1596,6 +1596,80 @@ FROM h
 """
 
 
+def qx57_split_leakage_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVAL-LEAKAGE removal across the corpus's OWN splits — the pass
+    after qx49 that benchmark decontamination (qx23/qx48, which use
+    EXTERNAL benchmark sets) does not cover: any train doc that
+    near-dups a val/test doc leaks the held-out evaluation into
+    training. Candidates come from the sided cross-split banding
+    (operators/dedup.cross_split_candidates — only train×held
+    buckets are ever joined, never the 98%-of-pairs train×train
+    space), verified with exact shingle Jaccard >= 0.7 on candidate
+    docs only, then the leaked TRAIN members anti-join out. Output:
+    the surviving train rows (doc_id, bucket). Oracle: the full qx9
+    verified pair set restricted to cross-split pairs — global
+    banding restricted to sides equals sided banding, since band
+    keys are per-doc."""
+    from gh_archive_clickhouse_spark.functions.hashing import (
+        split_bucket,
+    )
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        cross_split_candidates,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    with_b = docs.select(
+        "doc_id", split_bucket("doc_id").alias("bucket"), "text"
+    )
+    train = with_b.filter(F.col("bucket") < 98)
+    held = with_b.filter(F.col("bucket") >= 98)
+    sigs = materialize(minhash_signatures(docs), "qx57_sigs")
+    tsigs = sigs.join(train.select("doc_id"), "doc_id", "left_semi")
+    hsigs = sigs.join(held.select("doc_id"), "doc_id", "left_semi")
+    cand = cross_split_candidates(tsigs, hsigs)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .union(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    docs_c = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    sh = shingle_sets(docs_c, "text", "doc_id", 3)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sha_"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("shb_"))
+    jac = shingle_jaccard()
+    leaked = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.7)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    return train.select("doc_id", "bucket").join(
+        leaked, "doc_id", "left_anti"
+    )
+
+
+_ORACLE_QX57 = f"""
+WITH b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'),
+                         1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+), vp AS (
+  SELECT doc_a, doc_b FROM ({_ORACLE_QX9}) v WHERE jaccard >= 0.7
+), leak AS (
+  SELECT CASE WHEN ba.bucket < 98 THEN p.doc_a ELSE p.doc_b END AS doc_id
+  FROM vp p
+  JOIN b ba ON p.doc_a = ba.doc_id
+  JOIN b bb ON p.doc_b = bb.doc_id
+  WHERE (ba.bucket < 98) <> (bb.bucket < 98)
+)
+SELECT doc_id, bucket FROM b
+WHERE bucket < 98 AND doc_id NOT IN (SELECT doc_id FROM leak)
+"""
+
+
 def qx50_long_gram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style verbatim-span dedup over sliding 20-token
     grams (operators/dedup.long_gram_overlap_pairs) — the pass that
@@ -2907,6 +2981,15 @@ QUERIES = [
         qx56_quality_dedup_cut,
         _ORACLE_QX56,
         tags=("ext", "dedup", "quality", "iterative"),
+    ),
+    Query(
+        "qx57_split_leakage_cut",
+        "eval-leakage removal: train docs near-dupping val/test docs "
+        "(sided cross-split banding + exact-Jaccard verify) anti-join "
+        "out of the train split",
+        qx57_split_leakage_cut,
+        _ORACLE_QX57,
+        tags=("ext", "dedup", "quality"),
     ),
     Query(
         "qx34_pq_encode",

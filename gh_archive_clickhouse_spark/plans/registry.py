@@ -54,6 +54,7 @@ _NEW_R6 = (
     "qx55_rarity_score",
     "qs12_stream_budget_admission",
     "qx56_quality_dedup_cut",
+    "qx57_split_leakage_cut",
 )
 # Round-3 rows, two driver rounds stale — the oldest official signal
 # in the repo; every one of these must land in the round-6 window
@@ -100,7 +101,6 @@ _R4_REFRESH = (
     "qe9_range_join_errors",
     "qe12_variant_projection",
     "qe14_cohort_retention",
-    "qe15_hourly_anomaly",
 )
 
 

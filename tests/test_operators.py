@@ -1091,3 +1091,28 @@ def test_dedup_survivors_by_keeps_best_scoring_member(spark):
         r.doc_id for r in dedup_survivors(corpus, pairs).collect()
     )
     assert min_id == [1, 10, 99]
+
+
+def test_cross_split_candidates_keeps_sides_and_skips_within_split(spark):
+    """qx57's primitive: candidates preserve WHICH side each id came
+    from (remediation drops the train member), and within-side
+    near-dups produce NO pairs — the train×train space is never
+    generated."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        cross_split_candidates,
+        minhash_signatures,
+    )
+
+    long = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"alt{i}" for i in range(30))
+    train = spark.createDataFrame(
+        [(1, long), (2, other), (3, other)],  # 2,3: within-train dups
+        "doc_id long, text string",
+    )
+    held = spark.createDataFrame(
+        [(100, long)], "doc_id long, text string"
+    )
+    cand = cross_split_candidates(
+        minhash_signatures(train), minhash_signatures(held)
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in cand} == {(1, 100)}
