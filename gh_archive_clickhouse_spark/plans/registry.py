@@ -34,73 +34,72 @@ from gh_archive_clickhouse_spark.plans.common import Query
 # coupling is deliberate (the red test prints the exact list to
 # rotate in).
 
-# Code changed in round 6 (existing green rows invalidated):
-_CHANGED_R6 = (
-    "qs4_stream_incremental_lsh",  # size-tiered epoch fold, parallel fold write
-    "qs10_incremental_ivfpq",      # parallel per-batch append + fold change
-    "qx35_pq_adc_topk",            # multi-row query frame now raises
-    "qx40_ivfpq_search",           # inherits pq_adc_topk change
-    "qm3_frame_sample",            # sample_frames gained Y4M/binary dispatch
+# Code changed in round 7 (existing green rows invalidated):
+_CHANGED_R7 = (
+    "qs4_stream_incremental_lsh",  # crash-atomic fold manifest write
+    "qs10_incremental_ivfpq",      # inherits the fold manifest change
+    "qm3_frame_sample",            # Y4M magic-byte dispatch precedence
+    "qm9_real_video_decode",       # stdlib-first Y4M decode routing
 )
-# New in round 6 (never driver-verified): appended as they are built;
-# each addition here displaces the tail _R4_REFRESH entry so the head
+# New in round 7 (never driver-verified): appended as they are built;
+# each addition here displaces the tail _R5_REFRESH entry so the head
 # stays exactly 50.
-_NEW_R6 = (
-    "qm9_real_video_decode",
-    "qx51_bpe_vocab_build",
-    "qx52_bpe_encode",
-    "qx53_budget_selection",
-    "qx54_subdivided_neardup",
-    "qx55_rarity_score",
-    "qs12_stream_budget_admission",
-    "qx56_quality_dedup_cut",
-    "qx57_split_leakage_cut",
-)
-# Round-3 rows, two driver rounds stale — the oldest official signal
-# in the repo; every one of these must land in the round-6 window
+_NEW_R7 = ()
+# Round-4 rows, two driver rounds stale — the oldest official signal
+# in the repo; every one of these must land in the round-7 window
 # (the rotation tripwire test enumerates exactly this set).
-_R3_STALE = (
-    "qs3_stream_running_totals",
-    "qs5_stream_sliding_rates",
-    "qt30_waiting_suppliers",
-    "qt31_top_revenue_supplier",
-    "qx1_exact_dedup",
-    "qx2_cosine_topk",
-    "qx3_token_lang_stats",
-    "qx4_language_id",
-    "qx5_quality_score",
-    "qx6_fingerprint",
-    "qx7_simhash",
-    "qx8_minhash_signature",
-    "qx9_lsh_candidates",
-    "qx11_ivf_assign",
-    "qx12_ivf_topk",
-    "qx13_simhash_neardup",
-    "qx14_srp_buckets",
-    "qx15_srp_topk",
-    "qx16_token_quantiles",
-    "qx17_user_event_ranks",
-    "qx18_udtf_bigrams",
-    "qx19_bpe_token_stats",
-    "qx20_chargram_jaccard",
-    "qx21_deterministic_sample",
-    "qx24_embedding_quantize",
-    "qx25_kmeans_ivf_build",
-    "qx27_pii_scrub",
-    "qx28_mixture_weights",
-    "qx29_sketch_rollup",
+_R4_STALE = (
+    "qe15_hourly_anomaly",
+    "qm6_real_image_decode",
+    "qs6_stream_stream_join",
+    "qs7_incremental_mv",
+    "qs8_stream_exactly_once_dedup",
+    "qs9_stream_static_enrich",
+    "qt1_pricing_summary",
+    "qt2_regional_revenue",
+    "qt3_anti_join",
+    "qt10_window_battery",
+    "qt11_cube",
+    "qt11_grouping_sets",
+    "qt12_shipping_priority",
+    "qt13_order_count_distribution",
+    "qt14_pivot",
+    "qt15_percentiles",
+    "qt16_correlated_scalar",
+    "qt17_approx_percentile",
+    "qt18_sorted_array_agg",
+    "qt33_nation_year_profit",
+    "qt34_important_parts",
+    "qt35_dominant_suppliers",
+    "qx22_tfidf_top_terms",
+    "qx23_ngram_contamination",
+    "qx26_dedup_clusters",
+    "qx30_repetition_ratio",
+    "qx31_dedup_survivors",
+    "qx34_pq_encode",
+    "qx36_passage_dedup",
+    "qx37_containment_neardup",
+    "qx38_model_scored_filter",
+    "qx39_vocab_heavy_hitters",
+    "qx41_batched_topk",
+    "qx42_preprocess_pipeline",
+    "qx43_lsh_recall_probe",
+    "qx44_data_quality_audit",
 )
-# Round-4 rows refreshed with the remaining window slots — filling the
+# Round-5 rows refreshed with the remaining window slots — filling the
 # 50-entry window together with the three groups above (len asserted
-# below); the rest of the round-4 cohort leads the round-7 rotation.
-_R4_REFRESH = (
-    "qe5_ttl_survivors",
-    "qe6_topk_users",
-    "qe7_sessionization",
-    "qe8_asof_click_before_purchase",
-    "qe9_range_join_errors",
-    "qe12_variant_projection",
-    "qe14_cohort_retention",
+# below); the rest of the round-5 cohort leads the round-8 rotation.
+_R5_REFRESH = (
+    "qe1_dedup_latest",
+    "qe2_daily_rollup",
+    "qm7_image_dedup_ahash",
+    "qm8_real_audio_decode",
+    "qs1_stream_hourly_counts",
+    "qs2_stream_session_windows",
+    "qx10_embedding_neardup",
+    "qx32_semantic_dedup",
+    "qx33_sequence_packing",
+    "qx49_corpus_split",
 )
 
 
@@ -118,7 +117,7 @@ _BY_NAME: dict[str, Query] = {
     for q in mod.QUERIES
 }
 
-_HEAD = _CHANGED_R6 + _NEW_R6 + _R3_STALE + _R4_REFRESH
+_HEAD = _CHANGED_R7 + _NEW_R7 + _R4_STALE + _R5_REFRESH
 
 if len(_HEAD) != 50:  # pragma: no cover - registry sanity
     raise AssertionError(
