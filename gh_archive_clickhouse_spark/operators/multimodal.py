@@ -179,17 +179,24 @@ def sample_frames(
     """Video-style frame sampling over binary payloads: one row in →
     one row per sampled frame out, via ``mapInPandas``.
 
-    Y4M payloads take the REAL kernel: decode the container via
-    ``_decode_y4m`` and fingerprint every n-th DECODED luma plane.
-    Text payloads (the fixture attaches utf-8 bytes) fall back to
-    treating the payload as fixed-size ``frame_chars`` chunks — the
-    same sampling contract over a degenerate "codec". Any OTHER
-    binary payload (mp4/webm/...) is handed to ``_decode_y4m`` too:
-    with PyAV installed that is a real decode, without it the
-    declared NotImplementedError — never a UnicodeDecodeError from
-    blindly text-decoding container bytes. Either way the Spark-side
-    shape is the one that matters at 100 TB: Arrow-batched
-    row-exploding map (no shuffle, no driver), output bounded by
+    Dispatch is on CONTAINER MAGIC BYTES, not on decodability:
+    payloads whose leading bytes identify a known video container
+    (Y4M, mp4/mov ``ftyp``, Matroska/WebM EBML, RIFF-AVI, Ogg) take
+    the REAL kernel — ``_decode_y4m`` decodes the container (exact
+    stdlib parse for Y4M, PyAV for the rest, the declared
+    NotImplementedError without it) and every n-th DECODED luma plane
+    is fingerprinted — so a real container whose bytes happen to be
+    valid UTF-8 can never be silently fingerprinted as text. Only
+    unrecognized payloads that decode as UTF-8 fall back to the
+    FIXTURE-ONLY degenerate "codec": fixed-size ``frame_chars``
+    character chunks under the same sampling contract (the synthetic
+    documents fixture attaches utf-8 payloads; a production pipeline
+    would instead register its container's magic in
+    ``_VIDEO_MAGIC`` / plug a decoder into ``_decode_y4m``).
+    Unrecognized non-UTF-8 binary goes to ``_decode_y4m`` too (PyAV
+    probe or the declared raise). Either way the Spark-side shape is
+    the one that matters at 100 TB: Arrow-batched row-exploding map
+    (no shuffle, no driver), output bounded by
     ceil(n_frames/every_nth) rows per input, schema typed up-front,
     feeding the usual dedup/similarity operators frame-wise.
     """
@@ -204,7 +211,7 @@ def sample_frames(
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
                 data = bytes(payload)
                 text = None
-                if not data.startswith(Y4M_SIG):
+                if not _is_video_container(data):
                     try:
                         text = data.decode("utf-8")
                     except UnicodeDecodeError:
@@ -582,6 +589,28 @@ def perceptual_ahash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # ------------------------------------------------------------- video
 
 Y4M_SIG = b"YUV4MPEG2 "
+
+# Magic-byte signatures of video containers routed to the decode
+# kernel (a production deployment registers its formats here). Each
+# entry: (offset, signature bytes).
+_VIDEO_MAGIC: tuple[tuple[int, bytes], ...] = (
+    (0, Y4M_SIG),               # yuv4mpeg2
+    (4, b"ftyp"),               # ISO BMFF: mp4 / mov / 3gp
+    (0, b"\x1a\x45\xdf\xa3"),   # Matroska EBML: mkv / webm
+    (0, b"OggS"),               # Ogg (theora)
+)
+
+
+def _is_video_container(data: bytes) -> bool:
+    """True when the payload's leading bytes identify a known video
+    container — the dispatch test sample_frames uses instead of
+    'decodes as UTF-8' (container bytes can accidentally be valid
+    UTF-8; magic bytes cannot be accidentally text)."""
+    for off, sig in _VIDEO_MAGIC:
+        if data[off : off + len(sig)] == sig:
+            return True
+    # RIFF-AVI needs two probes (RIFF alone is also WAV).
+    return data[:4] == b"RIFF" and data[8:12] == b"AVI "
 Y4M_WIDTH = 8
 Y4M_HEIGHT = 4
 
@@ -616,16 +645,21 @@ def _y4m_pixel(doc_id: int, frame: int, i: int) -> int:
 def _decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
     """Video bytes → (width, height, [luma plane per frame]).
 
-    Tries PyAV (ffmpeg bindings — any container/codec it knows)
-    behind an optional import; without it, Y4M (yuv4mpeg2) payloads
-    decode through a pure-stdlib parse of the stream format: ASCII
-    stream header (``YUV4MPEG2 W.. H.. F.. C..\\n``), then per frame
-    an ASCII ``FRAME...\\n`` marker followed by raw planar YUV bytes.
-    Y4M stores frames uncompressed, so the parse IS the full decode —
-    the video twin of the WAV/PNG stdlib fallbacks. Formats neither
-    path can handle raise NotImplementedError (plug ffmpeg in here).
+    Y4M (yuv4mpeg2) payloads decode through a pure-stdlib parse of
+    the stream format FIRST — Y4M stores frames uncompressed, so the
+    parse IS the exact decode (plane-0 bytes verbatim), the video
+    twin of the WAV/PNG stdlib codecs. This ordering is deliberate:
+    with PyAV installed, swscale's ``gray8`` reformat may apply
+    limited/full-range conversion for C420-family streams, silently
+    shifting luma values away from the byte-exact plane — routing
+    Y4M through PyAV would make the decode environment-dependent.
+    Other containers (mp4/webm/...) go to PyAV (ffmpeg bindings)
+    behind an optional import; formats neither path can handle raise
+    NotImplementedError (plug ffmpeg in here).
     """
     data = bytes(payload)
+    if data.startswith(Y4M_SIG):
+        return _parse_y4m(data)
     try:
         import io
 
@@ -647,15 +681,19 @@ def _decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
                 return stream.width, stream.height, frames
         except Exception:
             # PyAV present but can't read this payload — fall through
-            # to the stdlib path (mirrors _decode_pcm's chain), so the
-            # NotImplementedError contract below holds either way.
+            # to the declared raise (mirrors _decode_pcm's chain).
             pass
-    if not data.startswith(Y4M_SIG):
-        raise NotImplementedError(
-            "no decoder for this format in this environment: PyAV is "
-            "not installed and the payload is not Y4M (yuv4mpeg2); "
-            "plug PyAV/ffmpeg in here"
-        )
+    raise NotImplementedError(
+        "no decoder for this format in this environment: the payload "
+        "is not Y4M (yuv4mpeg2) and PyAV is not installed or cannot "
+        "read it; plug PyAV/ffmpeg in here"
+    )
+
+
+def _parse_y4m(data: bytes) -> tuple[int, int, list[bytes]]:
+    """Exact stdlib yuv4mpeg2 parse: ASCII stream header
+    (``YUV4MPEG2 W.. H.. F.. C..\\n``), then per frame an ASCII
+    ``FRAME...\\n`` marker followed by raw planar YUV bytes."""
     nl = data.index(b"\n")
     width = height = None
     cspace = "C420"  # the Y4M default when no C tag is present

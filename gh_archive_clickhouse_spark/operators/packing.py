@@ -158,7 +158,13 @@ def budget_select(
     below the budget (the greedy fill — the boundary row may overflow
     the budget; halting exactly AT it would need partial documents).
     CONTRACT: ``order_by`` must be a strict total order (include an
-    id tiebreaker), or selection is run-to-run ambiguous.
+    id tiebreaker), or selection is run-to-run ambiguous; and
+    ``weight_col`` must be NON-NEGATIVE and NON-NULL — a negative or
+    NULL weight makes tokens_before non-monotone in the selection
+    order, so the kept set would no longer be the greedy prefix this
+    docstring and the oracle promise. Violations RAISE at execution
+    (a codegen-side assert on every row — one comparison, no extra
+    pass) instead of silently mis-selecting.
 
     Returns the input columns plus ``tokens_before`` (long) as the
     oracle-checkable witness of each kept row's cumulative position.
@@ -168,6 +174,17 @@ def budget_select(
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    # assert_true returns NULL when the predicate holds and raises
+    # otherwise; phrased as a filter (never as an unused column, which
+    # column pruning would silently drop) it keeps every valid row.
+    w_ok = F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0)
+    df = df.filter(
+        F.assert_true(
+            w_ok,
+            f"budget_select: {weight_col} must be non-negative and "
+            "non-NULL (greedy-prefix contract)",
+        ).isNull()
+    )
     parts = materialize(
         df.repartitionByRange(*order_by).withColumn(
             "__pid", F.spark_partition_id()

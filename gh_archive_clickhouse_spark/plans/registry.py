@@ -40,6 +40,7 @@ _CHANGED_R7 = (
     "qs10_incremental_ivfpq",      # inherits the fold manifest change
     "qm3_frame_sample",            # Y4M magic-byte dispatch precedence
     "qm9_real_video_decode",       # stdlib-first Y4M decode routing
+    "qx53_budget_selection",       # budget_select weight-contract assert
 )
 # New in round 7 (never driver-verified): appended as they are built;
 # each addition here displaces the tail _R5_REFRESH entry so the head
@@ -99,7 +100,6 @@ _R5_REFRESH = (
     "qx10_embedding_neardup",
     "qx32_semantic_dedup",
     "qx33_sequence_packing",
-    "qx49_corpus_split",
 )
 
 

@@ -25,6 +25,7 @@ O(N²) of rewriting the whole corpus every few batches. See
 from __future__ import annotations
 
 import json
+import os
 import shutil
 from pathlib import Path
 
@@ -213,7 +214,13 @@ def _compact_old_epochs(
         .partitionBy(*partition_cols)
         .parquet(path)
     )
-    manifest.write_text(
+    # Crash-atomic manifest commit: write-to-temp + os.replace (atomic
+    # on POSIX), so a crash mid-write can never leave a torn/partial
+    # JSON behind — the manifest is either the old one (next major
+    # fold merely runs early, as the safety argument documents) or the
+    # complete new one.
+    tmp = manifest.with_name(manifest.name + ".tmp")
+    tmp.write_text(
         json.dumps(
             {
                 "major_files": sorted(
@@ -223,6 +230,7 @@ def _compact_old_epochs(
             }
         )
     )
+    os.replace(tmp, manifest)
     return "major"
 
 

@@ -181,6 +181,45 @@ def test_major_fold_bucket_count_scales_with_bytes(spark, tmp_path):
     assert got.select("doc_id").distinct().count() == 8000
 
 
+def test_fold_manifest_commit_is_crash_atomic(spark, tmp_path):
+    """The manifest commits via write-to-temp + os.replace: after a
+    major fold no temp file remains and the manifest is complete
+    JSON; a torn manifest (the failure the atomic commit prevents —
+    planted here directly) degrades to an early major fold that
+    REPAIRS the manifest, and a leftover temp from a crash between
+    write and replace is inert."""
+    path = str(tmp_path / "t")
+    for e in range(2):
+        _write_epoch(spark, path, e, 0, 500)
+    assert (
+        _compact_old_epochs(
+            spark, path, SCHEMA, 2, ["doc_id"], keep_epochs=2
+        )
+        == "major"
+    )
+    manifest = Path(path) / FOLD_MANIFEST
+    tmp = manifest.with_name(manifest.name + ".tmp")
+    assert json.loads(manifest.read_text())["major_files"]
+    assert not tmp.exists()
+    # Torn manifest on disk (what a crash mid-write would have left
+    # under a non-atomic scheme): the loader treats it as "no major
+    # generation", so the next fold majors early and rewrites a
+    # complete manifest — and a stale temp file is simply replaced.
+    manifest.write_text('{"major_files": ["torn')
+    tmp.write_text("leftover from a crash")
+    for e in (3, 4):
+        _write_epoch(spark, path, e, 0, 500)
+    kind = _compact_old_epochs(
+        spark, path, SCHEMA, 5, ["doc_id"], keep_epochs=2
+    )
+    assert kind == "major"
+    repaired = json.loads(manifest.read_text())
+    assert set(repaired["major_files"]) == set(_cons_files(path))
+    assert not tmp.exists()
+    got = spark.read.schema(SCHEMA).parquet(path)
+    assert got.count() == 500  # crash-replay duplicates collapsed
+
+
 def test_file_count_trigger_caps_minor_pile(spark, tmp_path):
     """The byte tier alone would let a huge consolidation sit behind
     an unbounded pile of tiny minor files; the max_minor_files

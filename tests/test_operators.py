@@ -288,6 +288,58 @@ def test_sample_frames_takes_real_path_for_y4m(spark):
     assert {(r.doc_id, r.frame_idx): r.frame_md5 for r in rows} == expect
 
 
+def test_sample_frames_dispatches_on_magic_not_decodability(spark):
+    """A real container whose bytes HAPPEN to be valid UTF-8 must
+    still take the container path (declared decoder or raise), never
+    be silently fingerprinted as text chunks."""
+    # mp4 magic ('ftyp' at offset 4) built entirely from ASCII bytes —
+    # decodes as UTF-8, so the old 'decodes as text' dispatch would
+    # have chunk-fingerprinted it.
+    utf8_mp4 = b"0000ftypisom-all-ascii-payload-bytes"
+    assert utf8_mp4.decode("utf-8")  # precondition: valid UTF-8
+    df = spark.createDataFrame(
+        [(7, bytearray(utf8_mp4))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception) as exc:
+        sample_frames(df).collect()
+    assert "NotImplementedError" in str(exc.value), str(exc.value)[:500]
+
+
+def test_y4m_decode_prefers_stdlib_parse_over_pyav():
+    """Y4M payloads route to the exact stdlib parser FIRST: even with
+    a (fake) PyAV installed that would return wrong luma (swscale
+    range conversion), the Y4M decode stays byte-exact; non-Y4M
+    payloads still consult PyAV."""
+    import sys
+    import types
+
+    from gh_archive_clickhouse_spark.operators.multimodal import (
+        _decode_y4m,
+    )
+
+    calls = []
+
+    class _FakeAv(types.ModuleType):
+        @staticmethod
+        def open(*a, **k):
+            calls.append("open")
+            raise RuntimeError("fake PyAV cannot decode anything")
+
+    fake = _FakeAv("av")
+    luma = bytes(range(8))
+    y4m = b"YUV4MPEG2 W4 H2 Cmono\nFRAME\n" + luma
+    sys.modules["av"] = fake
+    try:
+        _w, _h, frames = _decode_y4m(y4m)
+        assert frames == [luma]
+        assert calls == []  # PyAV never consulted for Y4M
+        with pytest.raises(NotImplementedError):
+            _decode_y4m(b"\x1a\x45\xdf\xa3matroska-ish")
+        assert calls == ["open"]  # …but IS consulted for other bytes
+    finally:
+        del sys.modules["av"]
+
+
 def test_sample_frames(spark):
     """Frame explode: every 4th fixed-size chunk of each payload comes
     back as one typed row, matching a pure-Python reference."""

@@ -640,6 +640,33 @@ def test_budget_select_matches_naive_window(spark):
     assert expect[last] < 300
 
 
+def test_budget_select_rejects_invalid_weights(spark):
+    """Negative or NULL weights break the greedy-prefix contract
+    (tokens_before goes non-monotone), so they RAISE at execution
+    instead of silently mis-selecting; valid inputs are untouched."""
+    from gh_archive_clickhouse_spark.operators.packing import budget_select
+
+    order = [F.col("doc_id").asc()]
+    neg = spark.createDataFrame(
+        [(1, 5), (2, -3)], "doc_id long, w long"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        budget_select(neg, "w", 100, order).collect()
+    nul = spark.createDataFrame(
+        [(1, 5), (2, None)], "doc_id long, w long"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        budget_select(nul, "w", 100, order).collect()
+    ok = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, 7)], "doc_id long, w long"
+    )
+    got = {
+        r.doc_id: r.tokens_before
+        for r in budget_select(ok, "w", 6, order).collect()
+    }
+    assert got == {1: 0, 2: 5, 3: 5}
+
+
 def test_budget_select_no_global_window_over_rows(spark):
     """The scale contract: the only unpartitioned window runs over
     the PER-PARTITION TOTALS, never the raw rows; offsets come back
