@@ -525,6 +525,116 @@ def bpe_encode_stats(
     )
 
 
+BPE_ENCODE_VOCAB_SCHEMA = "word string, n_tokens int"
+
+
+def bpe_encode_stats_kernel(
+    docs: DataFrame,
+    merges: list[tuple[str, str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Merge-table-size-safe tokenizer ENCODE — same contract and
+    output as :func:`bpe_encode_stats`, built for PRODUCTION
+    vocabularies.
+
+    :func:`bpe_encode_stats` unrolls the learned merges as R nested
+    ``aggregate`` higher-order expressions, so the Catalyst plan
+    depth grows linearly with vocabulary size — analysis/codegen fall
+    over long before a real tokenizer's ~30k merges. Here the merge
+    list is BROADCAST (one copy per executor, arbitrary length) to an
+    Arrow-batched ``mapInPandas`` kernel that applies all R merges
+    per DISTINCT word inside one map stage: plan size is INDEPENDENT
+    of R (pinned by tests/test_oracle.py's plan-shape assert), and
+    the kernel's integer token counts keep oracle hash-parity — the
+    same policy as the multimodal decode kernels.
+
+    Semantics are identical to the expression path (the parity
+    cross-check in tests): merges apply in LEARNED ORDER, one greedy
+    left-to-right pass each, where the fold's output-last-element
+    check reproduces exact non-overlapping greedy semantics. The
+    kernel adds a symbol-presence prefilter per (word, merge) — two
+    set lookups — so merges that cannot fire cost O(1), making a full
+    30k-merge table affordable per distinct word.
+
+    Scale shape: the corpus pays ONE shuffle (the distinct-word
+    build); the kernel runs map-only over |distinct words| rows;
+    per-word token counts join back to the exploded corpus
+    (AQE-decided broadcast vs shuffle) and fold into per-doc sums.
+    Word-filter conventions follow bpe_vocab_build; docs with no
+    in-vocabulary word drop out (inner join), mirrored by the oracle.
+
+    Returns (id_col, n_vocab_words, n_bpe_tokens).
+    """
+    from gh_archive_clickhouse_spark.plans.common import (
+        ensure_package_on_workers,
+        materialize,
+    )
+
+    spark = docs.sparkSession
+    ensure_package_on_workers(spark)
+    bc = spark.sparkContext.broadcast(
+        [(str(l), str(r), str(m)) for l, r, m in merges]
+    )
+
+    def _encode(batches):
+        import pandas as pd
+
+        mlist = bc.value
+        for pdf in batches:
+            words = pdf["word"].tolist()
+            counts = []
+            for w in words:
+                syms = list(w)
+                if len(syms) >= 2:
+                    present = set(syms)
+                    for left, right, merged in mlist:
+                        if len(syms) < 2:
+                            break
+                        # presence prefilter: a merge can only fire if
+                        # both symbols occur somewhere in the word
+                        if left not in present or right not in present:
+                            continue
+                        out = [syms[0]]
+                        for x in syms[1:]:
+                            if out[-1] == left and x == right:
+                                out[-1] = merged
+                            else:
+                                out.append(x)
+                        if len(out) != len(syms):
+                            syms = out
+                            present = set(syms)
+                counts.append(len(syms))
+            yield pd.DataFrame(
+                {
+                    "word": pd.array(words, dtype="object"),
+                    "n_tokens": pd.array(counts, dtype="int32"),
+                }
+            )
+
+    enc = materialize(
+        _bpe_words(docs, text_col)
+        .select("word")
+        .mapInPandas(_encode, schema=BPE_ENCODE_VOCAB_SCHEMA),
+        "bpe_encoded_vocab_kernel",
+    )
+    corpus = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    ).filter(
+        F.col("word").rlike(BPE_WORD_RE)
+        & (F.length("word") <= BPE_MAX_WORD_LEN)
+    )
+    return (
+        corpus.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vocab_words"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+        )
+    )
+
+
 # ------------------------------------------------- corpus rarity (LM)
 
 RARITY_SCALE = 1_000

@@ -1946,6 +1946,93 @@ def qx52_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_stats(docs, merges)
 
 
+# qx58: a PRODUCTION-SIZED merge table (258 entries — two orders of
+# magnitude past qx52's 8) that the plan-size-safe kernel encode must
+# apply. Deterministic and engine-shareable: tier 1 is every ordered
+# pair over a fixed 16-letter alphabet (256 single-char merges, lex
+# order = learned order); tiers 2-3 chain MERGED symbols (ab+le →
+# able, t+able → table) so multi-level merge matching is exercised,
+# not just adjacent input characters.
+_QX58_ALPHABET = "abcdeghilmnorstu"
+QX58_MERGES: list[tuple[str, str, str]] = [
+    (a, b, a + b) for a in _QX58_ALPHABET for b in _QX58_ALPHABET
+] + [("ab", "le", "able"), ("t", "able", "table")]
+
+
+def qx58_bpe_encode_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer encode at PRODUCTION vocabulary size
+    (operators/text_analysis.bpe_encode_stats_kernel): the 258-entry
+    merge table is broadcast to an Arrow-batched mapInPandas kernel
+    that applies every merge per DISTINCT word inside one map stage —
+    Catalyst plan size independent of merge count, unlike qx52's
+    unrolled expression folds whose plan depth grows O(R) and cannot
+    analyze at a real tokenizer's ~30k merges. qx52 stays as the
+    small-R expression-path parity cross-check; this is the scale
+    path. Oracle: the same merge table as a VALUES list driven
+    through a recursive CTE — one fold per (word, merge round)."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_encode_stats_kernel,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    return bpe_encode_stats_kernel(docs, QX58_MERGES)
+
+
+def _bpe_kernel_oracle(merges: list[tuple[str, str, str]]) -> str:
+    """Recursive-CTE mirror of the kernel encode: the merge table as
+    VALUES rows keyed by round; each recursion step applies round
+    rnd+1's merge as the same greedy string-accumulator fold qx52's
+    oracle uses (the accumulator's last space-separated token IS the
+    fold output's last element). Terminates when no merge row matches
+    rnd+1 — exactly len(merges) iterations."""
+    last = "regexp_extract(acc, '[^ ]*$')"
+    values = ", ".join(
+        f"({i + 1}, '{l}', '{r}', '{m}')"
+        for i, (l, r, m) in enumerate(merges)
+    )
+    return f"""
+WITH RECURSIVE
+merges(rnd, l, r, m) AS (SELECT * FROM (VALUES {values})),
+words AS (
+  SELECT DISTINCT word
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND regexp_matches(word, '{BPE_WORD_RE}')
+    AND len(word) <= {BPE_MAX_WORD_LEN}
+),
+enc AS (
+  SELECT 0 AS rnd, word,
+         list_transform(range(1, len(word) + 1), i -> word[i]) AS syms
+  FROM words
+  UNION ALL
+  SELECT e.rnd + 1, e.word,
+         CASE WHEN len(e.syms) < 2
+                OR NOT list_contains(e.syms, m.l)
+                OR NOT list_contains(e.syms, m.r)
+              THEN e.syms
+         ELSE string_split(list_reduce(e.syms, (acc, x) ->
+           CASE WHEN {last} = m.l AND x = m.r
+                THEN substr(acc, 1, len(acc) - len({last})) || m.m
+                ELSE acc || ' ' || x END), ' ') END AS syms
+  FROM enc e JOIN merges m ON m.rnd = e.rnd + 1
+),
+fin AS (
+  SELECT word, len(syms) AS n_tokens
+  FROM enc WHERE rnd = {len(merges)}
+),
+corpus AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_vocab_words,
+       CAST(SUM(e.n_tokens) AS BIGINT) AS n_bpe_tokens
+FROM corpus c JOIN fin e USING (word)
+GROUP BY doc_id
+"""
+
+
+_ORACLE_QX58 = _bpe_kernel_oracle(QX58_MERGES)
+
+
 def qx46_densified_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing over SPARSE order keys — the degradation case
     pack_coordinates' contract documents: keys spaced ~10^6 apart put
@@ -2990,6 +3077,15 @@ QUERIES = [
         qx57_split_leakage_cut,
         _ORACLE_QX57,
         tags=("ext", "dedup", "quality"),
+    ),
+    Query(
+        "qx58_bpe_encode_kernel",
+        "tokenizer encode at production vocabulary size: 258-entry "
+        "merge table broadcast to an Arrow-batched kernel, plan size "
+        "independent of merge count",
+        qx58_bpe_encode_kernel,
+        _ORACLE_QX58,
+        tags=("ext", "text"),
     ),
     Query(
         "qx34_pq_encode",

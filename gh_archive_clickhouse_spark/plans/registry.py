@@ -45,7 +45,9 @@ _CHANGED_R7 = (
 # New in round 7 (never driver-verified): appended as they are built;
 # each addition here displaces the tail _R5_REFRESH entry so the head
 # stays exactly 50.
-_NEW_R7 = ()
+_NEW_R7 = (
+    "qx58_bpe_encode_kernel",
+)
 # Round-4 rows, two driver rounds stale — the oldest official signal
 # in the repo; every one of these must land in the round-7 window
 # (the rotation tripwire test enumerates exactly this set).
@@ -99,7 +101,6 @@ _R5_REFRESH = (
     "qs2_stream_session_windows",
     "qx10_embedding_neardup",
     "qx32_semantic_dedup",
-    "qx33_sequence_packing",
 )
 
 

@@ -1078,6 +1078,68 @@ def test_bpe_encode_stats_matches_reference(spark):
     assert 2 not in got  # punctuation-only doc dropped
 
 
+def test_bpe_encode_kernel_matches_expression_path(spark):
+    """The merge-table-size-safe kernel encode (broadcast merge list,
+    mapInPandas) produces exactly the expression path's output on the
+    same learned merges — the parity cross-check that lets qx52 stay
+    as the small-R reference while qx58 carries production R."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_encode_stats,
+        bpe_encode_stats_kernel,
+        bpe_vocab_build,
+    )
+    from gh_archive_clickhouse_spark.plans.common import read
+
+    docs = read(spark, SF_DIR, "documents")
+    merges = [
+        (r.left, r.right, r.merged)
+        for r in bpe_vocab_build(docs, rounds=6).collect()
+    ]
+    expr = {
+        r.doc_id: (r.n_vocab_words, r.n_bpe_tokens)
+        for r in bpe_encode_stats(docs, merges).collect()
+    }
+    kern = {
+        r.doc_id: (r.n_vocab_words, r.n_bpe_tokens)
+        for r in bpe_encode_stats_kernel(docs, merges).collect()
+    }
+    assert kern == expr
+    assert len(kern) > 0
+
+
+def test_bpe_encode_kernel_plan_size_independent_of_merge_count(spark):
+    """The whole point of the kernel path: the Catalyst plan must not
+    grow with the merge table (the expression path's plan depth is
+    O(R), unusable at a production ~30k-merge vocabulary)."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_encode_stats_kernel,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest")], "doc_id long, text string"
+    )
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123"
+    big = [(a, b, a + b) for a in alphabet for b in alphabet][:900]
+    small = big[:4]
+
+    def plan_shape(merges):
+        df = bpe_encode_stats_kernel(docs, merges)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        # normalize auto-generated expression ids (#123) so the two
+        # plans compare structurally
+        import re
+
+        return re.sub(r"#\d+", "#x", plan)
+
+    p_small, p_big = plan_shape(small), plan_shape(big)
+    assert len(p_small.splitlines()) == len(p_big.splitlines())
+    assert abs(len(p_small) - len(p_big)) < 64
+    # and the 900-merge plan actually EXECUTES (the expression path
+    # would take minutes to even analyze at this depth)
+    rows = bpe_encode_stats_kernel(docs, big).collect()
+    assert rows and rows[0].n_vocab_words == 3
+
+
 def test_rarity_score_matches_reference(spark):
     """Integer-exact inverse-frequency rarity == a literal Python
     computation; zero-token docs drop out."""
