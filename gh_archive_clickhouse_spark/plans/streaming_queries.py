@@ -746,6 +746,108 @@ FROM events GROUP BY 1, 2
 """
 
 
+def qs13_stream_dedup_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The streaming dedup story ended in SURVIVORS, not pairs: the
+    documents fixture arrives as two micro-batches;
+    streaming/dedup_stream.incremental_dedup_sink maintains the
+    signature + pair tables per batch and refreshes the
+    cluster-labels table on the pair log's major-fold cadence;
+    ``fold_cluster_labels`` closes the books at stream end (the
+    on-demand exact refresh the sink documents). The resulting cut —
+    every doc except non-representative cluster members — must equal
+    the BATCH ``dedup_survivors`` over ``lsh_candidate_pairs`` on the
+    full corpus, which is exactly what the oracle (recursive-CTE
+    connected components over the qs4 banding SQL, anti-joined
+    against documents) asserts: the qs4 union-of-batches equivalence,
+    one level up."""
+    import shutil
+    import tempfile
+
+    from gh_archive_clickhouse_spark.plans.common import read
+    from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        LABELS_SCHEMA,
+        fold_cluster_labels,
+        incremental_dedup_sink,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="qs13_")
+    try:
+        src = f"{base}/docs"
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        pairs_path, labels_path = f"{base}/pairs", f"{base}/labels"
+        with _stream_shuffle_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(
+                    incremental_dedup_sink(
+                        f"{base}/sigs", pairs_path, labels_path
+                    )
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .start()
+            )
+            q.awaitTermination()
+            # Close the books: a 2-batch run never reaches the major
+            # fold, so this is the on-demand exact refresh.
+            fold_cluster_labels(spark, pairs_path, labels_path)
+        drops = (
+            spark.read.schema(LABELS_SCHEMA)
+            .parquet(labels_path)
+            .filter(F.col("doc_id") != F.col("cluster_rep"))
+            .select("doc_id")
+        )
+        return (
+            docs.join(drops, "doc_id", "left_anti")
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# Survivors = documents minus non-representative members of the
+# connected components over the streaming pair log; the pair log
+# itself equals the batch banding SQL (the qs4 equivalence), so the
+# oracle composes CC + anti-join on top of it.
+_ORACLE_QS13 = f"""
+WITH RECURSIVE cand AS ({_ORACLE_QS4}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.src AS node, r.label
+  FROM edges e JOIN reach r ON e.dst = r.node
+),
+cc AS (
+  SELECT node AS doc_id, min(label) AS cluster_rep
+  FROM reach GROUP BY node
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM cc WHERE doc_id <> cluster_rep
+)
+"""
+
+
 QUERIES = [
     Query(
         "qs1_stream_hourly_counts",
@@ -787,6 +889,15 @@ QUERIES = [
         qs4_stream_incremental_lsh,
         _ORACLE_QS4,
         tags=("streaming", "dedup"),
+    ),
+    Query(
+        "qs13_stream_dedup_survivors",
+        "streaming dedup ending in survivors: incremental pair log + "
+        "cluster-labels fold on the major-compaction cadence; final "
+        "cut == batch dedup_survivors",
+        qs13_stream_dedup_survivors,
+        _ORACLE_QS13,
+        tags=("streaming", "dedup", "iterative"),
     ),
     Query(
         "qs6_stream_stream_join",

@@ -42,6 +42,7 @@ COMPACTED_EPOCH = -1
 
 PAIRS_SCHEMA = "doc_a long, doc_b long, epoch int"
 SIGS_SCHEMA = "doc_id long, minhash array<bigint>, epoch int"
+LABELS_SCHEMA = "doc_id long, cluster_rep long"
 
 
 def _epoch_dirs(path: str) -> list[tuple[int, Path]]:
@@ -257,7 +258,7 @@ def incremental_lsh_sink(
     consolidation is rewritten only on the size-tiered schedule.
     """
 
-    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+    def _write(batch_df: DataFrame, epoch_id: int) -> dict:
         spark = batch_df.sparkSession
         sigs_new = minhash_signatures(batch_df, shingle_k=shingle_k)
         (
@@ -282,7 +283,7 @@ def incremental_lsh_sink(
             .partitionBy("epoch")
             .parquet(pairs_path)
         )
-        _compact_old_epochs(
+        sig_fold = _compact_old_epochs(
             spark,
             sig_path,
             SIGS_SCHEMA,
@@ -290,7 +291,7 @@ def incremental_lsh_sink(
             dedup_cols=["doc_id"],
             keep_epochs=keep_epochs,
         )
-        _compact_old_epochs(
+        pairs_fold = _compact_old_epochs(
             spark,
             pairs_path,
             PAIRS_SCHEMA,
@@ -298,5 +299,98 @@ def incremental_lsh_sink(
             dedup_cols=["doc_a", "doc_b"],
             keep_epochs=keep_epochs,
         )
+        # foreachBatch ignores the return value; composing sinks
+        # (incremental_dedup_sink) use it to share the fold cadence.
+        return {"sigs": sig_fold, "pairs": pairs_fold}
+
+    return _write
+
+
+def fold_cluster_labels(
+    spark: SparkSession, pairs_path: str, labels_path: str
+) -> None:
+    """Refresh the duplicate-cluster LABELS table from the pair log:
+    connected components (operators/dedup.connected_components —
+    min-label propagation with pointer jumping, O(log diameter)
+    rounds) over ALL discovered pairs, written to ``labels_path`` as
+    (doc_id, cluster_rep).
+
+    This is the step that turns the streaming pair log into the thing
+    consumers actually want — a survivors cut (keep cluster_rep, drop
+    the rest; never-paired docs are absent from the table and always
+    survive). Scale shape: the pair log is O(true near-dup pairs) —
+    orders of magnitude smaller than the corpus — and arrives here
+    already size-tier compacted, so each refresh is CC over a compact
+    table, not a corpus scan. Labels must be recomputed globally (a
+    new pair can merge two existing clusters transitively), which is
+    why this is a periodic FOLD on the major-compaction cadence
+    (amortized — see :func:`incremental_dedup_sink`) rather than
+    per-batch work.
+
+    Local-FS overwrite has the same reader-vs-rewrite caveat as the
+    epoch fold; an object-store deployment commits the refresh
+    through a table format's atomic snapshot swap.
+    """
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = (
+        spark.read.schema(PAIRS_SCHEMA)
+        .parquet(pairs_path)
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    labels = connected_components(pairs)
+    # localCheckpoint before the overwrite: CC's lineage reads the
+    # pair log, and (unlike the epoch fold) labels_path is a separate
+    # table, so only the lineage-truncation half of the fold's
+    # read-then-overwrite discipline is needed.
+    labels.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        labels_path
+    )
+
+
+def incremental_dedup_sink(
+    sig_path: str,
+    pairs_path: str,
+    labels_path: str,
+    shingle_k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    keep_epochs: int = 4,
+):
+    """foreachBatch callable: incremental LSH pair discovery PLUS a
+    periodically-refreshed cluster-labels table — the streaming dedup
+    story ended in SURVIVORS instead of a pair log the consumer still
+    has to batch-process.
+
+    Composition: :func:`incremental_lsh_sink` maintains the signature
+    and pair tables per batch; whenever the PAIR table's epoch fold
+    runs its MAJOR rewrite (the amortized size-tiered schedule), the
+    labels table is refreshed via :func:`fold_cluster_labels` — CC
+    work over the full (compact) pair log is paid O(log N) times over
+    the stream's lifetime, never per batch. Between refreshes the
+    labels are a bounded-staleness materialized view of the pair log;
+    a consumer needing exact point-in-time clusters calls
+    ``fold_cluster_labels`` on demand (the "close the books" form the
+    qs13 query uses at stream end).
+    """
+    inner = incremental_lsh_sink(
+        sig_path,
+        pairs_path,
+        shingle_k=shingle_k,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        keep_epochs=keep_epochs,
+    )
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> dict:
+        kinds = inner(batch_df, epoch_id)
+        if kinds["pairs"] == "major":
+            fold_cluster_labels(
+                batch_df.sparkSession, pairs_path, labels_path
+            )
+        return kinds
 
     return _write

@@ -181,7 +181,76 @@ def test_major_fold_bucket_count_scales_with_bytes(spark, tmp_path):
     assert got.select("doc_id").distinct().count() == 8000
 
 
-def test_fold_manifest_commit_is_crash_atomic(spark, tmp_path):
+def test_incremental_dedup_sink_refreshes_labels_on_major_fold(
+    spark, tmp_path
+):
+    """The cluster-labels table is a bounded-staleness MV of the pair
+    log: it is refreshed exactly when the pair log's epoch fold runs
+    its major rewrite (the amortized cadence), and the refreshed
+    labels equal batch connected components over the full log."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+    from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        LABELS_SCHEMA,
+        PAIRS_SCHEMA,
+        incremental_dedup_sink,
+    )
+
+    base = tmp_path / "dd"
+    labels_path = base / "labels"
+    sink = incremental_dedup_sink(
+        str(base / "sigs"),
+        str(base / "pairs"),
+        str(labels_path),
+        keep_epochs=2,
+    )
+    # doc pairs (2i, 2i+1) share a text of tokens UNIQUE to the pair
+    # -> exact dups within a pair, zero shared shingles across pairs
+    # (so LSH cannot bucket different pairs together).
+    def batch(epoch):
+        rows = [
+            (
+                epoch * 2 + j,
+                " ".join(f"tok{k}q{epoch}" for k in range(6)),
+            )
+            for j in (0, 1)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    majored = False
+    for epoch in range(5):
+        kinds = sink(batch(epoch), epoch)
+        if not majored:
+            if kinds["pairs"] == "major":
+                majored = True
+            else:
+                assert not labels_path.exists()  # no per-batch CC work
+    assert majored, "pair log never major-folded in 5 epochs"
+    got = {
+        (r.doc_id, r.cluster_rep)
+        for r in spark.read.schema(LABELS_SCHEMA)
+        .parquet(str(labels_path))
+        .collect()
+    }
+    pairs = (
+        spark.read.schema(PAIRS_SCHEMA)
+        .parquet(str(base / "pairs"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    expect = {
+        (r.doc_id, r.cluster_rep)
+        for r in connected_components(pairs).collect()
+    }
+    # labels may lag batches that arrived AFTER the major fold; they
+    # must still be a subset-consistent CC snapshot — recompute at the
+    # fold point by replay: simplest exact check is that every labeled
+    # doc's rep is its pair-partner min (pairs are (2i, 2i+1) cliques)
+    assert got, "labels table empty after major fold"
+    for doc_id, rep in got:
+        assert rep == (doc_id // 2) * 2
+    assert got <= expect
     """The manifest commits via write-to-temp + os.replace: after a
     major fold no temp file remains and the manifest is complete
     JSON; a torn manifest (the failure the atomic commit prevents —
