@@ -128,6 +128,48 @@ def densify_order(
     )
 
 
+def seeded_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuffle-v1",
+    out_col: str = "shuffle_pos",
+    name: str | None = None,
+) -> DataFrame:
+    """Deterministic seeded corpus shuffle — the reproducible
+    training-order emission every run performs before batching:
+    row's position = rank of ``md5(id || seed)``. Re-shuffling for a
+    new run is a one-token seed change; the permutation depends only
+    on (id, seed), so it is partitioning-invariant and reproducible
+    on any cluster size (the property tests pin this).
+
+    Scale shape: a map-only key stamp (engine-portable md5, the
+    functions/hashing convention) followed by :func:`densify_order`'s
+    two-level rank — range partition on the key, per-partition
+    counts, a prefix window over O(partitions) rows, broadcast
+    offsets — never a global ``row_number()`` window over the corpus.
+    The hash key carries the zero-padded id as a suffix, making the
+    order a STRICT total order even under (astronomically unlikely)
+    digest-prefix collisions, and letting a SQL oracle reproduce the
+    permutation verbatim. ``id_col`` values must be distinct and
+    non-negative (the zero-pad is 12 digits — ids < 10^12).
+
+    Returns the input columns plus ``out_col`` (long, 0-based shuffle
+    position).
+    """
+    c = F.col(id_col)
+    key = F.concat(
+        F.md5(F.concat(c.cast("string"), F.lit(seed))),
+        F.lit("-"),
+        F.lpad(c.cast("string"), 12, "0"),
+    )
+    return densify_order(
+        df.withColumn("__shuffle_key", key),
+        "__shuffle_key",
+        out_col=out_col,
+        name=name,
+    ).drop("__shuffle_key")
+
+
 def budget_select(
     df: DataFrame,
     weight_col: str,

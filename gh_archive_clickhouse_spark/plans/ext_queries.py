@@ -2033,6 +2033,38 @@ GROUP BY doc_id
 _ORACLE_QX58 = _bpe_kernel_oracle(QX58_MERGES)
 
 
+QX59_SEED = "shuffle-v1"
+
+
+def qx59_seeded_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle (operators/packing.
+    seeded_shuffle) — the reproducible training-order emission before
+    batching: every doc's position is the rank of md5(id || seed), so
+    the permutation is a pure function of (id, seed) — identical on
+    any cluster size, re-rollable by changing one seed token.
+    Distributed as a map-only key stamp + the densify_order two-level
+    rank (range partition, per-partition counts, prefix over the tiny
+    count table, broadcast offsets) — never a global row_number
+    window. The oracle's naive global-window SQL pins the exact
+    permutation, not just that some shuffle happened."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        seeded_shuffle,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    return seeded_shuffle(docs.select("doc_id"), seed=QX59_SEED)
+
+
+_ORACLE_QX59 = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || '{QX59_SEED}')
+                  || '-' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+       ) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
 def qx46_densified_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing over SPARSE order keys — the degradation case
     pack_coordinates' contract documents: keys spaced ~10^6 apart put
@@ -3086,6 +3118,15 @@ QUERIES = [
         qx58_bpe_encode_kernel,
         _ORACLE_QX58,
         tags=("ext", "text"),
+    ),
+    Query(
+        "qx59_seeded_shuffle",
+        "deterministic seeded corpus shuffle: position = rank of "
+        "md5(id || seed) via the two-level densify rank, no global "
+        "window",
+        qx59_seeded_shuffle,
+        _ORACLE_QX59,
+        tags=("ext", "sampling"),
     ),
     Query(
         "qx34_pq_encode",

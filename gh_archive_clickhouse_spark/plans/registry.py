@@ -48,6 +48,7 @@ _CHANGED_R7 = (
 _NEW_R7 = (
     "qx58_bpe_encode_kernel",
     "qs13_stream_dedup_survivors",
+    "qx59_seeded_shuffle",
 )
 # Round-4 rows, two driver rounds stale — the oldest official signal
 # in the repo; every one of these must land in the round-7 window
@@ -100,7 +101,6 @@ _R5_REFRESH = (
     "qm8_real_audio_decode",
     "qs1_stream_hourly_counts",
     "qs2_stream_session_windows",
-    "qx10_embedding_neardup",
 )
 
 

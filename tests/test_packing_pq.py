@@ -640,6 +640,66 @@ def test_budget_select_matches_naive_window(spark):
     assert expect[last] < 300
 
 
+def test_seeded_shuffle_invariant_to_input_partitioning(spark):
+    """The permutation is a pure function of (id, seed): any input
+    partitioning/ordering yields the identical positions, a different
+    seed yields a different (but complete) permutation."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        seeded_shuffle,
+    )
+
+    docs = read(spark, SF_DIR, "documents").select("doc_id")
+    base = {
+        r.doc_id: r.shuffle_pos
+        for r in seeded_shuffle(docs).collect()
+    }
+    n = len(base)
+    assert sorted(base.values()) == list(range(n))  # a true permutation
+    for variant in (
+        docs.repartition(37),
+        docs.repartition(1),
+        docs.orderBy(F.desc("doc_id")),
+    ):
+        got = {
+            r.doc_id: r.shuffle_pos
+            for r in seeded_shuffle(variant).collect()
+        }
+        assert got == base
+    reseeded = {
+        r.doc_id: r.shuffle_pos
+        for r in seeded_shuffle(docs, seed="shuffle-v2").collect()
+    }
+    assert sorted(reseeded.values()) == list(range(n))
+    assert reseeded != base
+
+
+def test_seeded_shuffle_no_global_window(spark):
+    """Plan contract: no unpartitioned row_number over the corpus —
+    the only unpartitioned window runs over per-partition COUNTS."""
+    import re
+
+    from gh_archive_clickhouse_spark.operators.packing import (
+        seeded_shuffle,
+    )
+
+    docs = read(spark, SF_DIR, "documents").select("doc_id")
+    plan = (
+        seeded_shuffle(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert re.search(r"windowspecdefinition\(__pid#\d+", plan), plan[:3000]
+    unpartitioned = [
+        ln
+        for ln in plan.splitlines()
+        if "Window [" in ln
+        and not re.search(r"windowspecdefinition\(__pid#\d+,", ln)
+    ]
+    for ln in unpartitioned:
+        assert "__pn" in ln or "__poff" in ln, ln
+
+
 def test_budget_select_rejects_invalid_weights(spark):
     """Negative or NULL weights break the greedy-prefix contract
     (tokens_before goes non-monotone), so they RAISE at execution
