@@ -2065,6 +2065,95 @@ FROM documents
 """
 
 
+QX60_SALT = "mix-v1"
+QX60_PPM = 1_000_000
+# Global budget fraction (ppm of the uniform per-source target): the
+# resample flattens sources to 60% of uniform — so the keep filter
+# genuinely fires even on a corpus whose sources are already balanced
+# (the fixture's case), while staying inversely proportional to
+# n_source on a skewed corpus.
+QX60_BUDGET_PPM = 600_000
+
+
+def qx60_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the qx28 mixture: instead of just reporting the
+    per-source reweighting factors, actually produce the resampled
+    corpus that flattens sources to a uniform target — each row's
+    fate a pure function of (salt, doc_id) vs its source's target
+    keep-rate, so the curated mixture is reproducible from the raw
+    corpus on any cluster layout (the qx21 determinism contract
+    composed with the qx28 weights).
+
+    Rates stay ENGINE-EXACT integers: a source's keep-rate in ppm is
+    ``least(10^6, (budget_ppm * n_total) div (n_sources * n_source))``
+    — BIGINT floor division, no doubles — i.e. flatten sources to
+    ``budget_ppm`` of the uniform per-source target (60% here), and a
+    row keeps iff ``split_bucket(doc_id, salt, 10^6) < rate_ppm``.
+    Scale shape: two
+    tiny aggregates, the per-source rate table broadcasts (O(sources)
+    rows), the keep filter is map-only at the scan. Output aggregates
+    the kept rows per (source, lang) with id-sum/extreme witnesses —
+    the qx21 pattern pinning exact membership, not just counts."""
+    from gh_archive_clickhouse_spark.functions.hashing import split_bucket
+
+    docs = read(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_source")
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    rates = per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.least(
+            F.lit(QX60_PPM).cast("long"),
+            F.expr(
+                f"({QX60_BUDGET_PPM} * n_total) div (n_sources * n_source)"
+            ),
+        ).alias("rate_ppm"),
+    )
+    kept = docs.join(F.broadcast(rates), "source").filter(
+        split_bucket("doc_id", salt=QX60_SALT, n_buckets=QX60_PPM)
+        < F.col("rate_ppm")
+    )
+    return kept.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("doc_id").alias("sum_id"),
+        F.max("rate_ppm").alias("rate_ppm"),
+    )
+
+
+_ORACLE_QX60 = f"""
+WITH per_source AS (
+  SELECT source, count(*) AS n_source FROM documents GROUP BY 1
+), totals AS (
+  SELECT count(*) AS n_total, count(DISTINCT source) AS n_sources
+  FROM documents
+), rates AS (
+  SELECT source,
+         least({QX60_PPM},
+               ({QX60_BUDGET_PPM} * n_total) // (n_sources * n_source))
+           AS rate_ppm
+  FROM per_source CROSS JOIN totals
+), kept AS (
+  SELECT d.source, d.lang, d.doc_id, r.rate_ppm
+  FROM documents d JOIN rates r USING (source)
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '{QX60_SALT}'),
+         1, 8))::BIGINT % {QX60_PPM} < r.rate_ppm
+)
+SELECT source, lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id,
+       CAST(sum(doc_id) AS BIGINT) AS sum_id,
+       CAST(max(rate_ppm) AS BIGINT) AS rate_ppm
+FROM kept GROUP BY 1, 2
+"""
+
+
 def qx46_densified_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing over SPARSE order keys — the degradation case
     pack_coordinates' contract documents: keys spaced ~10^6 apart put
@@ -3126,6 +3215,15 @@ QUERIES = [
         "window",
         qx59_seeded_shuffle,
         _ORACLE_QX59,
+        tags=("ext", "sampling"),
+    ),
+    Query(
+        "qx60_mixture_resample",
+        "materialized source-flattening resample: integer ppm rates "
+        "from the qx28 weights, deterministic salted-hash keep, "
+        "map-only filter",
+        qx60_mixture_resample,
+        _ORACLE_QX60,
         tags=("ext", "sampling"),
     ),
     Query(

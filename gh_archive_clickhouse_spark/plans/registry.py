@@ -49,6 +49,7 @@ _NEW_R7 = (
     "qx58_bpe_encode_kernel",
     "qs13_stream_dedup_survivors",
     "qx59_seeded_shuffle",
+    "qx60_mixture_resample",
 )
 # Round-4 rows, two driver rounds stale — the oldest official signal
 # in the repo; every one of these must land in the round-7 window
@@ -100,7 +101,6 @@ _R5_REFRESH = (
     "qm7_image_dedup_ahash",
     "qm8_real_audio_decode",
     "qs1_stream_hourly_counts",
-    "qs2_stream_session_windows",
 )
 
 
