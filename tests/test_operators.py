@@ -1138,6 +1138,20 @@ def test_bpe_encode_kernel_plan_size_independent_of_merge_count(spark):
     # would take minutes to even analyze at this depth)
     rows = bpe_encode_stats_kernel(docs, big).collect()
     assert rows and rows[0].n_vocab_words == 3
+    # the headline claim, executed directly: a PRODUCTION-sized 30k
+    # merge table runs in one pass. These merges reference synthetic
+    # multi-char symbols that never occur in the words, so every one
+    # is skipped by the O(1) presence prefilter — exactly how a real
+    # vocabulary behaves per word (a word matches a handful of its
+    # 30k merges). Output = raw char counts since nothing fires.
+    merges_30k = [
+        (f"s{i}", f"s{j}", f"s{i}s{j}")
+        for i in range(200)
+        for j in range(150)
+    ]
+    assert len(merges_30k) == 30_000
+    rows = bpe_encode_stats_kernel(docs, merges_30k).collect()
+    assert rows and rows[0].n_bpe_tokens == len("lowlowerlowest")
 
 
 def test_rarity_score_matches_reference(spark):

@@ -169,6 +169,17 @@ def test_qx23_benchmark_grams_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_qx60_rates_broadcast_corpus_map_only(spark):
+    """Mixture resample: the per-source rate table (O(sources) rows)
+    must BROADCAST and the keep filter must run map-side — the corpus
+    never shuffles to learn its fate (the only corpus shuffle is the
+    final small per-(source,lang) aggregate)."""
+    plan = _plan(spark, "qx60_mixture_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_qx24_quantize_is_map_only(spark):
     """int8 quantization is per-row: the plan must contain NO exchange
     at all (pure scan -> project)."""
