@@ -595,7 +595,6 @@ Y4M_SIG = b"YUV4MPEG2 "
 # entry: (offset, signature bytes).
 _VIDEO_MAGIC: tuple[tuple[int, bytes], ...] = (
     (0, Y4M_SIG),               # yuv4mpeg2
-    (4, b"ftyp"),               # ISO BMFF: mp4 / mov / 3gp
     (0, b"\x1a\x45\xdf\xa3"),   # Matroska EBML: mkv / webm
     (0, b"OggS"),               # Ogg (theora)
 )
@@ -609,6 +608,14 @@ def _is_video_container(data: bytes) -> bool:
     for off, sig in _VIDEO_MAGIC:
         if data[off : off + len(sig)] == sig:
             return True
+    # ISO BMFF (mp4/mov/3gp): 'ftyp' at offset 4 — but ONLY when the
+    # preceding 4 bytes form a plausible big-endian box size (>= 8
+    # and within the payload), else ordinary text whose characters
+    # 5-8 spell 'ftyp' would be rerouted off the text fallback.
+    if data[4:8] == b"ftyp" and 8 <= int.from_bytes(
+        data[:4], "big"
+    ) <= len(data):
+        return True
     # RIFF-AVI needs two probes (RIFF alone is also WAV).
     return data[:4] == b"RIFF" and data[8:12] == b"AVI "
 Y4M_WIDTH = 8
@@ -653,13 +660,26 @@ def _decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
     limited/full-range conversion for C420-family streams, silently
     shifting luma values away from the byte-exact plane — routing
     Y4M through PyAV would make the decode environment-dependent.
-    Other containers (mp4/webm/...) go to PyAV (ffmpeg bindings)
-    behind an optional import; formats neither path can handle raise
+    Y4M variants the stdlib parser DECLARES unsupported (high bit
+    depth / unknown colorspace) do fall through to PyAV, so no
+    previously-decodable stream is lost. Other containers
+    (mp4/webm/...) go to PyAV (ffmpeg bindings) behind an optional
+    import; formats neither path can handle raise
     NotImplementedError (plug ffmpeg in here).
     """
     data = bytes(payload)
+    stdlib_reason = None
     if data.startswith(Y4M_SIG):
-        return _parse_y4m(data)
+        try:
+            return _parse_y4m(data)
+        except NotImplementedError as ex:
+            # A Y4M variant the stdlib parser DECLARES unsupported
+            # (e.g. 10-bit C420p10): fall through to PyAV, which can
+            # decode it — only the exactly-parseable 8-bit streams
+            # bypass PyAV. Parse ERRORS (ValueError: truncated frame,
+            # missing marker) still raise: the stream is corrupt, not
+            # merely unsupported.
+            stdlib_reason = str(ex)
     try:
         import io
 
@@ -684,9 +704,15 @@ def _decode_y4m(payload: bytes) -> tuple[int, int, list[bytes]]:
             # to the declared raise (mirrors _decode_pcm's chain).
             pass
     raise NotImplementedError(
-        "no decoder for this format in this environment: the payload "
-        "is not Y4M (yuv4mpeg2) and PyAV is not installed or cannot "
-        "read it; plug PyAV/ffmpeg in here"
+        (
+            f"{stdlib_reason}; and PyAV is not installed or cannot "
+            "read it either"
+            if stdlib_reason
+            else "no decoder for this payload in this environment: "
+            "the payload is not Y4M (yuv4mpeg2), and PyAV is not "
+            "installed or cannot read it"
+        )
+        + "; plug PyAV/ffmpeg in here"
     )
 
 

@@ -134,6 +134,7 @@ def seeded_shuffle(
     seed: str = "shuffle-v1",
     out_col: str = "shuffle_pos",
     name: str | None = None,
+    validate_distinct: bool = False,
 ) -> DataFrame:
     """Deterministic seeded corpus shuffle — the reproducible
     training-order emission every run performs before batching:
@@ -151,7 +152,11 @@ def seeded_shuffle(
     order a STRICT total order even under (astronomically unlikely)
     digest-prefix collisions, and letting a SQL oracle reproduce the
     permutation verbatim. ``id_col`` values must be distinct and
-    non-negative (the zero-pad is 12 digits — ids < 10^12).
+    non-negative (the zero-pad is 12 digits — ids < 10^12); a
+    duplicated id makes the positions run-to-run ambiguous, so pass
+    ``validate_distinct=True`` (one extra aggregate, forwarded to
+    :func:`densify_order`) to turn that silent non-determinism into a
+    raise when the source doesn't guarantee uniqueness.
 
     Returns the input columns plus ``out_col`` (long, 0-based shuffle
     position).
@@ -167,6 +172,7 @@ def seeded_shuffle(
         "__shuffle_key",
         out_col=out_col,
         name=name,
+        validate_distinct=validate_distinct,
     ).drop("__shuffle_key")
 
 

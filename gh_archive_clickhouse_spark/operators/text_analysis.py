@@ -473,6 +473,34 @@ def bpe_vocab_build(
     )
 
 
+def _bpe_join_back(
+    docs: DataFrame,
+    enc: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared encode tail: join per-word token counts (``enc``:
+    word, n_tokens) back to the exploded corpus under the
+    bpe_vocab_build word-filter conventions and fold per-doc sums —
+    the ONE place those conventions are applied corpus-side, so the
+    expression and kernel encode paths cannot drift apart."""
+    corpus = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("word"),
+    ).filter(
+        F.col("word").rlike(BPE_WORD_RE)
+        & (F.length("word") <= BPE_MAX_WORD_LEN)
+    )
+    return (
+        corpus.join(enc, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vocab_words"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+        )
+    )
+
+
 def bpe_encode_stats(
     docs: DataFrame,
     merges: list[tuple[str, str, str]],
@@ -508,21 +536,7 @@ def bpe_encode_stats(
         enc.select("word", F.size("syms").alias("n_tokens")),
         "bpe_encoded_vocab",
     )
-    corpus = docs.select(
-        F.col(id_col),
-        F.explode(tokens(F.col(text_col))).alias("word"),
-    ).filter(
-        F.col("word").rlike(BPE_WORD_RE)
-        & (F.length("word") <= BPE_MAX_WORD_LEN)
-    )
-    return (
-        corpus.join(enc, "word")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_vocab_words"),
-            F.sum("n_tokens").alias("n_bpe_tokens"),
-        )
-    )
+    return _bpe_join_back(docs, enc, text_col, id_col)
 
 
 BPE_ENCODE_VOCAB_SCHEMA = "word string, n_tokens int"
@@ -545,7 +559,8 @@ def bpe_encode_stats_kernel(
     list is BROADCAST (one copy per executor, arbitrary length) to an
     Arrow-batched ``mapInPandas`` kernel that applies all R merges
     per DISTINCT word inside one map stage: plan size is INDEPENDENT
-    of R (pinned by tests/test_oracle.py's plan-shape assert), and
+    of R (pinned by tests/test_operators.py's
+    test_bpe_encode_kernel_plan_size_independent_of_merge_count), and
     the kernel's integer token counts keep oracle hash-parity — the
     same policy as the multimodal decode kernels.
 
@@ -618,21 +633,7 @@ def bpe_encode_stats_kernel(
         .mapInPandas(_encode, schema=BPE_ENCODE_VOCAB_SCHEMA),
         "bpe_encoded_vocab_kernel",
     )
-    corpus = docs.select(
-        F.col(id_col),
-        F.explode(tokens(F.col(text_col))).alias("word"),
-    ).filter(
-        F.col("word").rlike(BPE_WORD_RE)
-        & (F.length("word") <= BPE_MAX_WORD_LEN)
-    )
-    return (
-        corpus.join(enc, "word")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_vocab_words"),
-            F.sum("n_tokens").alias("n_bpe_tokens"),
-        )
-    )
+    return _bpe_join_back(docs, enc, text_col, id_col)
 
 
 # ------------------------------------------------- corpus rarity (LM)

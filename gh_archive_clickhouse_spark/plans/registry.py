@@ -41,6 +41,7 @@ _CHANGED_R7 = (
     "qm3_frame_sample",            # Y4M magic-byte dispatch precedence
     "qm9_real_video_decode",       # stdlib-first Y4M decode routing
     "qx53_budget_selection",       # budget_select weight-contract assert
+    "qx52_bpe_encode",             # encode tail refactored into _bpe_join_back
 )
 # New in round 7 (never driver-verified): appended as they are built;
 # each addition here displaces the tail _R5_REFRESH entry so the head
@@ -95,7 +96,7 @@ _R4_STALE = (
 # Round-5 rows refreshed with the remaining window slots — filling the
 # 50-entry window together with the three groups above (len asserted
 # below); the rest of the round-5 cohort leads the round-8 rotation.
-# ROUND-8 BUDGET NOTE: 42 round-5 rows remain outside this window and
+# ROUND-8 BUDGET NOTE: 43 round-5 rows remain outside this window and
 # must ALL take round-8 slots (they go 3-stale otherwise), leaving ~8
 # slots for round-8 changed+new work. At 136 queries and a 50-slot
 # window the steady state is ~45 maintenance slots per round — scope
@@ -106,7 +107,6 @@ _R5_REFRESH = (
     "qe2_daily_rollup",
     "qm7_image_dedup_ahash",
     "qm8_real_audio_decode",
-    "qs1_stream_hourly_counts",
 )
 
 

@@ -251,6 +251,9 @@ def test_incremental_dedup_sink_refreshes_labels_on_major_fold(
     for doc_id, rep in got:
         assert rep == (doc_id // 2) * 2
     assert got <= expect
+
+
+def test_fold_manifest_commit_is_crash_atomic(spark, tmp_path):
     """The manifest commits via write-to-temp + os.replace: after a
     major fold no temp file remains and the manifest is complete
     JSON; a torn manifest (the failure the atomic commit prevents —

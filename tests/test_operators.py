@@ -292,17 +292,26 @@ def test_sample_frames_dispatches_on_magic_not_decodability(spark):
     """A real container whose bytes HAPPEN to be valid UTF-8 must
     still take the container path (declared decoder or raise), never
     be silently fingerprinted as text chunks."""
-    # mp4 magic ('ftyp' at offset 4) built entirely from ASCII bytes —
-    # decodes as UTF-8, so the old 'decodes as text' dispatch would
-    # have chunk-fingerprinted it.
-    utf8_mp4 = b"0000ftypisom-all-ascii-payload-bytes"
-    assert utf8_mp4.decode("utf-8")  # precondition: valid UTF-8
+    # A structurally-valid mp4 prefix (box size 24, 'ftyp' at offset
+    # 4) whose bytes are ALL valid UTF-8 (NUL is valid UTF-8) — the
+    # old 'decodes as text' dispatch would have chunk-fingerprinted
+    # it.
+    utf8_mp4 = b"\x00\x00\x00\x18ftypisom" + b"x" * 12
+    utf8_mp4.decode("utf-8")  # precondition: valid UTF-8
+    assert len(utf8_mp4) == 24
     df = spark.createDataFrame(
         [(7, bytearray(utf8_mp4))], "doc_id long, payload binary"
     )
     with pytest.raises(Exception) as exc:
         sample_frames(df).collect()
     assert "NotImplementedError" in str(exc.value), str(exc.value)[:500]
+    # …while ordinary text that merely SPELLS 'ftyp' at offset 4
+    # (no plausible box size precedes it) stays on the text fallback.
+    text_df = spark.createDataFrame(
+        [(8, bytearray(b"raw ftyped meeting notes, nothing binary"))],
+        "doc_id long, payload binary",
+    )
+    assert sample_frames(text_df).count() > 0
 
 
 def test_y4m_decode_prefers_stdlib_parse_over_pyav():
@@ -332,10 +341,18 @@ def test_y4m_decode_prefers_stdlib_parse_over_pyav():
     try:
         _w, _h, frames = _decode_y4m(y4m)
         assert frames == [luma]
-        assert calls == []  # PyAV never consulted for Y4M
+        assert calls == []  # PyAV never consulted for parseable Y4M
         with pytest.raises(NotImplementedError):
             _decode_y4m(b"\x1a\x45\xdf\xa3matroska-ish")
         assert calls == ["open"]  # …but IS consulted for other bytes
+        # …and for Y4M variants the stdlib parser DECLARES
+        # unsupported (here 16-bit mono), with the stdlib reason
+        # surfacing in the final error when PyAV fails too.
+        with pytest.raises(NotImplementedError, match="colorspace"):
+            _decode_y4m(
+                b"YUV4MPEG2 W2 H1 Cmono16\nFRAME\n\x00\x01\x00\x02"
+            )
+        assert calls == ["open", "open"]
     finally:
         del sys.modules["av"]
 

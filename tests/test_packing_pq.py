@@ -671,6 +671,11 @@ def test_seeded_shuffle_invariant_to_input_partitioning(spark):
     }
     assert sorted(reseeded.values()) == list(range(n))
     assert reseeded != base
+    # duplicated ids make positions ambiguous — opt-in validation
+    # turns that into a raise instead of silent non-determinism
+    dup = spark.createDataFrame([(1,), (1,), (2,)], "doc_id long")
+    with pytest.raises(ValueError, match="distinct"):
+        seeded_shuffle(dup, validate_distinct=True).collect()
 
 
 def test_seeded_shuffle_no_global_window(spark):
