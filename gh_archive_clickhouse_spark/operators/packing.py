@@ -154,13 +154,29 @@ def seeded_shuffle(
     permutation verbatim. ``id_col`` values must be distinct and
     non-negative (the zero-pad is 12 digits — ids < 10^12); a
     duplicated id makes the positions run-to-run ambiguous, so pass
-    ``validate_distinct=True`` (one extra aggregate, forwarded to
-    :func:`densify_order`) to turn that silent non-determinism into a
-    raise when the source doesn't guarantee uniqueness.
+    ``validate_distinct=True`` (one extra aggregate) to turn that
+    silent non-determinism into a raise when the source doesn't
+    guarantee uniqueness. The check runs on ``id_col`` ITSELF — not
+    forwarded to :func:`densify_order`'s internal key — so the error
+    names the offending id, not an internal hash; distinct ids imply
+    distinct keys by construction (the key carries the id as a
+    suffix).
 
     Returns the input columns plus ``out_col`` (long, 0-based shuffle
     position).
     """
+    if validate_distinct:
+        dup = (
+            df.groupBy(F.col(id_col))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .head(1)
+        )
+        if dup:
+            raise ValueError(
+                f"seeded_shuffle requires distinct {id_col!r} values; "
+                f"found duplicate id {dup[0][0]!r}"
+            )
     c = F.col(id_col)
     key = F.concat(
         F.md5(F.concat(c.cast("string"), F.lit(seed))),
@@ -172,7 +188,6 @@ def seeded_shuffle(
         "__shuffle_key",
         out_col=out_col,
         name=name,
-        validate_distinct=validate_distinct,
     ).drop("__shuffle_key")
 
 
@@ -222,23 +237,28 @@ def budget_select(
 
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    # assert_true returns NULL when the predicate holds and raises
-    # otherwise; phrased as a filter (never as an unused column, which
-    # column pruning would silently drop) it keeps every valid row.
-    w_ok = F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0)
-    df = df.filter(
-        F.assert_true(
-            w_ok,
-            f"budget_select: {weight_col} must be non-negative and "
-            "non-NULL (greedy-prefix contract)",
-        ).isNull()
-    )
     parts = materialize(
         df.repartitionByRange(*order_by).withColumn(
             "__pid", F.spark_partition_id()
         ),
         name or "budget_parts",
         durable=name is not None,
+    )
+    # assert_true returns NULL when the predicate holds and raises
+    # otherwise; phrased as a filter (never as an unused column, which
+    # column pruning would silently drop) it keeps every valid row.
+    # Placed AFTER the materialize barrier, never on the raw input: a
+    # deterministic filter on ``df`` would be pushed below the
+    # caller's own joins inside the input plan and raise on rows those
+    # joins eliminate — rows that are not part of the frame the caller
+    # handed us.
+    w_ok = F.col(weight_col).isNotNull() & (F.col(weight_col) >= 0)
+    parts = parts.filter(
+        F.assert_true(
+            w_ok,
+            f"budget_select: {weight_col} must be non-negative and "
+            "non-NULL (greedy-prefix contract)",
+        ).isNull()
     )
     totals = parts.groupBy("__pid").agg(
         F.sum(weight_col).alias("__pw")

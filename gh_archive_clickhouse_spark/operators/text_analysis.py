@@ -568,9 +568,20 @@ def bpe_encode_stats_kernel(
     cross-check in tests): merges apply in LEARNED ORDER, one greedy
     left-to-right pass each, where the fold's output-last-element
     check reproduces exact non-overlapping greedy semantics. The
-    kernel adds a symbol-presence prefilter per (word, merge) — two
-    set lookups — so merges that cannot fire cost O(1), making a full
-    30k-merge table affordable per distinct word.
+    kernel never iterates the full merge list per word: a
+    once-per-task inverted index (symbol -> merge indexes using it as
+    left or right) seeds a min-heap of CANDIDATE merges — those whose
+    two sides are both present in the word — and each fired merge
+    re-scans only the index entries of the symbol it created (for
+    later-indexed merges it newly enables). Popping the heap in
+    ascending index order replays learned order exactly: a merge is
+    queued whenever both its sides become present (present-at-init, or
+    at the firing of the LAST merge that created a side — which has a
+    smaller index than the enabled merge's own turn), so a merge never
+    on the heap is precisely one whose greedy pass would no-op. Per
+    word the cost is proportional to the merges that can actually
+    touch it, not to R — a 30k-entry table costs a word only its own
+    handful of candidates.
 
     Scale shape: the corpus pays ONE shuffle (the distinct-word
     build); the kernel runs map-only over |distinct words| rows;
@@ -593,9 +604,20 @@ def bpe_encode_stats_kernel(
     )
 
     def _encode(batches):
+        import heapq
+
         import pandas as pd
 
         mlist = bc.value
+        # Inverted index, built once per task: symbol -> ascending
+        # merge indexes where it appears as left or right. A word only
+        # ever consults the entries of symbols it contains.
+        by_sym: dict = {}
+        for i, (left, right, _m) in enumerate(mlist):
+            by_sym.setdefault(left, []).append(i)
+            if right != left:
+                by_sym.setdefault(right, []).append(i)
+        no_merges: list = []
         for pdf in batches:
             words = pdf["word"].tolist()
             counts = []
@@ -603,11 +625,21 @@ def bpe_encode_stats_kernel(
                 syms = list(w)
                 if len(syms) >= 2:
                     present = set(syms)
-                    for left, right, merged in mlist:
-                        if len(syms) < 2:
-                            break
-                        # presence prefilter: a merge can only fire if
-                        # both symbols occur somewhere in the word
+                    heap: list = []
+                    queued = set()
+                    for s in present:
+                        for i in by_sym.get(s, no_merges):
+                            if i not in queued:
+                                left, right, _m = mlist[i]
+                                if left in present and right in present:
+                                    queued.add(i)
+                                    heap.append(i)
+                    heapq.heapify(heap)
+                    while heap and len(syms) >= 2:
+                        i = heapq.heappop(heap)
+                        left, right, merged = mlist[i]
+                        # sides may have been consumed since queueing;
+                        # the greedy pass would no-op, skip it
                         if left not in present or right not in present:
                             continue
                         out = [syms[0]]
@@ -619,6 +651,15 @@ def bpe_encode_stats_kernel(
                         if len(out) != len(syms):
                             syms = out
                             present = set(syms)
+                            # the created symbol may enable merges at
+                            # LATER indexes only — earlier merges had
+                            # their (correctly empty) turn already
+                            for j in by_sym.get(merged, no_merges):
+                                if j > i and j not in queued:
+                                    l2, r2, _m2 = mlist[j]
+                                    if l2 in present and r2 in present:
+                                        queued.add(j)
+                                        heapq.heappush(heap, j)
                 counts.append(len(syms))
             yield pd.DataFrame(
                 {

@@ -96,7 +96,7 @@ _R4_STALE = (
 # Round-5 rows refreshed with the remaining window slots — filling the
 # 50-entry window together with the three groups above (len asserted
 # below); the rest of the round-5 cohort leads the round-8 rotation.
-# ROUND-8 BUDGET NOTE: 43 round-5 rows remain outside this window and
+# ROUND-8 BUDGET NOTE: 42 round-5 rows remain outside this window and
 # must ALL take round-8 slots (they go 3-stale otherwise), leaving ~8
 # slots for round-8 changed+new work. At 136 queries and a 50-slot
 # window the steady state is ~45 maintenance slots per round — scope

@@ -1095,6 +1095,29 @@ def test_bpe_encode_stats_matches_reference(spark):
     assert 2 not in got  # punctuation-only doc dropped
 
 
+def test_bpe_encode_kernel_learned_order_edges(spark):
+    """The candidate-heap rewrite's two ordering edges, pinned against
+    the expression path AND literal expectations: a merge whose side
+    is CREATED by an earlier merge still fires (the created-symbol
+    rescan), and a later-created symbol never re-enables a merge whose
+    turn already passed (learned order, one pass each)."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_encode_stats,
+        bpe_encode_stats_kernel,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    # enablement: merge 2's left symbol "ab" exists only after merge 1
+    fwd = [("a", "b", "ab"), ("ab", "c", "abc")]
+    # turn passed: "ab" appears only after merge 1's slot is over
+    rev = [("ab", "c", "abc"), ("a", "b", "ab")]
+    for merges, want in ((fwd, 1), (rev, 2)):
+        kern = bpe_encode_stats_kernel(docs, merges).collect()
+        expr = bpe_encode_stats(docs, merges).collect()
+        assert [r.asDict() for r in kern] == [r.asDict() for r in expr]
+        assert kern[0].n_bpe_tokens == want
+
+
 def test_bpe_encode_kernel_matches_expression_path(spark):
     """The merge-table-size-safe kernel encode (broadcast merge list,
     mapInPandas) produces exactly the expression path's output on the

@@ -672,10 +672,14 @@ def test_seeded_shuffle_invariant_to_input_partitioning(spark):
     assert sorted(reseeded.values()) == list(range(n))
     assert reseeded != base
     # duplicated ids make positions ambiguous — opt-in validation
-    # turns that into a raise instead of silent non-determinism
+    # turns that into a raise instead of silent non-determinism, and
+    # the error names the OFFENDING ID (not the internal hash key the
+    # rank pass orders by — useless for finding the row)
     dup = spark.createDataFrame([(1,), (1,), (2,)], "doc_id long")
-    with pytest.raises(ValueError, match="distinct"):
+    with pytest.raises(ValueError, match="duplicate id 1") as exc:
         seeded_shuffle(dup, validate_distinct=True).collect()
+    assert "doc_id" in str(exc.value)
+    assert "__shuffle_key" not in str(exc.value)
 
 
 def test_seeded_shuffle_no_global_window(spark):
@@ -730,6 +734,29 @@ def test_budget_select_rejects_invalid_weights(spark):
         for r in budget_select(ok, "w", 6, order).collect()
     }
     assert got == {1: 0, 2: 5, 3: 5}
+
+
+def test_budget_select_assert_not_pushed_into_caller_plan(spark):
+    """The weight-contract assert runs on the frame the CALLER handed
+    in, never below the caller's own joins: a deterministic filter on
+    the raw input would be pushed under an upstream join and raise on
+    rows that join ELIMINATES. Here every row of df has a valid
+    weight (the inner join drops the orphan NULL-weight row), so the
+    selection must succeed."""
+    from gh_archive_clickhouse_spark.operators.packing import budget_select
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    weights = spark.createDataFrame(
+        [(1, 5), (2, 7), (99, None)], "doc_id long, w long"
+    )
+    df = docs.join(weights, "doc_id")
+    got = {
+        r.doc_id: r.tokens_before
+        for r in budget_select(
+            df, "w", 100, [F.col("doc_id").asc()]
+        ).collect()
+    }
+    assert got == {1: 0, 2: 5}
 
 
 def test_budget_select_no_global_window_over_rows(spark):
