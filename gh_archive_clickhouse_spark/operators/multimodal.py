@@ -609,12 +609,17 @@ def _is_video_container(data: bytes) -> bool:
         if data[off : off + len(sig)] == sig:
             return True
     # ISO BMFF (mp4/mov/3gp): 'ftyp' at offset 4 — but ONLY when the
-    # preceding 4 bytes form a plausible big-endian box size (>= 8
-    # and within the payload), else ordinary text whose characters
-    # 5-8 spell 'ftyp' would be rerouted off the text fallback.
+    # preceding 4 bytes form a plausible big-endian box size, else
+    # ordinary text whose characters 5-8 spell 'ftyp' would be
+    # rerouted off the text fallback. The bound is a small CONSTANT,
+    # not len(data): ftyp is always the first box and a real one is
+    # tiny (a brand list — tens of bytes), so a truncated container
+    # still probes as video, while text in front of 'ftyp' would
+    # need NUL-leading bytes to spell a size this small (any 4
+    # printable characters decode to >= 0x20202020).
     if data[4:8] == b"ftyp" and 8 <= int.from_bytes(
         data[:4], "big"
-    ) <= len(data):
+    ) <= 4096:
         return True
     # RIFF-AVI needs two probes (RIFF alone is also WAV).
     return data[:4] == b"RIFF" and data[8:12] == b"AVI "

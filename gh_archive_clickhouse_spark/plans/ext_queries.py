@@ -1946,8 +1946,9 @@ def qx52_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_stats(docs, merges)
 
 
-# qx58: a PRODUCTION-SIZED merge table (258 entries — two orders of
-# magnitude past qx52's 8) that the plan-size-safe kernel encode must
+# qx58: a large merge table (258 entries — ~32x qx52's 8; the full
+# production scale is the 30k-merge execution test in
+# tests/test_operators.py) that the plan-size-safe kernel encode must
 # apply. Deterministic and engine-shareable: tier 1 is every ordered
 # pair over a fixed 16-letter alphabet (256 single-char merges, lex
 # order = learned order); tiers 2-3 chain MERGED symbols (ab+le →

@@ -375,6 +375,11 @@ def incremental_dedup_sink(
     a consumer needing exact point-in-time clusters calls
     ``fold_cluster_labels`` on demand (the "close the books" form the
     qs13 query uses at stream end).
+
+    The labels table EXISTS from the first batch: before the first
+    major fold an EMPTY table is seeded (meaning "no drops known
+    yet"), so the documented survivors-cut read never hits
+    PATH_NOT_FOUND early in the stream's life.
     """
     inner = incremental_lsh_sink(
         sig_path,
@@ -386,6 +391,10 @@ def incremental_dedup_sink(
     )
 
     def _write(batch_df: DataFrame, epoch_id: int) -> dict:
+        if not os.path.exists(labels_path):
+            batch_df.sparkSession.createDataFrame(
+                [], LABELS_SCHEMA
+            ).write.mode("ignore").parquet(labels_path)
         kinds = inner(batch_df, epoch_id)
         if kinds["pairs"] == "major":
             fold_cluster_labels(

@@ -225,7 +225,15 @@ def test_incremental_dedup_sink_refreshes_labels_on_major_fold(
             if kinds["pairs"] == "major":
                 majored = True
             else:
-                assert not labels_path.exists()  # no per-batch CC work
+                # the MV is READABLE from batch 0 (the documented
+                # survivors-cut recipe must never PATH_NOT_FOUND) but
+                # stays EMPTY until the major fold — no per-batch CC
+                assert (
+                    spark.read.schema(LABELS_SCHEMA)
+                    .parquet(str(labels_path))
+                    .count()
+                    == 0
+                )
     assert majored, "pair log never major-folded in 5 epochs"
     got = {
         (r.doc_id, r.cluster_rep)

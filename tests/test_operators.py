@@ -305,6 +305,17 @@ def test_sample_frames_dispatches_on_magic_not_decodability(spark):
     with pytest.raises(Exception) as exc:
         sample_frames(df).collect()
     assert "NotImplementedError" in str(exc.value), str(exc.value)[:500]
+    # A TRUNCATED container (payload shorter than its own ftyp box
+    # size) still probes as video — the size bound is a constant, not
+    # the payload length, so mid-transfer truncation can't silently
+    # reroute a real mp4 onto the text fallback.
+    trunc = spark.createDataFrame(
+        [(9, bytearray(b"\x00\x00\x00\x18ftypisom"[:12]))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception) as exc:
+        sample_frames(trunc).collect()
+    assert "NotImplementedError" in str(exc.value), str(exc.value)[:500]
     # …while ordinary text that merely SPELLS 'ftyp' at offset 4
     # (no plausible box size precedes it) stays on the text fallback.
     text_df = spark.createDataFrame(
