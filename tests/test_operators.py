@@ -1129,6 +1129,61 @@ def test_bpe_encode_kernel_learned_order_edges(spark):
         assert kern[0].n_bpe_tokens == want
 
 
+def test_bpe_encode_kernel_randomized_vs_naive_reference(spark):
+    """Property pin for the candidate-heap scheduler: on 300 random
+    words x a 120-entry random merge table (seeded), the kernel's
+    token counts equal a naive pure-Python reference that loops ALL
+    merges in learned order, one greedy pass each — the semantics the
+    heap claims to replay while visiting only viable candidates.
+    Random tables include chained multi-char sides and duplicate
+    merged symbols, the cases the equivalence proof leans on."""
+    import random
+
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_encode_stats_kernel,
+    )
+
+    rng = random.Random(20260814)
+    alphabet = "abcdef"
+    merges = []
+    symbols = list(alphabet)
+    for _ in range(120):
+        left, right = rng.choice(symbols), rng.choice(symbols)
+        merged = left + right
+        if len(merged) <= 8:
+            merges.append((left, right, merged))
+            symbols.append(merged)
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(300)
+    ]
+    words = sorted(set(words))
+
+    def naive(w):
+        syms = list(w)
+        for left, right, merged in merges:
+            if len(syms) < 2:
+                break
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            syms = out
+        return len(syms)
+
+    docs = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_encode_stats_kernel(docs, merges).collect()
+    }
+    expect = {i: naive(w) for i, w in enumerate(words)}
+    assert got == expect
+
+
 def test_bpe_encode_kernel_matches_expression_path(spark):
     """The merge-table-size-safe kernel encode (broadcast merge list,
     mapInPandas) produces exactly the expression path's output on the
