@@ -552,3 +552,125 @@ def test_densify_rank_property(spark, keys):
     got = {r.k: r.dense_id for r in densify_order(df, "k").collect()}
     want = {k: i for i, k in enumerate(sorted(keys))}
     assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=20,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_equals_union_find(spark, edges):
+    """Random multigraphs (duplicate edges, self-loops, both
+    orientations of the same pair, disconnected singleton loops):
+    cluster_rep equals the min node of each component computed by a
+    brute-force Python union-find. Pins the propagate/pointer-jump
+    rounds on shapes the fixture's near-dup graph never produces."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)],
+        "doc_a long, doc_b long",
+    )
+    if not edges:
+        df = df.limit(0)
+    got = {
+        r.doc_id: r.cluster_rep
+        for r in connected_components(df).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.sampled_from(["en", "de"])),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_mixture_resample_matches_python_rates(spark, tmp_path_factory, rows):
+    """qx60 end-to-end on random source skews: the materialized
+    mixture's per-(source, lang) aggregates equal a pure-Python
+    recomputation of the integer ppm rate table and the salted-md5
+    keep rule — the whole chain (rate math, split_bucket, broadcast
+    join, filter, witnesses) against an independent reference."""
+    import hashlib
+
+    import pandas as pd
+
+    from gh_archive_clickhouse_spark.plans.ext_queries import (
+        QX60_BUDGET_PPM,
+        QX60_PPM,
+        QX60_SALT,
+        qx60_mixture_resample,
+    )
+
+    base = tmp_path_factory.mktemp("qx60_prop")
+    docs = pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(rows)), dtype="int64"),
+            "source": pd.array([f"s{s}" for s, _ in rows]),
+            "lang": pd.array([l for _, l in rows]),
+            "text": pd.array(["t"] * len(rows)),
+        }
+    )
+    docs.to_parquet(base / "documents.parquet")
+    got = {
+        (r.source, r.lang): (r.n_kept, r.min_id, r.max_id, r.sum_id, r.rate_ppm)
+        for r in qx60_mixture_resample(spark, str(base)).collect()
+    }
+
+    n_total = len(rows)
+    per_source: dict[str, int] = {}
+    for s, _ in rows:
+        per_source[f"s{s}"] = per_source.get(f"s{s}", 0) + 1
+    n_sources = len(per_source)
+    rate = {
+        s: min(
+            QX60_PPM,
+            (QX60_BUDGET_PPM * n_total) // (n_sources * n),
+        )
+        for s, n in per_source.items()
+    }
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{doc_id}{QX60_SALT}".encode()).hexdigest()
+        return int(h[:8], 16) % QX60_PPM
+
+    want: dict[tuple[str, str], list[int]] = {}
+    for i, (s, l) in enumerate(rows):
+        if bucket(i) < rate[f"s{s}"]:
+            want.setdefault((f"s{s}", l), []).append(i)
+    assert got == {
+        k: (len(v), min(v), max(v), sum(v), rate[k[0]])
+        for k, v in want.items()
+    }
