@@ -383,3 +383,70 @@ def test_rate_limit_pacing_rules():
     assert RateLimit(5000, 5, now + 30).pacing_sleep(now) == 31.0
     # no headers → no pacing
     assert RateLimit().pacing_sleep(now) == 0.0
+
+
+def test_poll_frontier_property_random_streams():
+    """Randomized pin of the poll state machine against an INDEPENDENT
+    Python model of the reference algorithm (main.go:122-170,207):
+    per-poll page loop with the two stop rules (every-event-so-far-new
+    and short page), within-poll dedup, cross-poll frontier dedup,
+    seen-but-not-emitted ids still entering the frontier, frontier
+    REPLACED per poll (an id absent for one whole poll may legally
+    re-emit later — the reference's restart posture), and an empty
+    poll leaving the frontier untouched. Small id domain + tiny pages
+    force every collision class the scripted mock can't enumerate."""
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    PP, MP = 3, 2
+
+    @given(
+        polls=st.lists(
+            st.lists(st.integers(0, 7), min_size=0, max_size=12),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def run(polls):
+        reader = GitHubEventsStreamReader(
+            {"per_page": str(PP), "max_pages": str(MP), "pace": "false"}
+        )
+        serving: list[int] = []
+
+        def fake_get_page(page):
+            body = _json.dumps(
+                _events(serving[(page - 1) * PP : page * PP])
+            ).encode()
+            return 200, body, {}
+
+        reader._get_page = fake_get_page
+
+        latest: set[int] = set()
+        for served in polls:
+            serving = served
+            got = [r[0] for r in reader._poll_once().rows]
+
+            want: list[int] = []
+            current: set[int] = set()
+            for page in range(1, MP + 2):
+                events = served[(page - 1) * PP : page * PP]
+                for ev_id in events:
+                    if ev_id in current:
+                        continue
+                    current.add(ev_id)
+                    if ev_id in latest:
+                        continue
+                    want.append(ev_id)
+                if len(want) < PP * page:
+                    break
+                if len(events) < PP:
+                    break
+            if current:
+                latest = set(current)
+
+            assert got == want, (served, got, want)
+
+    run()
