@@ -350,3 +350,99 @@ def test_file_count_trigger_caps_minor_pile(spark, tmp_path):
         assert minor_n <= 5 + 2  # bounded pile between majors
     got = spark.read.schema(SCHEMA).parquet(path)
     assert got.count() == 6000 + 8 * 5
+
+
+def test_fold_invariants_under_random_epoch_schedules(spark, tmp_path_factory):
+    """Randomized long-horizon schedules (epoch sizes, duplicate-id
+    replays, enough steps to cross minor AND major triggers): at every
+    step the fold must preserve the exact doc_id SET (row count may
+    exceed it between major folds — replays collapse only at the
+    dedup'ing rewrite, which consumers tolerate), keep the directory
+    count bounded by O(keep_epochs), report "none" exactly when fewer
+    than keep_epochs committed epochs await folding, and leave the
+    last major rewrite's files byte-identical through minor folds
+    (rename-only — the O(N²) rewrite regression this module exists to
+    prevent)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    KEEP, TIER, MAXMINOR = 2, 2, 4
+
+    @given(
+        steps=st.lists(
+            st.tuples(st.integers(1, 25), st.booleans()),
+            min_size=6,
+            max_size=10,
+        )
+    )
+    @settings(
+        max_examples=3,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(steps):
+        path = str(tmp_path_factory.mktemp("fold_sched"))
+        written: set[int] = set()
+        total_rows = 0
+        prev_range = (0, 0)
+        next_id = 0
+        for epoch, (n, replay) in enumerate(steps):
+            if replay and prev_range[1] > prev_range[0]:
+                lo, hi = prev_range
+            else:
+                lo, hi = next_id, next_id + n
+                next_id = hi
+            _write_epoch(spark, path, epoch, lo, hi)
+            written.update(range(lo, hi))
+            total_rows += hi - lo
+            prev_range = (lo, hi)
+
+            old = [
+                d
+                for d in Path(path).iterdir()
+                if d.name.startswith("epoch=")
+                and d.name not in (f"epoch={epoch}", "epoch=-1")
+            ]
+            manifest = Path(path) / FOLD_MANIFEST
+            pre_major = {}
+            if manifest.exists():
+                cons = Path(path) / "epoch=-1"
+                names = set(
+                    json.loads(manifest.read_text())["major_files"]
+                )
+                pre_major = {
+                    f: (cons / f).stat().st_size
+                    for f in names
+                    if (cons / f).exists()
+                }
+
+            kind = _compact_old_epochs(
+                spark,
+                path,
+                SCHEMA,
+                epoch,
+                dedup_cols=["doc_id"],
+                keep_epochs=KEEP,
+                tier_factor=TIER,
+                max_minor_files=MAXMINOR,
+            )
+
+            assert (kind == "none") == (len(old) < KEEP)
+            if kind == "minor":
+                cons = Path(path) / "epoch=-1"
+                for f, size in pre_major.items():
+                    assert (cons / f).stat().st_size == size, f
+            rows = [
+                r.doc_id
+                for r in spark.read.schema(SCHEMA).parquet(path).collect()
+            ]
+            assert set(rows) == written
+            assert len(written) <= len(rows) <= total_rows
+            n_dirs = sum(
+                1
+                for d in Path(path).iterdir()
+                if d.name.startswith("epoch=")
+            )
+            assert n_dirs <= KEEP + 2
+
+    run()
