@@ -976,27 +976,13 @@ def test_round5_queries_durable_materialize_path(
 # ------------------------------------------------------------- BPE
 
 
-def test_bpe_vocab_build_matches_reference(spark):
-    """bpe_vocab_build == a literal pure-Python BPE (word-frequency
-    table, (count DESC, l, r) election, greedy left-to-right merge)
-    — including the overlapping-run case ('aaaa' merges to two 'aa',
-    not three)."""
+def _py_bpe_reference(texts, rounds):
+    """Literal pure-Python Sennrich BPE over whitespace words: word-
+    frequency table, (count DESC, l, r) pair election, greedy
+    left-to-right non-overlapping merge. The independent model both
+    BPE-build tests compare against."""
     import collections
     import re
-
-    from gh_archive_clickhouse_spark.operators.text_analysis import (
-        bpe_vocab_build,
-    )
-
-    texts = [
-        "low low low lower lowest news newer",
-        "low news new new aaaa aaaa",
-        "x" * 40 + " ok!! punct, skipped",  # filtered: too long / non-alnum
-    ]
-    docs = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
-    )
-    got = [tuple(r) for r in bpe_vocab_build(docs, rounds=6).collect()]
 
     wc = collections.Counter(
         w
@@ -1006,7 +992,7 @@ def test_bpe_vocab_build_matches_reference(spark):
     )
     words = {tuple(w): c for w, c in wc.items()}
     expect = []
-    for rnd in range(1, 7):
+    for rnd in range(1, rounds + 1):
         pc = collections.Counter()
         for syms, c in words.items():
             for i in range(len(syms) - 1):
@@ -1028,9 +1014,72 @@ def test_bpe_vocab_build_matches_reference(spark):
                     out.append(x)
             new[tuple(out)] = new.get(tuple(out), 0) + c
         words = new
-    assert got == expect
+    return expect
+
+
+def test_bpe_vocab_build_matches_reference(spark):
+    """bpe_vocab_build == a literal pure-Python BPE (word-frequency
+    table, (count DESC, l, r) election, greedy left-to-right merge)
+    — including the overlapping-run case ('aaaa' merges to two 'aa',
+    not three)."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_vocab_build,
+    )
+
+    texts = [
+        "low low low lower lowest news newer",
+        "low news new new aaaa aaaa",
+        "x" * 40 + " ok!! punct, skipped",  # filtered: too long / non-alnum
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [tuple(r) for r in bpe_vocab_build(docs, rounds=6).collect()]
+    assert got == _py_bpe_reference(texts, 6)
     # the planted 'aaaa' words merged pairwise, not greedily-overlapping
     assert ("a", "a") in {(l, r) for _, l, r, _, _ in got}
+
+
+def test_bpe_vocab_build_randomized_tie_breaks(spark):
+    """Random two-letter corpora make pair-count ties the COMMON case:
+    the distributed election must resolve every (count DESC, l, r)
+    tie exactly like the pure-Python reference, round after round
+    (a wrong tie-break changes all later rounds, so equality over the
+    full merge table is a strong pin)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_vocab_build,
+    )
+
+    @given(
+        words=st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=4),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(words):
+        texts = [
+            " ".join(words[: len(words) // 2]),
+            " ".join(words[len(words) // 2 :]),
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = [
+            tuple(r) for r in bpe_vocab_build(docs, rounds=3).collect()
+        ]
+        assert got == _py_bpe_reference(texts, 3)
+
+    run()
 
 
 def test_bpe_election_is_takeordered_with_partial_agg(spark):
