@@ -674,3 +674,71 @@ def test_mixture_resample_matches_python_rates(spark, tmp_path_factory, rows):
         k: (len(v), min(v), max(v), sum(v), rate[k[0]])
         for k, v in want.items()
     }
+
+
+_LSH_CORPUS = [
+    "the quick brown fox jumps over the lazy dog tonight",
+    "the quick brown fox jumps over the lazy dog tonight",
+    "pack my box with five dozen liquor jugs every day",
+    "pack my box with five dozen liquor jugs every day",
+    "pack my box with five dozen liquor jugs every night",
+    "sphinx of black quartz judge my vow at once",
+    "how vexingly quick daft zebras jump over fences",
+    "bright vixens jump while dozy fowl quack loudly here",
+]
+
+
+@given(assignment=st.lists(st.integers(0, 2), min_size=8, max_size=8))
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_lsh_any_batching_equals_batch(
+    spark, tmp_path_factory, assignment
+):
+    """The incremental LSH pair log == the batch operator's pair set
+    no matter how the corpus is chopped into micro-batches (including
+    empty batches and all-in-one) — the qs4 two-batch equivalence
+    generalized to arbitrary arrival orders. Each doc still arrives
+    exactly once; a pair must be discovered when its LATER member
+    arrives, whichever batch that is."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        PAIRS_SCHEMA,
+        incremental_lsh_sink,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_LSH_CORPUS)],
+        "doc_id long, text string",
+    )
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+
+    base = tmp_path_factory.mktemp("inc_lsh")
+    sink = incremental_lsh_sink(str(base / "sigs"), str(base / "pairs"))
+    for epoch in range(3):
+        batch = [
+            (i, t)
+            for i, (t, a) in enumerate(zip(_LSH_CORPUS, assignment))
+            if a == epoch
+        ]
+        sink(
+            spark.createDataFrame(batch or [], "doc_id long, text string"),
+            epoch,
+        )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.schema(PAIRS_SCHEMA)
+        .parquet(str(base / "pairs"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+    assert got == want and want
