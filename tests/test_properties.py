@@ -742,3 +742,36 @@ def test_incremental_lsh_any_batching_equals_batch(
         .collect()
     }
     assert got == want and want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=0,
+        max_size=30,
+    ),
+    buckets=st.sampled_from([1, 3, 16]),
+)
+@_SET
+def test_salted_totals_equals_naive_groupby(spark, rows, buckets):
+    """Salting only changes the physical shuffle shape: per-key count
+    and sum equal the naive groupBy for ANY salt_buckets, including
+    the degenerate single bucket — hot-key rows (key domain of 3 over
+    up to 30 rows) split across salts must re-aggregate exactly
+    (decimal partials, order-independent)."""
+    from gh_archive_clickhouse_spark.operators.skew import salted_totals
+
+    df = spark.createDataFrame(
+        [(k, v / 100.0) for k, v in rows], "k long, v double"
+    )
+    got = {
+        r.k: (r.n, r.sum_value)
+        for r in salted_totals(
+            df, key="k", value_col="v", salt_buckets=buckets
+        ).collect()
+    }
+    want: dict = {}
+    for k, v in rows:
+        n, s = want.get(k, (0, 0))
+        want[k] = (n + 1, s + v)  # integer cents: exact
+    assert got == {k: (n, s / 100.0) for k, (n, s) in want.items()}
