@@ -775,3 +775,73 @@ def test_salted_totals_equals_naive_groupby(spark, rows, buckets):
         n, s = want.get(k, (0, 0))
         want[k] = (n + 1, s + v)  # integer cents: exact
     assert got == {k: (n, s / 100.0) for k, (n, s) in want.items()}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=0,
+        max_size=12,
+    ),
+    scores=st.lists(st.integers(0, 2), min_size=8, max_size=8),
+)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dedup_survivors_by_matches_python_argmax(spark, edges, scores):
+    """Quality-aware cut on random cluster graphs with a tiny score
+    domain (ties everywhere): survivors == corpus minus, per
+    component, every member except the (score, -id)-argmax; never-
+    paired docs always survive. The min-id cut is cross-checked on
+    the same graph."""
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        dedup_survivors,
+        dedup_survivors_by,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(scores)],
+        "doc_id long, score long",
+    )
+    pairs = spark.createDataFrame(
+        edges or [(0, 0)], "doc_a long, doc_b long"
+    )
+    if not edges:
+        pairs = pairs.limit(0)
+
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+
+    drop_by = set()
+    drop_min = set()
+    for members in comps.values():
+        keep = max(members, key=lambda i: (scores[i], -i))
+        drop_by.update(m for m in members if m != keep)
+        drop_min.update(m for m in members if m != min(members))
+
+    got_by = {
+        r.doc_id
+        for r in dedup_survivors_by(corpus, pairs, "score").collect()
+    }
+    assert got_by == set(range(8)) - drop_by
+    got_min = {
+        r.doc_id for r in dedup_survivors(corpus, pairs).collect()
+    }
+    assert got_min == set(range(8)) - drop_min
