@@ -1,6 +1,36 @@
-"""Assembles the declared query registry (SURVEY.md §2.5 + §2.6)."""
+"""Assembles the declared query registry (SURVEY.md §2.5 + §2.6).
+
+Order matters operationally: the round driver verifies the first
+~:data:`WINDOW` oracle-checkable entries in enumeration order, so a
+query's official correctness row goes stale unless the ordering
+rotates it back into the window every few rounds.
+
+Through round 7 the 50-entry head was a hand-maintained list rebuilt
+every round (and it went stale twice before the tripwire test
+existed).  It is now COMPUTED from the committed driver artifacts:
+
+  1. queries whose CODE CHANGED this round (:data:`_CHANGED` — the
+     one remaining manual input; an existing green row describes old
+     code, i.e. is effectively no row);
+  2. every other query, stalest first — staleness is the freshest
+     round in which a committed ``CORRECTNESS_r*.json`` recorded the
+     query, so never-verified (new) queries sort before everything
+     else, then the oldest rows, LRU-style, until the window is full.
+
+Landing a new driver artifact therefore rotates the window by itself:
+commit ``CORRECTNESS_r{N}.json`` and the head recomputes for round
+N+1 with no registry edit.  The only per-round maintenance is
+refreshing :data:`_CHANGED` to the queries whose code the round
+touched.  tests/test_registry_rotation.py still enforces the
+staleness budget structurally (and additionally simulates future
+rounds to prove the auto-rotation keeps the budget with no edits).
+"""
 
 from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
 
 from gh_archive_clickhouse_spark.plans import (
     events_queries,
@@ -13,29 +43,12 @@ from gh_archive_clickhouse_spark.plans import (
 )
 from gh_archive_clickhouse_spark.plans.common import Query
 
-# Order matters operationally: the round driver verifies the first ~50
-# oracle-checkable entries in enumeration order. Rotation policy, by
-# how much a fresh driver row is worth:
-#   1. queries whose CODE CHANGED this round — their existing green
-#      rows describe old code, i.e. are effectively no rows;
-#   2. queries NEW this round — never driver-verified at all;
-#   3. the stalest green-but-unchanged rows (round-1 rows are now
-#      three rounds old — the 20 below);
-#   4. as many of the next-stalest (round-3 rows) as fit.
-# The policy is enforced structurally by
-# tests/test_registry_rotation.py, which simulates this window against
-# the recorded CORRECTNESS_r*.json rounds and fails if any query would
-# exceed the staleness budget.
+# The driver verifies "the first ~50" entries; build for exactly 50.
+WINDOW = 50
 
-# NOTE (driver-artifact coupling): the _HEAD below is built for the
-# round AFTER the newest committed CORRECTNESS_r*.json. Landing a new
-# driver results file therefore REQUIRES rotating this head in the
-# SAME commit, or tests/test_registry_rotation.py goes red — that
-# coupling is deliberate (the red test prints the exact list to
-# rotate in).
-
-# Code changed in round 7 (existing green rows invalidated):
-_CHANGED_R7 = (
+# Code changed in round 7 (existing green rows invalidated — list
+# refreshed each round; everything else rotates automatically):
+_CHANGED = (
     "qs4_stream_incremental_lsh",  # crash-atomic fold manifest write
     "qs10_incremental_ivfpq",      # inherits the fold manifest change
     "qm3_frame_sample",            # Y4M magic-byte dispatch precedence
@@ -43,108 +56,94 @@ _CHANGED_R7 = (
     "qx53_budget_selection",       # budget_select weight-contract assert
     "qx52_bpe_encode",             # encode tail refactored into _bpe_join_back
 )
-# New in round 7 (never driver-verified): appended as they are built;
-# each addition here displaces the tail _R5_REFRESH entry so the head
-# stays exactly 50.
-_NEW_R7 = (
-    "qx58_bpe_encode_kernel",
-    "qs13_stream_dedup_survivors",
-    "qx59_seeded_shuffle",
-    "qx60_mixture_resample",
-)
-# Round-4 rows, two driver rounds stale — the oldest official signal
-# in the repo; every one of these must land in the round-7 window
-# (the rotation tripwire test enumerates exactly this set).
-_R4_STALE = (
-    "qe15_hourly_anomaly",
-    "qm6_real_image_decode",
-    "qs6_stream_stream_join",
-    "qs7_incremental_mv",
-    "qs8_stream_exactly_once_dedup",
-    "qs9_stream_static_enrich",
-    "qt1_pricing_summary",
-    "qt2_regional_revenue",
-    "qt3_anti_join",
-    "qt10_window_battery",
-    "qt11_cube",
-    "qt11_grouping_sets",
-    "qt12_shipping_priority",
-    "qt13_order_count_distribution",
-    "qt14_pivot",
-    "qt15_percentiles",
-    "qt16_correlated_scalar",
-    "qt17_approx_percentile",
-    "qt18_sorted_array_agg",
-    "qt33_nation_year_profit",
-    "qt34_important_parts",
-    "qt35_dominant_suppliers",
-    "qx22_tfidf_top_terms",
-    "qx23_ngram_contamination",
-    "qx26_dedup_clusters",
-    "qx30_repetition_ratio",
-    "qx31_dedup_survivors",
-    "qx34_pq_encode",
-    "qx36_passage_dedup",
-    "qx37_containment_neardup",
-    "qx38_model_scored_filter",
-    "qx39_vocab_heavy_hitters",
-    "qx41_batched_topk",
-    "qx42_preprocess_pipeline",
-    "qx43_lsh_recall_probe",
-    "qx44_data_quality_audit",
-)
-# Round-5 rows refreshed with the remaining window slots — filling the
-# 50-entry window together with the three groups above (len asserted
-# below); the rest of the round-5 cohort leads the round-8 rotation.
-# ROUND-8 BUDGET NOTE: 42 round-5 rows remain outside this window and
-# must ALL take round-8 slots (they go 3-stale otherwise), leaving ~8
-# slots for round-8 changed+new work. At 136 queries and a 50-slot
-# window the steady state is ~45 maintenance slots per round — scope
-# future rounds to ≤5-8 changed+new queries, or widen the driver
-# window.
-_R5_REFRESH = (
-    "qe1_dedup_latest",
-    "qe2_daily_rollup",
-    "qm7_image_dedup_ahash",
-    "qm8_real_audio_decode",
-)
 
+# Canonical declaration order: used as the deterministic tie-break
+# among equally-stale queries and as the tail ordering.
+_MODULES = (
+    ext_queries,
+    streaming_queries,
+    events_queries,
+    relational_queries,
+    tpch_queries,
+    tpch2_queries,
+    tpch3_queries,
+)
 
 _BY_NAME: dict[str, Query] = {
-    q.name: q
-    for mod in (
-        events_queries,
-        ext_queries,
-        relational_queries,
-        streaming_queries,
-        tpch2_queries,
-        tpch3_queries,
-        tpch_queries,
-    )
-    for q in mod.QUERIES
+    q.name: q for mod in _MODULES for q in mod.QUERIES
 }
+_DECLARED: tuple[str, ...] = tuple(
+    q.name for mod in _MODULES for q in mod.QUERIES
+)
 
-_HEAD = _CHANGED_R7 + _NEW_R7 + _R4_STALE + _R5_REFRESH
+if len(_BY_NAME) != len(_DECLARED):  # pragma: no cover - sanity
+    raise AssertionError("duplicate query names in registry")
 
-if len(_HEAD) != 50:  # pragma: no cover - registry sanity
-    raise AssertionError(
-        f"priority head must exactly fill the 50-entry driver window, "
-        f"got {len(_HEAD)}"
+
+def recorded_freshness(repo_root: Path | None = None) -> dict[str, int]:
+    """Freshest committed driver round per query name, parsed from
+    ``CORRECTNESS_r*.json`` at the repo root (the artifacts the round
+    driver drops after verifying the window).  Absent artifacts (e.g.
+    a worker-side package copy without the repo checkout) degrade to
+    "never verified" for every query, which only changes ordering."""
+    root = repo_root or Path(__file__).resolve().parents[2]
+    freshest: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json", path.name)
+        if not m:  # pragma: no cover - glob already constrains
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):  # pragma: no cover
+            continue
+        qs = data.get("queries", data) if isinstance(data, dict) else data
+        names = (
+            set(qs.keys())
+            if isinstance(qs, dict)
+            else {q["name"] for q in qs}
+        )
+        for n in names:
+            freshest[n] = max(freshest.get(n, 0), rnd)
+    return freshest
+
+
+def compute_head(
+    changed: tuple[str, ...],
+    freshest: dict[str, int],
+    window: int = WINDOW,
+    declared: tuple[str, ...] = _DECLARED,
+) -> list[str]:
+    """The driver-window ordering: ``changed`` first (strict — a
+    misspelled entry raises rather than silently falling out of the
+    window), then every other query stalest-first (never-verified
+    sorts as round 0), declaration order breaking ties."""
+    unknown = [n for n in changed if n not in _BY_NAME]
+    if unknown:
+        raise KeyError(f"unknown queries in changed list: {unknown}")
+    head = list(dict.fromkeys(changed))
+    taken = set(head)
+    index = {n: i for i, n in enumerate(declared)}
+    rest = sorted(
+        (n for n in declared if n not in taken),
+        key=lambda n: (freshest.get(n, 0), index[n]),
     )
+    head += rest[: max(0, window - len(head))]
+    never = [n for n in declared if freshest.get(n, 0) == 0]
+    missing = [n for n in never if n not in head]
+    if missing:  # pragma: no cover - capacity guard
+        raise AssertionError(
+            f"changed list so long it pushes never-verified queries "
+            f"out of the {window}-entry window: {missing}"
+        )
+    return head
+
+
+_HEAD = compute_head(_CHANGED, recorded_freshness())
 
 _ALL: list[Query] = [
-    # Strict indexing: a misspelled head entry must raise, not
-    # silently fall out of the verification window.
     *[_BY_NAME[n] for n in _HEAD],
-    # --- tail: round-4-verified and the rest of the round-3 cohort,
-    # in module order ---
-    *[q for q in ext_queries.QUERIES if q.name not in _HEAD],
-    *[q for q in streaming_queries.QUERIES if q.name not in _HEAD],
-    *[q for q in events_queries.QUERIES if q.name not in _HEAD],
-    *[q for q in relational_queries.QUERIES if q.name not in _HEAD],
-    *[q for q in tpch_queries.QUERIES if q.name not in _HEAD],
-    *[q for q in tpch2_queries.QUERIES if q.name not in _HEAD],
-    *[q for q in tpch3_queries.QUERIES if q.name not in _HEAD],
+    *[q for mod in _MODULES for q in mod.QUERIES if q.name not in set(_HEAD)],
 ]
 
 QUERIES: dict[str, Query] = {q.name: q for q in _ALL}

@@ -67,6 +67,60 @@ def test_no_query_exceeds_staleness_budget():
     )
 
 
+def test_autorotation_keeps_budget_with_no_manual_edits():
+    """The auto-computed head (plans/registry.compute_head) must keep
+    every query within the staleness budget across FUTURE driver
+    rounds with NO registry edits: round N+1 runs the real committed
+    head, then each later round lands its artifact and recomputes the
+    head with an empty changed list.  Also stressed with a changed
+    list consuming the sustainable per-round slack — at N queries, a
+    W-slot window and an S-round budget, each (S+1)-round cycle has
+    (S+1)*W - N spare slots, so burning more than that many per cycle
+    on already-fresh queries must eventually overflow (that bound is
+    the real scoping rule for per-round changed+new work)."""
+    from gh_archive_clickhouse_spark.plans.registry import (
+        QUERIES as _Q,
+        compute_head,
+    )
+
+    rounds = _recorded_rounds()
+    assert rounds
+    sustainable = ((MAX_STALE + 1) * WINDOW - len(_Q)) // (MAX_STALE + 1)
+    assert sustainable >= 4, (
+        f"window slack exhausted: {len(_Q)} queries leave only "
+        f"{sustainable} sustainable changed-list slots per round — "
+        f"stop adding queries or widen the driver window"
+    )
+    for burn_slack in (0, sustainable):
+        freshest: dict[str, int] = {}
+        for r in sorted(rounds):
+            for n in rounds[r]:
+                freshest[n] = r
+        cur = max(rounds)
+        # Round N+1: the real committed ordering.
+        for n in list(_Q)[:WINDOW]:
+            freshest[n] = cur + 1
+        # Rounds N+2..N+7: artifact lands, head recomputes untouched
+        # (changed list = the `burn_slack` freshest queries, modeling
+        # a round that touches code whose rows were just refreshed).
+        for future in range(cur + 2, cur + 8):
+            fresh_first = sorted(
+                _Q, key=lambda n: -freshest.get(n, 0)
+            )[:burn_slack]
+            head = compute_head(tuple(fresh_first), freshest)
+            for n in head:
+                freshest[n] = future
+            floor = future - MAX_STALE
+            late = sorted(
+                n for n in _Q if freshest.get(n, 0) < floor
+            )
+            assert not late, (
+                f"auto-rotation (slack burn {burn_slack}) lets "
+                f"{len(late)} queries exceed the budget by simulated "
+                f"round {future}: {late[:5]}..."
+            )
+
+
 def test_never_verified_queries_lead_the_window():
     """A query with NO driver row ever must sit inside the window —
     otherwise it ships a round late for no reason."""
