@@ -20,10 +20,14 @@ existed).  It is now COMPUTED from the committed driver artifacts:
 Landing a new driver artifact therefore rotates the window by itself:
 commit ``CORRECTNESS_r{N}.json`` and the head recomputes for round
 N+1 with no registry edit.  The only per-round maintenance is
-refreshing :data:`_CHANGED` to the queries whose code the round
-touched.  tests/test_registry_rotation.py still enforces the
-staleness budget structurally (and additionally simulates future
-rounds to prove the auto-rotation keeps the budget with no edits).
+refreshing :data:`_CHANGED` (+ :data:`_CHANGED_ROUND`) to the queries
+whose code the round touched — and even that input EXPIRES by itself:
+a changed pin is dropped once the query has a recorded row from round
+``>= _CHANGED_ROUND``, i.e. once the driver has verified the changed
+code, so a round that adds no code needs no registry edit at all.
+tests/test_registry_rotation.py still enforces the staleness budget
+structurally (and additionally simulates future rounds to prove the
+auto-rotation keeps the budget with no edits).
 """
 
 from __future__ import annotations
@@ -46,8 +50,11 @@ from gh_archive_clickhouse_spark.plans.common import Query
 # The driver verifies "the first ~50" entries; build for exactly 50.
 WINDOW = 50
 
-# Code changed in round 7 (existing green rows invalidated — list
-# refreshed each round; everything else rotates automatically):
+# Code changed in round _CHANGED_ROUND (existing green rows describe
+# older code, i.e. are effectively no rows — so these pin to the front
+# of the window until a driver row from _CHANGED_ROUND or later lands
+# for them, at which point the pin expires per query automatically).
+_CHANGED_ROUND = 7
 _CHANGED = (
     "qs4_stream_incremental_lsh",  # crash-atomic fold manifest write
     "qs10_incremental_ivfpq",      # inherits the fold manifest change
@@ -139,7 +146,24 @@ def compute_head(
     return head
 
 
-_HEAD = compute_head(_CHANGED, recorded_freshness())
+def active_changed(
+    changed: tuple[str, ...],
+    changed_round: int,
+    freshest: dict[str, int],
+) -> tuple[str, ...]:
+    """The subset of ``changed`` whose pin is still live: a pin exists
+    because the query's recorded rows predate the code change, so it
+    expires the moment a row from ``changed_round`` or later lands —
+    per query, since a narrow driver window might verify only some."""
+    return tuple(
+        n for n in changed if freshest.get(n, 0) < changed_round
+    )
+
+
+_FRESHEST = recorded_freshness()
+_HEAD = compute_head(
+    active_changed(_CHANGED, _CHANGED_ROUND, _FRESHEST), _FRESHEST
+)
 
 _ALL: list[Query] = [
     *[_BY_NAME[n] for n in _HEAD],

@@ -121,6 +121,36 @@ def test_autorotation_keeps_budget_with_no_manual_edits():
             )
 
 
+def test_changed_pins_expire_once_driver_verifies_them():
+    """A _CHANGED pin exists because recorded rows predate the code
+    change; it must expire per query as soon as a row from
+    _CHANGED_ROUND or later lands (and not a round earlier), so a
+    no-code round needs no registry edit and stale pins can't burn
+    window slots forever."""
+    from gh_archive_clickhouse_spark.plans.registry import (
+        _CHANGED,
+        _CHANGED_ROUND,
+        active_changed,
+    )
+
+    assert _CHANGED  # the scenario below relies on real names
+    a, b = _CHANGED[0], _CHANGED[-1]
+    freshest = {a: _CHANGED_ROUND - 1, b: _CHANGED_ROUND}
+    live = active_changed(_CHANGED, _CHANGED_ROUND, freshest)
+    assert a in live, "row older than the change must keep the pin"
+    assert b not in live, "row at the change round must drop the pin"
+    # Rows from LATER rounds expire too (artifact naming can skip
+    # rounds if a driver round records nothing).
+    assert active_changed((a,), _CHANGED_ROUND, {a: _CHANGED_ROUND + 3}) == ()
+    # Unrecorded queries (never verified) always stay pinned.
+    assert active_changed((a,), _CHANGED_ROUND, {}) == (a,)
+    # As the repo sits (rows through _CHANGED_ROUND-1 at most for the
+    # changed set), every pin must still be live and lead the window.
+    rounds = _recorded_rounds()
+    if max(rounds) < _CHANGED_ROUND:
+        assert list(QUERIES)[: len(_CHANGED)] == list(_CHANGED)
+
+
 def test_never_verified_queries_lead_the_window():
     """A query with NO driver row ever must sit inside the window —
     otherwise it ships a round late for no reason."""
