@@ -374,14 +374,13 @@ def _merge_fold(left: str, right: str, merged: str):
     return F.when(F.size("syms") < 2, F.col("syms")).otherwise(folded)
 
 
-def bpe_pair_election(words: DataFrame) -> DataFrame:
-    """One merge round's pair election over a (syms, wcnt) word
-    table: adjacent-pair explode weighted by word count → hash
-    aggregate (map-side partials — at |distinct pairs| ≪ exploded
-    volume the combine does almost all the work) → orderBy+limit(1),
-    which compiles to TakeOrderedAndProject (per-task top-1, driver
-    merge of #partitions rows), never a global sort. Returns the
-    1-row (l, r, pair_count) frame."""
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over a (syms, wcnt) word table: pair
+    explode weighted by word count → hash aggregate (map-side
+    partials — at |distinct pairs| ≪ exploded volume the combine does
+    almost all the work). Returns the (l, r, pair_count) frame; the
+    callers put a TakeOrderedAndProject on top, never a global
+    sort."""
     idx = F.when(
         F.size("syms") >= 2,
         F.sequence(F.lit(1), F.size("syms") - 1),
@@ -399,6 +398,17 @@ def bpe_pair_election(words: DataFrame) -> DataFrame:
         words.select(pair, "wcnt")
         .groupBy("pr.l", "pr.r")
         .agg(F.sum("wcnt").alias("pair_count"))
+    )
+
+
+def bpe_pair_election(words: DataFrame) -> DataFrame:
+    """One merge round's pair election over a (syms, wcnt) word
+    table: :func:`_bpe_pair_counts` → orderBy+limit(1), which
+    compiles to TakeOrderedAndProject (per-task top-1, driver merge
+    of #partitions rows). Returns the 1-row (l, r, pair_count)
+    frame."""
+    return (
+        _bpe_pair_counts(words)
         .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
         .limit(1)
     )
@@ -468,6 +478,91 @@ def bpe_vocab_build(
         )
     return spark.createDataFrame(
         merges,
+        "merge_round int, left string, right string, merged string, "
+        "pair_count bigint",
+    )
+
+
+def bpe_vocab_build_batched(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: int = 64,
+    pairs_per_round: int = 16,
+) -> DataFrame:
+    """Scale variant of :func:`bpe_vocab_build`: elect up to k
+    mutually NON-CONFLICTING pairs per round and apply them in one
+    pass, cutting rounds (= sequential Spark jobs) from R to ~R/k.
+
+    Why it exists: the sequential build is exact Sennrich BPE and the
+    right tool at its declared budget (tens of merges — probe
+    vocabularies, oracle parity), but one full job per merge is
+    structurally unusable at a production vocabulary (R ≈ 30k ⇒ 30k
+    sequential jobs). This is the standard batched-BPE compromise: a
+    30k-merge build becomes ~30k/k rounds (~120 at k=256), each the
+    same election plan as the sequential build.
+
+    Exactness contract: a pair is accepted only if its left, right,
+    AND concatenation are all unused by pairs already accepted this
+    round, so no accepted merge can create, destroy, or alias
+    occurrences counted by another — each accepted pair applies at
+    exactly the count it was elected at, and the chained folds
+    commute. The ONLY divergence from sequential BPE is that pairs
+    2..k are elected from the same count snapshot, so a pair newly
+    created by an earlier merge in the round cannot overtake them
+    mid-round; with ``pairs_per_round=1`` the output is identical to
+    :func:`bpe_vocab_build` (property-tested both ways in
+    tests/test_operators.py).
+
+    Plan shape per round: :func:`_bpe_pair_counts` (explode →
+    map-side-combined hash aggregate) under TakeOrderedAndProject of
+    O(k) rows — the driver sees O(k) strings, never the pair table;
+    the accepted folds chain inside ONE select over the word table,
+    re-materialized once per round (plan depth k per job, independent
+    of total R). Returns the same schema as the sequential build, one
+    row per merge in global election order.
+    """
+    spark = docs.sparkSession
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
+    words = materialize(
+        _bpe_words(docs, text_col).drop("word"), "bpeb_words"
+    )
+    out: list = []
+    rnd = 0
+    while len(out) < merges:
+        rnd += 1
+        want = min(pairs_per_round, merges - len(out))
+        # Over-fetch: conflicts drop some of the top rows; a short
+        # round just elects fewer merges and the next round re-counts,
+        # so under-acceptance costs an extra round, never correctness.
+        top = (
+            _bpe_pair_counts(words)
+            .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
+            .limit(4 * want + 8)
+            .collect()
+        )
+        if not top:
+            break
+        used: set = set()
+        accepted = []
+        for row in top:
+            if len(accepted) >= want:
+                break
+            left, right, merged = row.l, row.r, row.l + row.r
+            if left in used or right in used or merged in used:
+                continue
+            used.update((left, right, merged))
+            accepted.append((left, right, merged, int(row.pair_count)))
+        for left, right, merged, cnt in accepted:
+            out.append((len(out) + 1, left, right, merged, cnt))
+        folded = words
+        for left, right, merged, _cnt in accepted:
+            folded = folded.select(
+                _merge_fold(left, right, merged).alias("syms"), "wcnt"
+            )
+        words = materialize(folded, f"bpeb_words_r{rnd}")
+    return spark.createDataFrame(
+        out,
         "merge_round int, left string, right string, merged string, "
         "pair_count bigint",
     )

@@ -62,6 +62,7 @@ _CHANGED = (
     "qm9_real_video_decode",       # stdlib-first Y4M decode routing
     "qx53_budget_selection",       # budget_select weight-contract assert
     "qx52_bpe_encode",             # encode tail refactored into _bpe_join_back
+    "qx51_bpe_vocab_build",        # election refactored into _bpe_pair_counts
 )
 
 # Canonical declaration order: used as the deterministic tie-break

@@ -1082,6 +1082,131 @@ def test_bpe_vocab_build_randomized_tie_breaks(spark):
     run()
 
 
+def _py_bpe_batched_reference(texts, merges, k):
+    """Pure-Python model of bpe_vocab_build_batched: per round, sort
+    pairs by (count DESC, l, r), greedily accept up to k whose left /
+    right / concatenation are all unused this round, apply them, and
+    re-count. The independent model the batched-build tests compare
+    against."""
+    import collections
+    import re
+
+    wc = collections.Counter(
+        w
+        for t in texts
+        for w in t.split(" ")
+        if w and re.fullmatch("[A-Za-z0-9]+", w) and len(w) <= 32
+    )
+    words = {tuple(w): c for w, c in wc.items()}
+    expect = []
+    while len(expect) < merges:
+        pc = collections.Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        ranked = sorted(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want = min(k, merges - len(expect))
+        used: set = set()
+        accepted = []
+        # mirror the operator's over-fetch bound: conflicts beyond it
+        # wait for the next round's re-count
+        for (left, right), n in ranked[: 4 * want + 8]:
+            if len(accepted) >= want:
+                break
+            merged = left + right
+            if left in used or right in used or merged in used:
+                continue
+            used.update((left, right, merged))
+            accepted.append((left, right, merged, n))
+        for left, right, merged, n in accepted:
+            expect.append((len(expect) + 1, left, right, merged, n))
+        for left, right, merged, _n in accepted:
+            new: dict = {}
+            for syms, c in words.items():
+                out = [syms[0]]
+                for x in syms[1:]:
+                    if out[-1] == left and x == right:
+                        out[-1] = merged
+                    else:
+                        out.append(x)
+                new[tuple(out)] = new.get(tuple(out), 0) + c
+            words = new
+    return expect
+
+
+def test_bpe_batched_k1_equals_sequential(spark):
+    """With pairs_per_round=1 the batched build IS the sequential
+    build: same election, one accepted pair per round — so its output
+    must equal the exact-BPE reference merge for merge."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_vocab_build_batched,
+    )
+
+    texts = [
+        "low low low lower lowest news newer",
+        "low news new new aaaa aaaa",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        tuple(r)
+        for r in bpe_vocab_build_batched(
+            docs, merges=6, pairs_per_round=1
+        ).collect()
+    ]
+    assert got == _py_bpe_reference(texts, 6)
+
+
+def test_bpe_batched_randomized_matches_reference(spark):
+    """Random two-letter corpora (pair-count ties and within-round
+    conflicts are the COMMON case there: any two of the four possible
+    pairs share a symbol) — the distributed batched build must accept
+    and order exactly like the pure-Python model, merge for merge."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_vocab_build_batched,
+    )
+
+    @given(
+        words=st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=4),
+            min_size=1,
+            max_size=10,
+        ),
+        k=st.integers(min_value=2, max_value=4),
+    )
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(words, k):
+        texts = [
+            " ".join(words[: len(words) // 2]),
+            " ".join(words[len(words) // 2 :]),
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        got = [
+            tuple(r)
+            for r in bpe_vocab_build_batched(
+                docs, merges=6, pairs_per_round=k
+            ).collect()
+        ]
+        assert got == _py_bpe_batched_reference(texts, 6, k)
+
+    run()
+
+
 def test_bpe_election_is_takeordered_with_partial_agg(spark):
     """The merge-round election plan: pair counting is a map-side-
     combined hash aggregate and the top-1 pick compiles to
