@@ -483,6 +483,45 @@ def bpe_vocab_build(
     )
 
 
+def _merge_fold_many(pairs: list) -> "F.Column":
+    """One greedy left-to-right pass applying a SET of symbol-disjoint
+    merges as a single ``aggregate`` higher-order column: the pair
+    lookup is a map LITERAL ((left ' ' right) → merged — symbols are
+    alnum, so the space separator is unambiguous), so the round's plan
+    depth is constant in the number of merges (chaining one
+    :func:`_merge_fold` select per pair would grow it linearly).
+
+    Disjointness (no symbol is the side or the concatenation of two
+    applied pairs) is what makes the single pass equal to applying
+    the pairs one at a time: no merge's output can be the side of
+    another, so no position can match two pairs and no merge can
+    create or destroy an occurrence of another. ``try_element_at``
+    keeps the missing-key probe NULL (not an error) under ANSI mode.
+    """
+    entries = []
+    for left, right, merged in pairs:
+        entries += [F.lit(left + " " + right), F.lit(merged)]
+    m = F.create_map(*entries)
+
+    def step(out, x):
+        hit = F.try_element_at(
+            m, F.concat_ws(" ", F.element_at(out, -1), x)
+        )
+        return F.when(
+            hit.isNotNull(),
+            F.concat(
+                F.slice(out, F.lit(1), F.size(out) - 1), F.array(hit)
+            ),
+        ).otherwise(F.concat(out, F.array(x)))
+
+    folded = F.aggregate(
+        F.slice("syms", F.lit(2), F.size("syms") - 1),
+        F.array(F.element_at("syms", 1)),
+        step,
+    )
+    return F.when(F.size("syms") < 2, F.col("syms")).otherwise(folded)
+
+
 def bpe_vocab_build_batched(
     docs: DataFrame,
     text_col: str = "text",
@@ -516,10 +555,11 @@ def bpe_vocab_build_batched(
     Plan shape per round: :func:`_bpe_pair_counts` (explode →
     map-side-combined hash aggregate) under TakeOrderedAndProject of
     O(k) rows — the driver sees O(k) strings, never the pair table;
-    the accepted folds chain inside ONE select over the word table,
-    re-materialized once per round (plan depth k per job, independent
-    of total R). Returns the same schema as the sequential build, one
-    row per merge in global election order.
+    the accepted pairs apply in ONE :func:`_merge_fold_many` pass
+    (map-literal lookup, plan depth CONSTANT in k — disjointness makes
+    the single pass equal to pair-at-a-time application), and the word
+    table re-materializes once per round. Returns the same schema as
+    the sequential build, one row per merge in global election order.
     """
     spark = docs.sparkSession
     from gh_archive_clickhouse_spark.plans.common import materialize
@@ -555,12 +595,11 @@ def bpe_vocab_build_batched(
             accepted.append((left, right, merged, int(row.pair_count)))
         for left, right, merged, cnt in accepted:
             out.append((len(out) + 1, left, right, merged, cnt))
-        folded = words
-        for left, right, merged, _cnt in accepted:
-            folded = folded.select(
-                _merge_fold(left, right, merged).alias("syms"), "wcnt"
-            )
-        words = materialize(folded, f"bpeb_words_r{rnd}")
+        fold = _merge_fold_many([(l, r, m) for l, r, m, _ in accepted])
+        words = materialize(
+            words.select(fold.alias("syms"), "wcnt"),
+            f"bpeb_words_r{rnd}",
+        )
     return spark.createDataFrame(
         out,
         "merge_round int, left string, right string, merged string, "

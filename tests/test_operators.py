@@ -1207,6 +1207,35 @@ def test_bpe_batched_randomized_matches_reference(spark):
     run()
 
 
+def test_bpe_batched_accepts_disjoint_pairs_in_one_round(spark):
+    """Execution proof for the batch width: 31 two-char words over 62
+    distinct symbols make every pair disjoint from every other, so ONE
+    round must elect and apply all 31 merges (the single
+    _merge_fold_many pass — constant plan depth — handles the full
+    batch), matching the pure-Python model merge for merge."""
+    import string
+
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_vocab_build_batched,
+    )
+
+    chars = list(string.ascii_letters + string.digits)[:62]
+    words = [chars[i] + chars[i + 1] for i in range(0, 62, 2)]
+    texts = [" ".join(words)]
+    docs = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in bpe_vocab_build_batched(
+            docs, merges=31, pairs_per_round=31
+        ).collect()
+    ]
+    assert got == _py_bpe_batched_reference(texts, 31, 31)
+    assert len(got) == 31
+    assert {(l, r) for _, l, r, _, _ in got} == {
+        (w[0], w[1]) for w in words
+    }
+
+
 def test_bpe_election_is_takeordered_with_partial_agg(spark):
     """The merge-round election plan: pair counting is a map-side-
     combined hash aggregate and the top-1 pick compiles to
