@@ -88,19 +88,22 @@ if len(_BY_NAME) != len(_DECLARED):  # pragma: no cover - sanity
     raise AssertionError("duplicate query names in registry")
 
 
-def recorded_freshness(repo_root: Path | None = None) -> dict[str, int]:
-    """Freshest committed driver round per query name, parsed from
+def recorded_rounds(repo_root: Path | None = None) -> dict[int, set[str]]:
+    """Query names per committed driver round, parsed from
     ``CORRECTNESS_r*.json`` at the repo root (the artifacts the round
-    driver drops after verifying the window).  Absent artifacts (e.g.
-    a worker-side package copy without the repo checkout) degrade to
-    "never verified" for every query, which only changes ordering."""
+    driver drops after verifying the window).  The ONE parser of the
+    artifact format — tests/test_registry_rotation.py reuses it, so
+    the shipped head and the tests that audit it can never read the
+    artifacts through diverging parsers.  Absent artifacts (e.g. a
+    worker-side package copy without the repo checkout) return {},
+    which degrades every query to "never verified" and only changes
+    ordering."""
     root = repo_root or Path(__file__).resolve().parents[2]
-    freshest: dict[str, int] = {}
+    rounds: dict[int, set[str]] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json", path.name)
         if not m:  # pragma: no cover - glob already constrains
             continue
-        rnd = int(m.group(1))
         try:
             data = json.loads(path.read_text())
         except (OSError, json.JSONDecodeError):  # pragma: no cover
@@ -111,6 +114,17 @@ def recorded_freshness(repo_root: Path | None = None) -> dict[str, int]:
             if isinstance(qs, dict)
             else {q["name"] for q in qs}
         )
+        rnd = int(m.group(1))
+        rounds[rnd] = rounds.get(rnd, set()) | names
+    return rounds
+
+
+def recorded_freshness(repo_root: Path | None = None) -> dict[str, int]:
+    """Freshest committed driver round per query name (see
+    :func:`recorded_rounds` for the artifact parse and the
+    absent-artifact degradation)."""
+    freshest: dict[str, int] = {}
+    for rnd, names in recorded_rounds(repo_root).items():
         for n in names:
             freshest[n] = max(freshest.get(n, 0), rnd)
     return freshest
@@ -130,6 +144,12 @@ def compute_head(
     if unknown:
         raise KeyError(f"unknown queries in changed list: {unknown}")
     head = list(dict.fromkeys(changed))
+    if len(head) > window:
+        raise AssertionError(
+            f"changed list ({len(head)} queries) exceeds the "
+            f"{window}-entry driver window — entries past the window "
+            f"would keep stale rows standing in for changed code"
+        )
     taken = set(head)
     index = {n: i for i, n in enumerate(declared)}
     rest = sorted(
@@ -137,13 +157,18 @@ def compute_head(
         key=lambda n: (freshest.get(n, 0), index[n]),
     )
     head += rest[: max(0, window - len(head))]
-    never = [n for n in declared if freshest.get(n, 0) == 0]
-    missing = [n for n in never if n not in head]
-    if missing:  # pragma: no cover - capacity guard
-        raise AssertionError(
-            f"changed list so long it pushes never-verified queries "
-            f"out of the {window}-entry window: {missing}"
-        )
+    # Capacity guard: only meaningful when artifacts were readable —
+    # with none (worker-side package copy without the repo checkout)
+    # EVERY query is "never verified" and the ordering merely
+    # degrades, exactly as recorded_rounds documents.
+    if freshest:
+        never = [n for n in declared if freshest.get(n, 0) == 0]
+        missing = [n for n in never if n not in head]
+        if missing:
+            raise AssertionError(
+                f"changed list so long it pushes never-verified "
+                f"queries out of the {window}-entry window: {missing}"
+            )
     return head
 
 
@@ -166,9 +191,10 @@ _HEAD = compute_head(
     active_changed(_CHANGED, _CHANGED_ROUND, _FRESHEST), _FRESHEST
 )
 
+_HEAD_SET = set(_HEAD)
 _ALL: list[Query] = [
     *[_BY_NAME[n] for n in _HEAD],
-    *[q for mod in _MODULES for q in mod.QUERIES if q.name not in set(_HEAD)],
+    *[q for mod in _MODULES for q in mod.QUERIES if q.name not in _HEAD_SET],
 ]
 
 QUERIES: dict[str, Query] = {q.name: q for q in _ALL}

@@ -13,15 +13,15 @@ row at all while sitting outside the window).
 
 from __future__ import annotations
 
-import json
-import re
 from pathlib import Path
 
-from gh_archive_clickhouse_spark.plans.registry import QUERIES
+from gh_archive_clickhouse_spark.plans.registry import (
+    QUERIES,
+    WINDOW,
+    recorded_rounds,
+)
 
 REPO = Path(__file__).resolve().parent.parent
-# The driver checks "the first ~50" entries; simulate conservatively.
-WINDOW = 50
 # A green row may be at most this many rounds old after the simulated
 # round completes (window capacity 50/round over ~120 queries makes a
 # ≤2-round guarantee achievable for every query).
@@ -29,18 +29,10 @@ MAX_STALE = 2
 
 
 def _recorded_rounds() -> dict[int, set[str]]:
-    rounds: dict[int, set[str]] = {}
-    for path in REPO.glob("CORRECTNESS_r*.json"):
-        m = re.search(r"CORRECTNESS_r(\d+)\.json", path.name)
-        data = json.loads(path.read_text())
-        qs = data.get("queries", data) if isinstance(data, dict) else data
-        names = (
-            set(qs.keys())
-            if isinstance(qs, dict)
-            else {q["name"] for q in qs}
-        )
-        rounds[int(m.group(1))] = names
-    return rounds
+    # The registry's own artifact parser — the simulation must audit
+    # the freshness map the shipped head was actually computed from,
+    # never a second parse that could drift.
+    return recorded_rounds(REPO)
 
 
 def test_no_query_exceeds_staleness_budget():
@@ -133,22 +125,50 @@ def test_changed_pins_expire_once_driver_verifies_them():
         active_changed,
     )
 
-    assert _CHANGED  # the scenario below relies on real names
-    a, b = _CHANGED[0], _CHANGED[-1]
-    freshest = {a: _CHANGED_ROUND - 1, b: _CHANGED_ROUND}
-    live = active_changed(_CHANGED, _CHANGED_ROUND, freshest)
-    assert a in live, "row older than the change must keep the pin"
-    assert b not in live, "row at the change round must drop the pin"
+    # Synthetic names: active_changed is a pure ordering function, and
+    # real _CHANGED lists can have a single entry (which would alias
+    # the two-sided scenario).
+    two = ("stale_row_q", "fresh_row_q")
+    freshest = {two[0]: _CHANGED_ROUND - 1, two[1]: _CHANGED_ROUND}
+    live = active_changed(two, _CHANGED_ROUND, freshest)
+    assert two[0] in live, "row older than the change must keep the pin"
+    assert two[1] not in live, "row at the change round must drop the pin"
     # Rows from LATER rounds expire too (artifact naming can skip
     # rounds if a driver round records nothing).
-    assert active_changed((a,), _CHANGED_ROUND, {a: _CHANGED_ROUND + 3}) == ()
+    assert active_changed(two[:1], _CHANGED_ROUND, {two[0]: _CHANGED_ROUND + 3}) == ()
     # Unrecorded queries (never verified) always stay pinned.
-    assert active_changed((a,), _CHANGED_ROUND, {}) == (a,)
+    assert active_changed(two[:1], _CHANGED_ROUND, {}) == two[:1]
+    assert _CHANGED  # the head-leading check below relies on real names
     # As the repo sits (rows through _CHANGED_ROUND-1 at most for the
     # changed set), every pin must still be live and lead the window.
     rounds = _recorded_rounds()
     if max(rounds) < _CHANGED_ROUND:
         assert list(QUERIES)[: len(_CHANGED)] == list(_CHANGED)
+
+
+def test_head_degrades_without_artifacts_and_caps_changed_list(tmp_path):
+    """A package copy WITHOUT the repo-root artifacts (installed
+    wheel, the zip shipped to executors) must still import: with no
+    readable CORRECTNESS file every query is 'never verified', the
+    capacity guard stays quiet, and only the ordering degrades.  A
+    changed list longer than the window, by contrast, must raise —
+    entries past the window would keep stale rows standing in for
+    changed code."""
+    import pytest
+
+    from gh_archive_clickhouse_spark.plans.registry import (
+        _CHANGED,
+        compute_head,
+        recorded_freshness,
+    )
+
+    assert recorded_freshness(tmp_path) == {}
+    head = compute_head(_CHANGED, {})
+    assert head[: len(_CHANGED)] == list(_CHANGED)
+    assert len(head) == WINDOW
+    overlong = tuple(list(QUERIES)[: WINDOW + 1])
+    with pytest.raises(AssertionError, match="exceeds"):
+        compute_head(overlong, recorded_freshness(REPO))
 
 
 def test_never_verified_queries_lead_the_window():
