@@ -171,6 +171,68 @@ def test_head_degrades_without_artifacts_and_caps_changed_list(tmp_path):
         compute_head(overlong, recorded_freshness(REPO))
 
 
+def test_compute_head_randomized_invariants():
+    """Randomized freshness maps and changed lists: the head must
+    always (1) be exactly WINDOW entries, (2) start with the deduped
+    changed list, (3) contain every never-verified query (or raise
+    the capacity guard), and (4) order the unpinned remainder
+    stalest-first with declaration order breaking ties — for ANY
+    artifact history, not just the committed one."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gh_archive_clickhouse_spark.plans.registry import (
+        _DECLARED,
+        compute_head,
+    )
+
+    names = list(_DECLARED)
+
+    @given(
+        freshest_rounds=st.lists(
+            st.integers(min_value=0, max_value=9),
+            min_size=len(names),
+            max_size=len(names),
+        ),
+        changed_idx=st.lists(
+            st.integers(min_value=0, max_value=len(names) - 1),
+            max_size=12,
+        ),
+    )
+    @settings(max_examples=50, deadline=None)
+    def run(freshest_rounds, changed_idx):
+        freshest = {
+            n: r for n, r in zip(names, freshest_rounds) if r > 0
+        }
+        changed = tuple(names[i] for i in changed_idx)
+        try:
+            head = compute_head(changed, freshest)
+        except AssertionError:
+            # capacity guard: only legitimate when never-verified
+            # queries genuinely outnumber the unpinned slots
+            pinned = list(dict.fromkeys(changed))
+            never = [n for n in names if freshest.get(n, 0) == 0]
+            assert freshest and len(set(never) | set(pinned)) > WINDOW
+            return
+        pinned = list(dict.fromkeys(changed))
+        assert head[: len(pinned)] == pinned
+        assert len(head) == WINDOW
+        assert len(set(head)) == WINDOW
+        index = {n: i for i, n in enumerate(names)}
+        rest = head[len(pinned):]
+        keys = [(freshest.get(n, 0), index[n]) for n in rest]
+        assert keys == sorted(keys)
+        # stalest-first means nothing OUTSIDE the head is staler than
+        # anything inside the unpinned tail
+        outside = [n for n in names if n not in set(head)]
+        if rest and outside:
+            assert max(keys) <= min(
+                (freshest.get(n, 0), index[n]) for n in outside
+            )
+
+    run()
+
+
 def test_never_verified_queries_lead_the_window():
     """A query with NO driver row ever must sit inside the window —
     otherwise it ships a round late for no reason."""
