@@ -26,7 +26,10 @@ from gh_archive_clickhouse_spark.operators.packing import (
     densify_order,
     emit_packed_sequences,
     pack_coordinates,
+    seeded_shuffle,
     sequence_fill_stats,
+    shard_assignments,
+    write_training_shards,
 )
 from gh_archive_clickhouse_spark.operators.sessionize import sessionize
 from gh_archive_clickhouse_spark.operators.similarity import (
@@ -57,10 +60,14 @@ __all__ = [
     "minhash_signatures",
     "passage_dup_stats",
     "simhash",
+    "budget_select",
     "densify_order",
     "emit_packed_sequences",
     "pack_coordinates",
+    "seeded_shuffle",
     "sequence_fill_stats",
+    "shard_assignments",
+    "write_training_shards",
     "sessionize",
     "build_ivfpq_index",
     "cosine_topk",

@@ -450,3 +450,149 @@ def sequence_fill_stats(coords: DataFrame, budget: int) -> DataFrame:
             F.sum("n_tokens") / F.lit(float(budget)), 6
         ).alias("fill_frac_started"),
     )
+
+
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int,
+    pos_col: str = "shuffle_pos",
+    out_col: str = "shard",
+) -> DataFrame:
+    """Deterministic contiguous-range shard assignment over a DENSE
+    0-based position column (:func:`densify_order` /
+    :func:`seeded_shuffle` output): ``shard = pos * n_shards div
+    total`` — shard k holds the k-th contiguous run of the training
+    order, shard sizes balanced within one row, and the assignment
+    depends only on (pos, total), so it is partitioning-invariant.
+
+    Scale shape: ONE tiny aggregate produces a 1-row (total, min, max)
+    frame that broadcast-joins onto the corpus; the assignment itself
+    is a map-only integer expression (BIGINT-safe while pos * n_shards
+    < 2^63 — a corpus position times a realistic shard count never
+    approaches it). The density contract (min==0, max==total-1) is
+    checked on the same 1-row frame and raises instead of silently
+    producing unbalanced or gapped shards: a non-dense column (raw
+    ids, filtered positions) is a caller bug this turns loud.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    pos = F.col(pos_col)
+    bounds = df.select(
+        F.count(F.lit(1)).alias("__total"),
+        F.min(pos).alias("__min"),
+        F.max(pos).alias("__max"),
+    )
+    ok = (F.col("__total") == 0) | (
+        (F.col("__min") == 0) & (F.col("__max") == F.col("__total") - 1)
+    )
+    checked = bounds.select(
+        "__total",
+        F.when(ok, F.lit(True))
+        .otherwise(
+            F.raise_error(
+                F.format_string(
+                    "shard_assignments requires a dense 0-based "
+                    "position column; got min=%s max=%s over %s rows",
+                    "__min",
+                    "__max",
+                    "__total",
+                )
+            )
+        )
+        .alias("__ok"),
+    )
+    # The assignment expression is GATED on __ok so the density check
+    # can never be column-pruned away unused (the budget_select
+    # lesson: an unreferenced assert column silently disappears).
+    return (
+        df.join(F.broadcast(checked), how="cross")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__ok"),
+                F.floor(
+                    pos.cast("long") * F.lit(n_shards) / F.col("__total")
+                ).cast("int"),
+            ),
+        )
+        .drop("__total", "__ok")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    pos_col: str = "shuffle_pos",
+    mode: str = "error",
+) -> list:
+    """The emission sink closing the training-order story
+    (seeded_shuffle → pack → emit → SHARDS ON DISK): writes the corpus
+    as ``n_shards`` contiguous-order parquet shards
+    (``path/shard=k/``) plus a ``_manifest.json`` recording per-shard
+    row counts and an order-independent content fingerprint — what a
+    training job needs to read shard k without listing the corpus,
+    verify integrity before burning accelerator time, and resume at a
+    shard boundary.
+
+    Scale shape: :func:`shard_assignments` (map-only over a broadcast
+    1-row total) → ``repartitionByRange`` on the position column, so
+    each write task holds a contiguous order range and lands in one
+    (at a range-sample boundary, two) shard directories, sorted within
+    files — a reader streams shard k's files in order with no
+    corpus-wide sort. The manifest is computed from a READ-BACK of the
+    written files (count + ``bit_xor`` of the 60-bit md5 row hash —
+    order-independent, overflow-free), so it attests what actually
+    landed, and is written local-fs atomically (temp + ``os.replace``,
+    the fold-manifest convention; route through the Hadoop FS API when
+    emitting to an object store). Returns the manifest rows
+    (shard, n_rows, fingerprint) sorted by shard.
+    """
+    import json
+    import os
+
+    from gh_archive_clickhouse_spark.functions.hashing import md5_long
+
+    if not df.head(1):
+        # zero-row corpus: a partitioned parquet write would land no
+        # readable files, so attest the emptiness directly
+        os.makedirs(path, exist_ok=True)
+        tmp = os.path.join(path, "_manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"n_shards": n_shards, "shards": []}, f, indent=1)
+        os.replace(tmp, os.path.join(path, "_manifest.json"))
+        return []
+    assigned = shard_assignments(df, n_shards, pos_col=pos_col)
+    (
+        assigned.repartitionByRange(n_shards, F.col(pos_col))
+        .sortWithinPartitions(pos_col)
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(path)
+    )
+    back = df.sparkSession.read.parquet(path)
+    data_cols = [c for c in back.columns if c != "shard"]
+    row_fp = md5_long(
+        F.to_json(F.struct(*[F.col(c) for c in sorted(data_cols)]))
+    )
+    manifest = [
+        {
+            "shard": int(r["shard"]),
+            "n_rows": int(r["n_rows"]),
+            "fingerprint": int(r["fingerprint"]),
+        }
+        for r in (
+            back.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.bit_xor(row_fp).alias("fingerprint"),
+            )
+            .orderBy("shard")
+            .collect()
+        )
+    ]
+    tmp = os.path.join(path, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_shards": n_shards, "shards": manifest}, f, indent=1)
+    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    return manifest

@@ -84,3 +84,18 @@ def test_readme_cookbook_composition(spark):
     total = coords.agg(F.sum("n_tokens")).first()[0]
     # the layout covers the whole train token stream
     assert layout.agg(F.sum("slice_len")).first()[0] == total
+
+    # 5. reproducible training order, emitted as shards + manifest
+    import tempfile
+
+    from gh_archive_clickhouse_spark.operators import (
+        seeded_shuffle,
+        write_training_shards,
+    )
+
+    ordered = seeded_shuffle(train, "doc_id", seed="run-2026-08")
+    with tempfile.TemporaryDirectory() as d:
+        manifest = write_training_shards(
+            ordered, f"{d}/shards", n_shards=4
+        )
+        assert sum(m["n_rows"] for m in manifest) == train.count()

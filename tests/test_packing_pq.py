@@ -839,3 +839,135 @@ def test_neardup_subdivision_recovers_hot_block_pairs(spark):
     ).collect()
     assert len(out) == 6  # cold pairs only
     assert all(r.vec_a < 200 and r.vec_b < 200 for r in out)
+
+
+# ------------------------------------------------- training shards
+
+
+def test_shard_assignments_balanced_contiguous_invariant(spark):
+    """Dense positions 0..N-1 over n shards: sizes balanced within
+    one row, each shard a contiguous position range in shard order,
+    and the assignment identical under a different input
+    partitioning (it depends only on pos and the broadcast total)."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        shard_assignments,
+    )
+
+    n, shards = 23, 4
+    df = spark.createDataFrame(
+        [(i * 7 % 1000, i) for i in range(n)], "doc_id long, pos long"
+    )
+    got = {
+        r.pos: r.shard
+        for r in shard_assignments(df, shards, pos_col="pos").collect()
+    }
+    sizes = [sum(1 for s in got.values() if s == k) for k in range(shards)]
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= 1
+    # contiguity: positions of shard k all precede positions of k+1
+    assert [got[p] for p in sorted(got)] == sorted(
+        got[p] for p in sorted(got)
+    )
+    again = {
+        r.pos: r.shard
+        for r in shard_assignments(
+            df.repartition(7), shards, pos_col="pos"
+        ).collect()
+    }
+    assert again == got
+
+
+def test_shard_assignments_rejects_non_dense_positions(spark):
+    """A gapped / non-zero-based position column (raw ids, filtered
+    positions) must raise loudly, not produce skewed shards — and the
+    check must survive column pruning (it gates the assignment
+    expression itself)."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        shard_assignments,
+    )
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (5,)], "pos long"  # not dense, not 0-based
+    )
+    with pytest.raises(Exception, match="dense 0-based"):
+        shard_assignments(df, 2, pos_col="pos").collect()
+    # even when only non-position columns are consumed downstream
+    df2 = spark.createDataFrame([(10, 3)], "doc_id long, pos long")
+    with pytest.raises(Exception, match="dense 0-based"):
+        shard_assignments(df2, 2, pos_col="pos").select("shard").collect()
+
+
+def test_write_training_shards_roundtrip_and_manifest(spark, tmp_path):
+    """The written shards tile the corpus exactly (no loss, no
+    duplication), each shard directory holds one contiguous order
+    range, and the read-back manifest's counts and fingerprints match
+    an independent recomputation from the INPUT frame."""
+    import json
+
+    from gh_archive_clickhouse_spark.functions.hashing import md5_long
+    from gh_archive_clickhouse_spark.operators.packing import (
+        seeded_shuffle,
+        write_training_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text") for i in range(37)],
+        "doc_id long, text string",
+    )
+    ordered = seeded_shuffle(docs, "doc_id", seed="shard-test")
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(
+        ordered, path, n_shards=5, pos_col="shuffle_pos"
+    )
+    assert [m["shard"] for m in manifest] == [0, 1, 2, 3, 4]
+    assert sum(m["n_rows"] for m in manifest) == 37
+    assert max(m["n_rows"] for m in manifest) - min(
+        m["n_rows"] for m in manifest
+    ) <= 1
+    on_disk = json.loads((tmp_path / "shards" / "_manifest.json").read_text())
+    assert on_disk["shards"] == manifest
+    back = spark.read.parquet(path)
+    assert back.count() == 37
+    assert {r.doc_id for r in back.select("doc_id").collect()} == set(
+        range(37)
+    )
+    # contiguity on disk: shard id is monotone in shuffle position
+    rows = back.select("shuffle_pos", "shard").orderBy("shuffle_pos").collect()
+    assert [r.shard for r in rows] == sorted(r.shard for r in rows)
+    # fingerprints: recompute from the input side, same row hash
+    data_cols = sorted(c for c in back.columns if c != "shard")
+    from gh_archive_clickhouse_spark.operators.packing import (
+        shard_assignments,
+    )
+
+    expect = {
+        r.shard: (r.n, r.fp)
+        for r in shard_assignments(ordered, 5, pos_col="shuffle_pos")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(
+                md5_long(F.to_json(F.struct(*[F.col(c) for c in data_cols])))
+            ).alias("fp"),
+        )
+        .collect()
+    }
+    assert {
+        m["shard"]: (m["n_rows"], m["fingerprint"]) for m in manifest
+    } == expect
+
+
+def test_write_training_shards_empty_corpus(spark, tmp_path):
+    """Zero rows: no unreadable parquet landmine — an empty manifest
+    attests the emptiness."""
+    import json
+
+    from gh_archive_clickhouse_spark.operators.packing import (
+        write_training_shards,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, shuffle_pos long")
+    path = str(tmp_path / "none")
+    assert write_training_shards(empty, path, n_shards=3) == []
+    on_disk = json.loads((tmp_path / "none" / "_manifest.json").read_text())
+    assert on_disk == {"n_shards": 3, "shards": []}
