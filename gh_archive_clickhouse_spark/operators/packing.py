@@ -504,15 +504,19 @@ def shard_assignments(
     # The assignment expression is GATED on __ok so the density check
     # can never be column-pruned away unused (the budget_select
     # lesson: an unreferenced assert column silently disappears).
+    # BIGINT `DIV`, never `/`: double division loses exactness once
+    # pos * n_shards crosses 2^53 (10^13 rows x 1024 shards), and a
+    # boundary row would silently land in the wrong shard.
     return (
         df.join(F.broadcast(checked), how="cross")
         .withColumn(
             out_col,
             F.when(
                 F.col("__ok"),
-                F.floor(
-                    pos.cast("long") * F.lit(n_shards) / F.col("__total")
-                ).cast("int"),
+                F.expr(
+                    f"CAST((CAST({pos_col} AS BIGINT) * "
+                    f"{int(n_shards)}) DIV __total AS INT)"
+                ),
             ),
         )
         .drop("__total", "__ok")
