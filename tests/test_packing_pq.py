@@ -971,3 +971,42 @@ def test_write_training_shards_empty_corpus(spark, tmp_path):
     assert write_training_shards(empty, path, n_shards=3) == []
     on_disk = json.loads((tmp_path / "none" / "_manifest.json").read_text())
     assert on_disk == {"n_shards": 3, "shards": []}
+
+
+def test_shard_assignments_randomized_properties(spark):
+    """Random corpus sizes and shard counts: the contiguous-range
+    assignment must always tile (every row exactly one shard), keep
+    sizes within one row of each other, stay monotone in position,
+    and equal the pure-Python formula row for row."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from gh_archive_clickhouse_spark.operators.packing import (
+        shard_assignments,
+    )
+
+    @given(
+        n=st.integers(min_value=1, max_value=60),
+        shards=st.integers(min_value=1, max_value=9),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(n, shards):
+        df = spark.createDataFrame(
+            [(i,) for i in range(n)], "pos long"
+        )
+        got = {
+            r.pos: r.shard
+            for r in shard_assignments(df, shards, pos_col="pos").collect()
+        }
+        assert got == {p: p * shards // n for p in range(n)}
+        sizes = [
+            sum(1 for s in got.values() if s == k) for k in range(shards)
+        ]
+        assert sum(sizes) == n
+        assert max(sizes) - min(sizes) <= 1
+
+    run()
