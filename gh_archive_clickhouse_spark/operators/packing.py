@@ -452,6 +452,54 @@ def sequence_fill_stats(coords: DataFrame, budget: int) -> DataFrame:
     )
 
 
+def _dense_total(df: DataFrame, pos_col: str) -> int:
+    """Validate the shard-position contract and return the row count:
+    ``pos_col`` must hold exactly the dense values 0..total-1 (no
+    gaps, duplicates, or NULLs — any of which would silently skew or
+    drop shards).  ONE aggregate over the single position column
+    (column-pruned at a parquet scan), collected driver-side — the
+    eager-validation precedent of seeded_shuffle's validate_distinct;
+    raising here with the observed bounds beats a mid-write executor
+    error."""
+    pos = F.col(pos_col)
+    total, distinct, mn, mx = df.select(
+        F.count(F.lit(1)),
+        F.count_distinct(pos),
+        F.min(pos),
+        F.max(pos),
+    ).first()
+    if total and not (distinct == total and mn == 0 and mx == total - 1):
+        raise ValueError(
+            f"shard assignment requires a dense 0-based position "
+            f"column; got min={mn} max={mx} distinct={distinct} over "
+            f"{total} rows in {pos_col!r}"
+        )
+    return int(total)
+
+
+def _assign(
+    df: DataFrame, n_shards: int, pos_col: str, out_col: str, total: int
+) -> DataFrame:
+    if out_col in df.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists in the input"
+        )
+    if total == 0:
+        return df.withColumn(out_col, F.lit(None).cast("int"))
+    # BIGINT `DIV`, never `/`: double division loses exactness once
+    # pos * n_shards crosses 2^53 (10^13 rows x 1024 shards), and a
+    # boundary row would silently land in the wrong shard. total is a
+    # validated Python int, pos_col backtick-escaped.
+    pc = pos_col.replace("`", "``")
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"CAST((CAST(`{pc}` AS BIGINT) * {int(n_shards)}) "
+            f"DIV {total} AS INT)"
+        ),
+    )
+
+
 def shard_assignments(
     df: DataFrame,
     n_shards: int,
@@ -465,62 +513,35 @@ def shard_assignments(
     order, shard sizes balanced within one row, and the assignment
     depends only on (pos, total), so it is partitioning-invariant.
 
-    Scale shape: ONE tiny aggregate produces a 1-row (total, min, max)
-    frame that broadcast-joins onto the corpus; the assignment itself
-    is a map-only integer expression (BIGINT-safe while pos * n_shards
-    < 2^63 — a corpus position times a realistic shard count never
-    approaches it). The density contract (min==0, max==total-1) is
-    checked on the same 1-row frame and raises instead of silently
-    producing unbalanced or gapped shards: a non-dense column (raw
-    ids, filtered positions) is a caller bug this turns loud.
+    Scale shape: the density contract (dense 0-based, no duplicates
+    or NULLs) is validated EAGERLY by one aggregate over the position
+    column alone — column-pruned at a parquet scan, so the validation
+    pass reads one column, not the corpus — and the assignment itself
+    is a map-only integer expression with the validated total inlined
+    as a literal: no join, no window, nothing an optimizer could
+    prune away.  The input should be deterministic (a materialized or
+    seeded frame — seeded_shuffle output is); a non-deterministic
+    upstream could disagree between the validation scan and the
+    assignment scan.
     """
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
-    pos = F.col(pos_col)
-    bounds = df.select(
-        F.count(F.lit(1)).alias("__total"),
-        F.min(pos).alias("__min"),
-        F.max(pos).alias("__max"),
+    return _assign(
+        df, n_shards, pos_col, out_col, _dense_total(df, pos_col)
     )
-    ok = (F.col("__total") == 0) | (
-        (F.col("__min") == 0) & (F.col("__max") == F.col("__total") - 1)
-    )
-    checked = bounds.select(
-        "__total",
-        F.when(ok, F.lit(True))
-        .otherwise(
-            F.raise_error(
-                F.format_string(
-                    "shard_assignments requires a dense 0-based "
-                    "position column; got min=%s max=%s over %s rows",
-                    "__min",
-                    "__max",
-                    "__total",
-                )
-            )
-        )
-        .alias("__ok"),
-    )
-    # The assignment expression is GATED on __ok so the density check
-    # can never be column-pruned away unused (the budget_select
-    # lesson: an unreferenced assert column silently disappears).
-    # BIGINT `DIV`, never `/`: double division loses exactness once
-    # pos * n_shards crosses 2^53 (10^13 rows x 1024 shards), and a
-    # boundary row would silently land in the wrong shard.
-    return (
-        df.join(F.broadcast(checked), how="cross")
-        .withColumn(
-            out_col,
-            F.when(
-                F.col("__ok"),
-                F.expr(
-                    f"CAST((CAST({pos_col} AS BIGINT) * "
-                    f"{int(n_shards)}) DIV __total AS INT)"
-                ),
-            ),
-        )
-        .drop("__total", "__ok")
-    )
+
+
+def _write_manifest(path: str, n_shards: int, shards: list) -> None:
+    """Commit the shard manifest local-fs atomically (temp +
+    ``os.replace``, the fold-manifest convention; route through the
+    Hadoop FS API when emitting to an object store)."""
+    import json
+    import os
+
+    tmp = os.path.join(path, "_manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_shards": n_shards, "shards": shards}, f, indent=1)
+    os.replace(tmp, os.path.join(path, "_manifest.json"))
 
 
 def write_training_shards(
@@ -537,36 +558,29 @@ def write_training_shards(
     row counts and an order-independent content fingerprint — what a
     training job needs to read shard k without listing the corpus,
     verify integrity before burning accelerator time, and resume at a
-    shard boundary.
+    shard boundary.  Every shard id 0..n_shards-1 appears in the
+    manifest (zero-row shards explicitly, fingerprint 0 — the XOR
+    identity), so a missing directory is always distinguishable from
+    a legitimately empty shard.
 
-    Scale shape: :func:`shard_assignments` (map-only over a broadcast
-    1-row total) → ``repartitionByRange`` on the position column, so
-    each write task holds a contiguous order range and lands in one
-    (at a range-sample boundary, two) shard directories, sorted within
-    files — a reader streams shard k's files in order with no
-    corpus-wide sort. The manifest is computed from a READ-BACK of the
-    written files (count + ``bit_xor`` of the 60-bit md5 row hash —
-    order-independent, overflow-free), so it attests what actually
-    landed, and is written local-fs atomically (temp + ``os.replace``,
-    the fold-manifest convention; route through the Hadoop FS API when
-    emitting to an object store). Returns the manifest rows
-    (shard, n_rows, fingerprint) sorted by shard.
+    Scale shape: the density validation reads ONE column (see
+    :func:`shard_assignments`); the write itself is a
+    ``repartitionByRange`` on the position column, so each write task
+    holds a contiguous order range and lands in one (at a range-sample
+    boundary, two) shard directories, sorted within files — a reader
+    streams shard k's files in order with no corpus-wide sort.  The
+    manifest (count + ``bit_xor`` of the 60-bit md5 row hash —
+    order-independent, overflow-free) is computed from a READ-BACK of
+    the written files, so it attests what actually landed.  A zero-row
+    corpus goes through the same parquet writer (``mode`` semantics —
+    error-on-existing, overwrite — apply identically) and records an
+    all-empty manifest.  Returns the manifest rows (shard, n_rows,
+    fingerprint) sorted by shard.
     """
-    import json
-    import os
-
     from gh_archive_clickhouse_spark.functions.hashing import md5_long
 
-    if not df.head(1):
-        # zero-row corpus: a partitioned parquet write would land no
-        # readable files, so attest the emptiness directly
-        os.makedirs(path, exist_ok=True)
-        tmp = os.path.join(path, "_manifest.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump({"n_shards": n_shards, "shards": []}, f, indent=1)
-        os.replace(tmp, os.path.join(path, "_manifest.json"))
-        return []
-    assigned = shard_assignments(df, n_shards, pos_col=pos_col)
+    total = _dense_total(df, pos_col)
+    assigned = _assign(df, n_shards, pos_col, "shard", total)
     (
         assigned.repartitionByRange(n_shards, F.col(pos_col))
         .sortWithinPartitions(pos_col)
@@ -574,29 +588,31 @@ def write_training_shards(
         .mode(mode)
         .parquet(path)
     )
-    back = df.sparkSession.read.parquet(path)
-    data_cols = [c for c in back.columns if c != "shard"]
-    row_fp = md5_long(
-        F.to_json(F.struct(*[F.col(c) for c in sorted(data_cols)]))
-    )
-    manifest = [
-        {
-            "shard": int(r["shard"]),
-            "n_rows": int(r["n_rows"]),
-            "fingerprint": int(r["fingerprint"]),
-        }
-        for r in (
-            back.groupBy("shard")
-            .agg(
-                F.count(F.lit(1)).alias("n_rows"),
-                F.bit_xor(row_fp).alias("fingerprint"),
-            )
-            .orderBy("shard")
-            .collect()
+    written: dict[int, dict] = {}
+    if total:
+        back = df.sparkSession.read.parquet(path)
+        data_cols = [c for c in back.columns if c != "shard"]
+        row_fp = md5_long(
+            F.to_json(F.struct(*[F.col(c) for c in sorted(data_cols)]))
         )
+        written = {
+            int(r["shard"]): {
+                "shard": int(r["shard"]),
+                "n_rows": int(r["n_rows"]),
+                "fingerprint": int(r["fingerprint"]),
+            }
+            for r in (
+                back.groupBy("shard")
+                .agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.bit_xor(row_fp).alias("fingerprint"),
+                )
+                .collect()
+            )
+        }
+    manifest = [
+        written.get(k, {"shard": k, "n_rows": 0, "fingerprint": 0})
+        for k in range(n_shards)
     ]
-    tmp = os.path.join(path, "_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"n_shards": n_shards, "shards": manifest}, f, indent=1)
-    os.replace(tmp, os.path.join(path, "_manifest.json"))
+    _write_manifest(path, n_shards, manifest)
     return manifest

@@ -957,10 +957,17 @@ def test_write_training_shards_roundtrip_and_manifest(spark, tmp_path):
     } == expect
 
 
-def test_write_training_shards_empty_corpus(spark, tmp_path):
-    """Zero rows: no unreadable parquet landmine — an empty manifest
-    attests the emptiness."""
+def test_write_training_shards_empty_corpus_and_mode_protection(
+    spark, tmp_path
+):
+    """Zero rows go through the same parquet writer (mode semantics
+    apply identically) and the manifest lists every shard id with
+    zero rows — a missing directory is always distinguishable from a
+    legitimately empty shard. A second write with the default
+    mode='error' must fail WITHOUT touching the existing manifest."""
     import json
+
+    import pytest as _pytest
 
     from gh_archive_clickhouse_spark.operators.packing import (
         write_training_shards,
@@ -968,9 +975,39 @@ def test_write_training_shards_empty_corpus(spark, tmp_path):
 
     empty = spark.createDataFrame([], "doc_id long, shuffle_pos long")
     path = str(tmp_path / "none")
-    assert write_training_shards(empty, path, n_shards=3) == []
+    got = write_training_shards(empty, path, n_shards=3)
+    assert got == [
+        {"shard": k, "n_rows": 0, "fingerprint": 0} for k in range(3)
+    ]
     on_disk = json.loads((tmp_path / "none" / "_manifest.json").read_text())
-    assert on_disk == {"n_shards": 3, "shards": []}
+    assert on_disk == {"n_shards": 3, "shards": got}
+    # mode="error" on an existing path: the writer refuses, and the
+    # committed manifest stays exactly as it was
+    full = spark.createDataFrame([(1, 0)], "doc_id long, shuffle_pos long")
+    with _pytest.raises(Exception):
+        write_training_shards(full, path, n_shards=3)
+    assert (
+        json.loads((tmp_path / "none" / "_manifest.json").read_text())
+        == on_disk
+    )
+
+
+def test_shard_assignments_rejects_duplicates_and_nulls(spark):
+    """Duplicate positions (a fan-out join) or NULLs must raise: min/
+    max alone would pass [0, 0, 2] and silently double shard 0 while
+    emptying shard 1."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        shard_assignments,
+    )
+
+    dup = spark.createDataFrame([(0,), (0,), (2,)], "pos long")
+    with pytest.raises(ValueError, match="dense 0-based"):
+        shard_assignments(dup, 3, pos_col="pos")
+    withnull = spark.createDataFrame(
+        [(0,), (None,), (2,)], "pos long"
+    )
+    with pytest.raises(ValueError, match="dense 0-based"):
+        shard_assignments(withnull, 3, pos_col="pos")
 
 
 def test_shard_assignments_randomized_properties(spark):
