@@ -2155,6 +2155,40 @@ FROM kept GROUP BY 1, 2
 """
 
 
+QX61_SHARDS = 7
+
+
+def qx61_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment over the seeded order (operators/
+    packing.shard_assignments — the pure half of the
+    write_training_shards emission sink): shard = pos * n DIV total,
+    so shard k holds the k-th contiguous run of the reproducible
+    training order with sizes balanced within one row. The total is
+    validated driver-side by one column-pruned aggregate (dense
+    0-based, no duplicates/NULLs) and inlined as a literal, making
+    the assignment itself a map-only BIGINT expression — exact at any
+    corpus size, where double division would misassign boundary rows
+    past 2^53. The oracle reproduces qx59's permutation and the same
+    integer division."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        seeded_shuffle,
+        shard_assignments,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    ordered = seeded_shuffle(docs.select("doc_id"), seed=QX59_SEED)
+    return shard_assignments(ordered, QX61_SHARDS)
+
+
+_ORACLE_QX61 = f"""
+WITH ordered AS ({_ORACLE_QX59})
+SELECT doc_id, shuffle_pos,
+       CAST((shuffle_pos * {QX61_SHARDS})
+            // (SELECT count(*) FROM ordered) AS INT) AS shard
+FROM ordered
+"""
+
+
 def qx46_densified_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing over SPARSE order keys — the degradation case
     pack_coordinates' contract documents: keys spaced ~10^6 apart put
@@ -3225,6 +3259,15 @@ QUERIES = [
         "map-only filter",
         qx60_mixture_resample,
         _ORACLE_QX60,
+        tags=("ext", "sampling"),
+    ),
+    Query(
+        "qx61_training_shards",
+        "contiguous-order training-shard assignment over the seeded "
+        "shuffle: shard = pos * n DIV total, map-only BIGINT "
+        "arithmetic with the validated total inlined",
+        qx61_training_shards,
+        _ORACLE_QX61,
         tags=("ext", "sampling"),
     ),
     Query(
