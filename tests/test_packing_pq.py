@@ -1047,3 +1047,30 @@ def test_shard_assignments_randomized_properties(spark):
         assert max(sizes) - min(sizes) <= 1
 
     run()
+
+
+def test_shard_assignment_adds_no_exchange_over_the_order(spark):
+    """Plan contract: the shard id is pure arithmetic on the position
+    — assigning shards on top of the seeded order must add ZERO
+    exchanges (no join, no window, no re-shuffle) beyond what the
+    order computation already did."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        seeded_shuffle,
+        shard_assignments,
+    )
+
+    ordered = seeded_shuffle(
+        read(spark, SF_DIR, "documents").select("doc_id")
+    )
+    base = (
+        ordered._jdf.queryExecution().executedPlan().toString()
+    ).count("Exchange")
+    with_shards = (
+        shard_assignments(ordered, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert with_shards.count("Exchange") == base, with_shards[:3000]
+    # the assignment itself shows up as plain arithmetic, not a join
+    assert " DIV " in with_shards or "div" in with_shards.lower()
