@@ -20,6 +20,22 @@ conversion. Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 2)
 and reports the fastest: the first run pays one-time whole-stage-
 codegen compilation, which at target scale amortizes to zero, so
 steady-state is the honest per-query number.
+
+CALIBRATION: twice in three rounds the whole suite inflated uniformly
+(+43% in r7, +12-15% in r6 soaks) on byte-identical code — a noisy /
+contended container, not plan regressions, but indistinguishable from
+them in raw wall-clock. The harness therefore times a PINNED probe —
+a fixed lineitem scan-aggregate that never changes as the registry
+grows — immediately before the first timed query and again after the
+last (median of 3 runs each), and emits both: ``cal_first`` /
+``cal_last`` / ``cal_sec`` (their mean) plus ``value_norm``
+(= value / cal_sec). A uniform environment shift moves the probe by
+the same factor as every query, so calibration-normalized times
+(query_sec / cal_sec) are comparable across rounds and machines;
+only normalized deltas count as regressions. The full per-query map
+of raw AND normalized times is written to ``bench_report.json`` at
+the repo root (the stdout JSON line must stay under the driver's
+2000-char snapshot, which two 137-entry maps would blow).
 """
 
 from __future__ import annotations
@@ -34,6 +50,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gh_archive_clickhouse_spark.session import get_spark
 from gh_archive_clickhouse_spark.plans.registry import QUERIES
+
+
+def _calibrate(spark, sf_dir: str) -> float:
+    """The pinned environment probe: a frozen scan-aggregate over
+    lineitem (group by the 6 flag/status cells, sum/count three
+    columns) through the same noop sink as the timed queries. Median
+    of 3 runs — the probe is cheap (~0.3-1 s at sf0.1), so the median
+    kills one-off scheduler hiccups without costing meaningful wall
+    time. MUST NOT change across rounds: its whole value is being the
+    same work in every round's environment."""
+    from pyspark.sql import functions as F
+
+    from gh_archive_clickhouse_spark.plans.common import read as _read
+
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            _read(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"),
+                F.sum("l_extendedprice"),
+                F.avg("l_discount"),
+                F.count(F.lit(1)),
+            )
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        samples.append(time.perf_counter() - t0)
+    return sorted(samples)[1]
 
 
 def main() -> None:
@@ -69,6 +117,10 @@ def main() -> None:
                 pass
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
+    # Environment probe: immediately before the first timed query and
+    # again after the last, so a drift DURING the run shows up as
+    # cal_first != cal_last rather than silently skewing half the map.
+    cal_first = _calibrate(spark, sf_dir)
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
         best = float("inf")
@@ -86,6 +138,8 @@ def main() -> None:
             ).save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    cal_last = _calibrate(spark, sf_dir)
+    cal_sec = (cal_first + cal_last) / 2
 
     # The driver snapshots only the LAST 2000 chars of stdout; full
     # registry names blow that budget and decapitate the JSON line
@@ -116,6 +170,13 @@ def main() -> None:
             "unit": "sec",
             "batch_total": round(total - stream_total, 3),
             "stream_total": stream_total,
+            # calibration probe (see module docstring): normalized
+            # per-query time = raw / cal_sec; full map in
+            # bench_report.json.
+            "cal_first": round(cal_first, 3),
+            "cal_last": round(cal_last, 3),
+            "cal_sec": round(cal_sec, 3),
+            "value_norm": round(total / cal_sec, 2),
             "queries": qmap,
             "sf": sf,
         }
@@ -123,6 +184,36 @@ def main() -> None:
             # sibling field, NOT a fake entry inside the timing map
             payload["queries_omitted"] = omitted
         return json.dumps(payload, separators=(",", ":"))
+
+    # Full report (raw + calibration-normalized per query) to a file:
+    # the stdout line's 2000-char budget cannot carry two full maps.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "bench_report.json",
+            ),
+            "w",
+        ) as f:
+            json.dump(
+                {
+                    "sf": sf,
+                    "cal_first": round(cal_first, 4),
+                    "cal_last": round(cal_last, 4),
+                    "cal_sec": round(cal_sec, 4),
+                    "value": total,
+                    "value_norm": round(total / cal_sec, 3),
+                    "queries": timings,
+                    "queries_norm": {
+                        n: round(t / cal_sec, 3)
+                        for n, t in timings.items()
+                    },
+                },
+                f,
+                indent=1,
+            )
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries cal
 
     line = _render(short)
     # Keep the one-line JSON inside the driver's 2000-char stdout
