@@ -289,6 +289,110 @@ def budget_select(
     )
 
 
+PPM = 1_000_000
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: DataFrame,
+    budget_ppm: int = PPM,
+    salt: str = "mix-v1",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialized mixture resample to an ARBITRARY target mixture —
+    the "mix" stage between corpus curation and the seeded training
+    order: given per-source target shares, keep a deterministic
+    pseudo-random subset of each source so the output corpus
+    approximates ``budget_ppm/10^6 * n_total`` rows distributed by the
+    target weights. Each row's fate is a pure function of
+    ``(salt, id)`` vs its source's keep rate, so the curated mixture
+    is reproducible from the raw corpus on any cluster layout and
+    re-rollable by changing one salt token.
+
+    ``weights`` is a tiny (source, ``weight_ppm``) frame — the
+    caller's mixture spec (e.g. web 500000 / code 300000 / books
+    200000 ppm). Shares are of the TOTAL corpus: source s's target
+    row count is ``budget_ppm/10^6 * weight_ppm_s/10^6 * n_total``,
+    so its keep rate is that target over ``n_source_s`` — clamped at
+    1 (an over-subscribed source keeps everything; this engine
+    resamples, it does not upsample). Sources absent from ``weights``
+    are DROPPED (the spec defines the mixture); weights need not sum
+    to 10^6 (an under-subscribed spec just keeps fewer rows).
+
+    Everything stays ENGINE-EXACT integer arithmetic (the qx60
+    contract): per source,
+    ``rate_ppm = least(10^6, ((budget_ppm * weight_ppm) div 10^6)
+    * n_total div n_source)`` — BIGINT floor division, no doubles —
+    and a row keeps iff ``split_bucket(id, salt, 10^6) < rate_ppm``.
+    Overflow bound: the inner term is ≤ 10^12 before the division and
+    ≤ 10^6 after, so the multiply by ``n_total`` needs
+    ``n_total < 2^63/10^6 ≈ 9.2*10^12`` rows — the same 10^12-class
+    corpus bound as seeded_shuffle's id zero-pad, documented here
+    because exceeding it would overflow silently.
+
+    Scale shape: one tiny per-source aggregate + a 1-row total, the
+    O(sources) rate table broadcast to a map-only keep filter at the
+    scan — no corpus shuffle. The weights spec is validated EAGERLY
+    driver-side (non-NULL, non-negative, one row per source — two
+    O(sources) probes; the shard_assignments precedent: a clear raise
+    beats a silently skewed mixture). Returns the kept rows with
+    ``rate_ppm`` attached as the per-row witness of the rate applied.
+    """
+    from gh_archive_clickhouse_spark.functions.hashing import split_bucket
+
+    if not (0 < budget_ppm <= PPM):
+        raise ValueError(
+            f"budget_ppm must be in (0, {PPM}], got {budget_ppm}"
+        )
+    if "weight_ppm" not in weights.columns:
+        raise ValueError(
+            "weights frame must carry a weight_ppm column; got "
+            f"{weights.columns}"
+        )
+    bad = weights.filter(
+        F.col("weight_ppm").isNull() | (F.col("weight_ppm") < 0)
+    ).head(1)
+    if bad:
+        raise ValueError(
+            f"mixture weights must be non-negative and non-NULL; got "
+            f"{bad[0]}"
+        )
+    dup = (
+        weights.groupBy(F.col(source_col))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .head(1)
+    )
+    if dup:
+        raise ValueError(
+            f"mixture weights must have one row per {source_col!r}; "
+            f"found duplicate {dup[0][0]!r}"
+        )
+    per_source = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("__n_source")
+    )
+    totals = df.agg(F.count(F.lit(1)).alias("__n_total"))
+    rates = (
+        per_source.join(weights.select(source_col, "weight_ppm"), source_col)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            source_col,
+            F.least(
+                F.lit(PPM).cast("long"),
+                F.expr(
+                    f"((({int(budget_ppm)} * weight_ppm) div {PPM}) "
+                    f"* __n_total) div __n_source"
+                ),
+            ).alias("rate_ppm"),
+        )
+    )
+    return df.join(F.broadcast(rates), source_col).filter(
+        split_bucket(id_col, salt=salt, n_buckets=PPM)
+        < F.col("rate_ppm")
+    )
+
+
 def pack_coordinates(
     df: DataFrame,
     n_tokens: Column,

@@ -2068,55 +2068,60 @@ FROM documents
 
 QX60_SALT = "mix-v1"
 QX60_PPM = 1_000_000
-# Global budget fraction (ppm of the uniform per-source target): the
-# resample flattens sources to 60% of uniform — so the keep filter
-# genuinely fires even on a corpus whose sources are already balanced
-# (the fixture's case), while staying inversely proportional to
-# n_source on a skewed corpus.
+# Global output budget: keep ~60% of the corpus, distributed by the
+# target weights. With the rank-derived spec below this puts the
+# fixture's low-rank sources at a few percent keep rate and the
+# high-rank ones at the least() cap — both regimes of the rate
+# formula under the hash gate.
 QX60_BUDGET_PPM = 600_000
 
 
 def qx60_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MATERIALIZE the qx28 mixture: instead of just reporting the
-    per-source reweighting factors, actually produce the resampled
-    corpus that flattens sources to a uniform target — each row's
-    fate a pure function of (salt, doc_id) vs its source's target
-    keep-rate, so the curated mixture is reproducible from the raw
-    corpus on any cluster layout (the qx21 determinism contract
-    composed with the qx28 weights).
+    """MATERIALIZE an arbitrary-weight mixture (operators/packing.
+    mixture_resample): given a per-source target-share spec — the
+    {web: .5, code: .3, books: .2} table every production curation
+    run writes down — keep a deterministic salted-hash subset of each
+    source so the output approximates budget * weights of the corpus.
+    Each row's fate is a pure function of (salt, doc_id) vs its
+    source's integer keep rate, so the curated mixture is
+    reproducible on any cluster layout (the qx21 determinism contract
+    under a caller-supplied mixture).
 
-    Rates stay ENGINE-EXACT integers: a source's keep-rate in ppm is
-    ``least(10^6, (budget_ppm * n_total) div (n_sources * n_source))``
-    — BIGINT floor division, no doubles — i.e. flatten sources to
-    ``budget_ppm`` of the uniform per-source target (60% here), and a
-    row keeps iff ``split_bucket(doc_id, salt, 10^6) < rate_ppm``.
-    Scale shape: two
-    tiny aggregates, the per-source rate table broadcasts (O(sources)
-    rows), the keep filter is map-only at the scan. Output aggregates
-    the kept rows per (source, lang) with id-sum/extreme witnesses —
-    the qx21 pattern pinning exact membership, not just counts."""
-    from gh_archive_clickhouse_spark.functions.hashing import split_bucket
+    The spec here is NON-UNIFORM and engine-reproducible: source s's
+    weight_ppm = r * 10^6 div (k(k+1)/2) where r is its 1-based
+    alphabetical rank among the k sources — so every source gets a
+    different target and the oracle derives the identical table.
+    Rates stay ENGINE-EXACT integers (see the operator contract):
+    ``rate_ppm = least(10^6, ((budget_ppm * weight_ppm) div 10^6)
+    * n_total div n_source)``, keep iff ``split_bucket(doc_id, salt,
+    10^6) < rate_ppm``. Scale shape: two tiny aggregates + an
+    O(sources) rank window, the rate table broadcasts, the keep
+    filter is map-only at the scan. Output aggregates the kept rows
+    per (source, lang) with id-sum/extreme witnesses — the qx21
+    pattern pinning exact membership, not just counts."""
+    from pyspark.sql import Window
+
+    from gh_archive_clickhouse_spark.operators.packing import (
+        mixture_resample,
+    )
 
     docs = read(spark, sf_dir, "documents")
-    per_source = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_source")
+    srcs = docs.select("source").distinct()
+    # Rank window + count over O(sources) rows — the spec table is
+    # dimension-sized by construction, so the single-task window is
+    # O(sources), never corpus-shaped.
+    ranked = srcs.withColumn(
+        "__r", F.row_number().over(Window.orderBy("source")).cast("long")
     )
-    totals = docs.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.count_distinct("source").alias("n_sources"),
+    denom = srcs.agg(F.count(F.lit(1)).alias("__k")).select(
+        F.expr("(__k * (__k + 1)) div 2").alias("__d")
     )
-    rates = per_source.crossJoin(F.broadcast(totals)).select(
+    weights = ranked.crossJoin(F.broadcast(denom)).select(
         "source",
-        F.least(
-            F.lit(QX60_PPM).cast("long"),
-            F.expr(
-                f"({QX60_BUDGET_PPM} * n_total) div (n_sources * n_source)"
-            ),
-        ).alias("rate_ppm"),
+        F.expr(f"(__r * {QX60_PPM}) div __d").alias("weight_ppm"),
     )
-    kept = docs.join(F.broadcast(rates), "source").filter(
-        split_bucket("doc_id", salt=QX60_SALT, n_buckets=QX60_PPM)
-        < F.col("rate_ppm")
+    kept = mixture_resample(
+        docs, weights, budget_ppm=QX60_BUDGET_PPM, salt=QX60_SALT
     )
     return kept.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -2128,17 +2133,25 @@ def qx60_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_QX60 = f"""
-WITH per_source AS (
+WITH srcs AS (SELECT DISTINCT source FROM documents),
+ranked AS (
+  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS r
+  FROM srcs
+), denom AS (
+  SELECT (count(*) * (count(*) + 1)) // 2 AS d FROM srcs
+), weights AS (
+  SELECT source, (r * {QX60_PPM}) // d AS weight_ppm
+  FROM ranked CROSS JOIN denom
+), per_source AS (
   SELECT source, count(*) AS n_source FROM documents GROUP BY 1
 ), totals AS (
-  SELECT count(*) AS n_total, count(DISTINCT source) AS n_sources
-  FROM documents
+  SELECT count(*) AS n_total FROM documents
 ), rates AS (
-  SELECT source,
+  SELECT w.source,
          least({QX60_PPM},
-               ({QX60_BUDGET_PPM} * n_total) // (n_sources * n_source))
-           AS rate_ppm
-  FROM per_source CROSS JOIN totals
+               ((({QX60_BUDGET_PPM} * w.weight_ppm) // {QX60_PPM})
+                * n_total) // n_source) AS rate_ppm
+  FROM weights w JOIN per_source USING (source) CROSS JOIN totals
 ), kept AS (
   SELECT d.source, d.lang, d.doc_id, r.rate_ppm
   FROM documents d JOIN rates r USING (source)
@@ -3254,9 +3267,9 @@ QUERIES = [
     ),
     Query(
         "qx60_mixture_resample",
-        "materialized source-flattening resample: integer ppm rates "
-        "from the qx28 weights, deterministic salted-hash keep, "
-        "map-only filter",
+        "materialized arbitrary-weight mixture resample: caller "
+        "weights frame -> integer ppm rates, deterministic "
+        "salted-hash keep, map-only filter",
         qx60_mixture_resample,
         _ORACLE_QX60,
         tags=("ext", "sampling"),

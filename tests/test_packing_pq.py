@@ -1074,3 +1074,100 @@ def test_shard_assignment_adds_no_exchange_over_the_order(spark):
     assert with_shards.count("Exchange") == base, with_shards[:3000]
     # the assignment itself shows up as plain arithmetic, not a join
     assert " DIV " in with_shards or "div" in with_shards.lower()
+
+
+# ---------------------------------------------------- mixture_resample
+
+
+def _mix_docs(spark, rows):
+    """rows: list of (doc_id, source)."""
+    return spark.createDataFrame(
+        [(i, s) for i, s in rows], "doc_id long, source string"
+    )
+
+
+def test_mixture_resample_validates_weights(spark):
+    """The weights spec is validated eagerly: negative / NULL weights,
+    duplicate source rows, a missing weight_ppm column, and an
+    out-of-range budget all raise BEFORE any corpus work."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        mixture_resample,
+    )
+
+    docs = _mix_docs(spark, [(1, "a"), (2, "b")])
+    ok = spark.createDataFrame(
+        [("a", 500_000), ("b", 500_000)], "source string, weight_ppm long"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_resample(
+            docs,
+            spark.createDataFrame(
+                [("a", -1)], "source string, weight_ppm long"
+            ),
+        )
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_resample(
+            docs,
+            spark.createDataFrame(
+                [("a", None)], "source string, weight_ppm long"
+            ),
+        )
+    with pytest.raises(ValueError, match="one row per"):
+        mixture_resample(
+            docs,
+            spark.createDataFrame(
+                [("a", 1), ("a", 2)], "source string, weight_ppm long"
+            ),
+        )
+    with pytest.raises(ValueError, match="weight_ppm column"):
+        mixture_resample(
+            docs,
+            spark.createDataFrame([("a", 1)], "source string, w long"),
+        )
+    with pytest.raises(ValueError, match="budget_ppm"):
+        mixture_resample(docs, ok, budget_ppm=0)
+    with pytest.raises(ValueError, match="budget_ppm"):
+        mixture_resample(docs, ok, budget_ppm=2_000_000)
+
+
+def test_mixture_resample_weights_semantics(spark):
+    """Sources absent from the spec are dropped; an over-subscribed
+    source hits the least() cap and keeps every row; a zero-weight
+    source keeps none; the rate witness matches the integer formula."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        PPM,
+        mixture_resample,
+    )
+
+    # 40 docs in a, 4 in b, 6 in c (c not in the spec).
+    rows = (
+        [(i, "a") for i in range(40)]
+        + [(100 + i, "b") for i in range(4)]
+        + [(200 + i, "c") for i in range(6)]
+    )
+    docs = _mix_docs(spark, rows)
+    weights = spark.createDataFrame(
+        [("a", 200_000), ("b", 400_000), ("z", 400_000)],
+        "source string, weight_ppm long",
+    )
+    kept = mixture_resample(docs, weights, budget_ppm=1_000_000).collect()
+    n_total = len(rows)
+    rate_a = min(PPM, (1_000_000 * 200_000 // PPM) * n_total // 40)
+    rate_b = min(PPM, (1_000_000 * 400_000 // PPM) * n_total // 4)
+    assert rate_b == PPM  # target 20 docs from a 4-doc source: capped
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r)
+        assert r.rate_ppm == {"a": rate_a, "b": rate_b}[r.source]
+    # c has no spec row -> dropped entirely; z has no corpus rows
+    assert set(by_src) <= {"a", "b"}
+    # capped source keeps everything
+    assert len(by_src.get("b", [])) == 4
+    # zero-weight source keeps nothing
+    zero = mixture_resample(
+        docs,
+        spark.createDataFrame(
+            [("a", 0)], "source string, weight_ppm long"
+        ),
+    ).collect()
+    assert zero == []

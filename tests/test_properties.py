@@ -620,9 +620,10 @@ def test_connected_components_equals_union_find(spark, edges):
 def test_mixture_resample_matches_python_rates(spark, tmp_path_factory, rows):
     """qx60 end-to-end on random source skews: the materialized
     mixture's per-(source, lang) aggregates equal a pure-Python
-    recomputation of the integer ppm rate table and the salted-md5
-    keep rule — the whole chain (rate math, split_bucket, broadcast
-    join, filter, witnesses) against an independent reference."""
+    recomputation of the rank-derived weights spec, the integer ppm
+    rate table, and the salted-md5 keep rule — the whole chain
+    (weights window, rate math, split_bucket, broadcast join, filter,
+    witnesses) against an independent reference."""
     import hashlib
 
     import pandas as pd
@@ -653,11 +654,16 @@ def test_mixture_resample_matches_python_rates(spark, tmp_path_factory, rows):
     per_source: dict[str, int] = {}
     for s, _ in rows:
         per_source[f"s{s}"] = per_source.get(f"s{s}", 0) + 1
-    n_sources = len(per_source)
+    srcs_sorted = sorted(per_source)
+    k = len(srcs_sorted)
+    d = k * (k + 1) // 2
+    weight = {
+        s: ((i + 1) * QX60_PPM) // d for i, s in enumerate(srcs_sorted)
+    }
     rate = {
         s: min(
             QX60_PPM,
-            (QX60_BUDGET_PPM * n_total) // (n_sources * n),
+            ((QX60_BUDGET_PPM * weight[s]) // QX60_PPM) * n_total // n,
         )
         for s, n in per_source.items()
     }
