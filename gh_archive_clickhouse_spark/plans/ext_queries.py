@@ -2202,6 +2202,61 @@ FROM ordered
 """
 
 
+QX62_SHARDS = 5
+QX62_SEED = "shard-seq-v1"
+
+
+def qx62_packed_training_shards(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training shards of PACKED SEQUENCES — the artifact a trainer
+    actually mounts: qx61 sharded the document-level order, but what
+    a training job reads is fixed-budget token sequences (qx45's
+    emission). This is the closing composition of the training-order
+    story: qx45's packed 256-token sequences (assembly plan +
+    per-sequence content fingerprint) → ``seeded_shuffle`` on
+    ``seq_id`` (reproducible inter-sequence training order; the
+    intra-sequence layout was fixed at packing time) →
+    ``shard_assignments`` (shard = pos * n DIV total, BIGINT, total
+    validated dense). ``write_training_shards`` on this frame is the
+    on-disk form (filesystem effects stay out of the oracle, the
+    qx61 precedent — tests/test_packing_pq.py covers the sink over a
+    packed frame).
+
+    Scale shape: adds NOTHING to qx45's plan beyond the two-level
+    densify rank (range partition on the hash key, O(partitions)
+    prefix, broadcast offsets) and one map-only integer expression —
+    zero new shuffle classes over the seeded order (plan-tested).
+    Every sequence row carries its content_md5 through to the shard
+    assignment, so the oracle pins that shard k holds exactly the
+    right SEQUENCE CONTENT, not just the right count."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        seeded_shuffle,
+        shard_assignments,
+    )
+
+    seqs = qx45_packed_sequences(spark, sf_dir)
+    ordered = seeded_shuffle(seqs, id_col="seq_id", seed=QX62_SEED)
+    return shard_assignments(ordered, QX62_SHARDS)
+
+
+_ORACLE_QX62 = f"""
+WITH seqs AS ({_ORACLE_QX45}),
+ordered AS (
+  SELECT seq_id, n_slices, n_tokens, content_md5,
+         CAST(row_number() OVER (
+           ORDER BY md5(CAST(seq_id AS VARCHAR) || '{QX62_SEED}')
+                    || '-' || lpad(CAST(seq_id AS VARCHAR), 12, '0')
+         ) - 1 AS BIGINT) AS shuffle_pos
+  FROM seqs
+)
+SELECT seq_id, n_slices, n_tokens, content_md5, shuffle_pos,
+       CAST((shuffle_pos * {QX62_SHARDS})
+            // (SELECT count(*) FROM ordered) AS INT) AS shard
+FROM ordered
+"""
+
+
 def qx46_densified_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing over SPARSE order keys — the degradation case
     pack_coordinates' contract documents: keys spaced ~10^6 apart put
@@ -3282,6 +3337,15 @@ QUERIES = [
         qx61_training_shards,
         _ORACLE_QX61,
         tags=("ext", "sampling"),
+    ),
+    Query(
+        "qx62_packed_training_shards",
+        "training shards of packed sequences: qx45 emission -> "
+        "seeded shuffle on seq_id -> contiguous shard assignment, "
+        "content fingerprints carried to the shard",
+        qx62_packed_training_shards,
+        _ORACLE_QX62,
+        tags=("ext", "packing", "sampling"),
     ),
     Query(
         "qx34_pq_encode",

@@ -1171,3 +1171,88 @@ def test_mixture_resample_weights_semantics(spark):
         ),
     ).collect()
     assert zero == []
+
+
+def test_packed_sequence_shards_add_no_exchange(spark):
+    """qx62 plan contract: sharding the PACKED-SEQUENCE order adds
+    zero exchanges over qx45 + the seeded shuffle — the shard id is
+    pure arithmetic on the already-computed position (the qx61
+    contract, one level up the composition)."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        seeded_shuffle,
+        shard_assignments,
+    )
+    from gh_archive_clickhouse_spark.plans.ext_queries import (
+        qx45_packed_sequences,
+    )
+
+    ordered = seeded_shuffle(
+        qx45_packed_sequences(spark, SF_DIR), id_col="seq_id"
+    )
+    base = (
+        ordered._jdf.queryExecution().executedPlan().toString()
+    ).count("Exchange")
+    sharded = (
+        shard_assignments(ordered, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert sharded.count("Exchange") == base, sharded[:3000]
+
+
+def test_write_training_shards_over_packed_sequences(spark, tmp_path):
+    """The on-disk form of qx62: write_training_shards over the
+    seeded-shuffled packed frame produces contiguous-order shards
+    whose union is exactly the sequence set, manifest counts
+    included."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        seeded_shuffle,
+        shard_assignments,
+        write_training_shards,
+    )
+    from gh_archive_clickhouse_spark.plans.ext_queries import (
+        qx45_packed_sequences,
+    )
+
+    seqs = qx45_packed_sequences(spark, SF_DIR)
+    ordered = seeded_shuffle(seqs, id_col="seq_id").localCheckpoint()
+    n = ordered.count()
+    path = str(tmp_path / "seq_shards")
+    manifest = write_training_shards(ordered, path, 3)
+    assert [m["shard"] for m in manifest] == [0, 1, 2]
+    assert sum(m["n_rows"] for m in manifest) == n
+    back = spark.read.parquet(path)
+    # every shard holds one contiguous run of the shuffle order
+    rows = back.select("shard", "shuffle_pos").collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.shuffle_pos)
+    edges = sorted(
+        (min(v), max(v), k, len(v)) for k, v in by_shard.items()
+    )
+    cursor = 0
+    for lo, hi, _k, cnt in edges:
+        assert lo == cursor and hi == cursor + cnt - 1
+        cursor += cnt
+    assert cursor == n
+    # content fingerprints survive the round trip
+    want = {
+        (r.seq_id, r.content_md5)
+        for r in ordered.select("seq_id", "content_md5").collect()
+    }
+    got = {
+        (r.seq_id, r.content_md5)
+        for r in back.select("seq_id", "content_md5").collect()
+    }
+    assert got == want
+    # the matching pure assignment agrees with what landed on disk
+    assigned = {
+        r.seq_id: r.shard
+        for r in shard_assignments(ordered, 3).collect()
+    }
+    landed = {
+        r.seq_id: r.shard
+        for r in back.select("seq_id", "shard").collect()
+    }
+    assert landed == assigned
