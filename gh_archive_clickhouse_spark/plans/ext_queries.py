@@ -2034,6 +2034,161 @@ GROUP BY doc_id
 _ORACLE_QX58 = _bpe_kernel_oracle(QX58_MERGES)
 
 
+QX63_MERGES = 24
+QX63_PAIRS_PER_ROUND = 8
+
+
+def _bpe_batched_oracle(merges: int, k: int) -> str:
+    """Unrolled-round mirror of ``bpe_vocab_build_batched`` — the
+    production build path's election put under SQL: per round,
+
+    1. pair counts over the word table (same explode + weighted sum
+       as qx51's rounds);
+    2. the operator's OVER-FETCH (rank ``rn <= 4*want + 8`` in the
+       (count DESC, l, r) total order, ``want = least(k, merges -
+       accepted_so_far)``);
+    3. the GREEDY NON-CONFLICTING acceptance as a single
+       ``list_reduce`` over the ranked candidate strings — the
+       accumulator is ``'<used>|<accepted>'`` where ``<used>`` is a
+       space-bounded symbol set (symbols are alnum, so ``' s '``
+       membership probes are exact) and ``<accepted>`` a
+       ';'-separated ``l,r,count`` list; a candidate is taken iff its
+       left, right, AND concatenation are all absent from ``<used>``
+       and fewer than ``want`` pairs are taken — byte-for-byte the
+       operator's loop;
+    4. ONE left-to-right application pass of the accepted set: since
+       every accepted merged symbol is its pair's concatenation, the
+       replacement is just ``acc || x`` (drop the space), guarded by
+       the same ``' l,x '`` membership probe — mirroring
+       ``_merge_fold_many``'s single map-literal pass.
+
+    Unrolled ``merges`` rounds: each non-exhausted round accepts at
+    least the top candidate (an empty used-set can't conflict), so
+    ``merges`` rounds always suffice; once the budget is met,
+    ``want = 0`` rounds accept nothing and pass the word table
+    through unchanged — exactly the operator's loop exit."""
+    last = "regexp_extract(acc, '[^ ]*$')"
+    parts = [f"""
+w0 AS MATERIALIZED (
+  SELECT list_transform(range(1, len(word) + 1), i -> word[i]) AS syms,
+         CAST(COUNT(*) AS BIGINT) AS wcnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND regexp_matches(word, '{BPE_WORD_RE}')
+    AND len(word) <= {BPE_MAX_WORD_LEN}
+  GROUP BY word
+),
+cum0 AS MATERIALIZED (SELECT 0 AS c)"""]
+    for n in range(1, merges + 1):
+        parts.append(f"""
+pc{n} AS (
+  SELECT pr.l AS l, pr.r AS r, CAST(SUM(wcnt) AS BIGINT) AS pair_count
+  FROM (SELECT unnest(list_transform(range(1, len(syms)), i ->
+          {{'l': syms[i], 'r': syms[i + 1]}})) AS pr, wcnt
+        FROM w{n - 1})
+  GROUP BY pr.l, pr.r
+),
+want{n} AS (SELECT least({k}, {merges} - c) AS w FROM cum{n - 1}),
+cand{n} AS (
+  SELECT l, r, pair_count,
+         row_number() OVER (ORDER BY pair_count DESC, l ASC, r ASC)
+           AS rn
+  FROM pc{n}
+),
+fold{n} AS (
+  SELECT list_reduce(
+    list_prepend(' |', list(l || ',' || r || ',' ||
+                            CAST(pair_count AS VARCHAR) ORDER BY rn)),
+    (acc, x) -> CASE WHEN
+        strpos(split_part(acc, '|', 1),
+               ' ' || split_part(x, ',', 1) || ' ') > 0
+        OR strpos(split_part(acc, '|', 1),
+               ' ' || split_part(x, ',', 2) || ' ') > 0
+        OR strpos(split_part(acc, '|', 1),
+               ' ' || split_part(x, ',', 1)
+                   || split_part(x, ',', 2) || ' ') > 0
+        OR (CASE WHEN split_part(acc, '|', 2) = '' THEN 0
+                 ELSE len(string_split(split_part(acc, '|', 2), ';'))
+            END) >= w
+      THEN acc
+      ELSE split_part(acc, '|', 1)
+           || split_part(x, ',', 1) || ' '
+           || split_part(x, ',', 2) || ' '
+           || split_part(x, ',', 1) || split_part(x, ',', 2) || ' '
+           || '|'
+           || CASE WHEN split_part(acc, '|', 2) = '' THEN x
+                   ELSE split_part(acc, '|', 2) || ';' || x END
+    END) AS acc
+  FROM cand{n} CROSS JOIN want{n}
+  WHERE rn <= 4 * w + 8
+  GROUP BY w
+),
+accepted{n} AS MATERIALIZED (
+  SELECT i AS idx,
+         split_part(e, ',', 1) AS l,
+         split_part(e, ',', 2) AS r,
+         CAST(split_part(e, ',', 3) AS BIGINT) AS pair_count
+  FROM (
+    SELECT unnest(string_split(split_part(acc, '|', 2), ';')) AS e,
+           unnest(range(1,
+             len(string_split(split_part(acc, '|', 2), ';')) + 1)) AS i
+    FROM fold{n} WHERE split_part(acc, '|', 2) <> ''
+  )
+),
+cum{n} AS MATERIALIZED (
+  SELECT c + (SELECT count(*) FROM accepted{n}) AS c FROM cum{n - 1}
+),
+aset{n} AS (
+  SELECT ' ' || string_agg(l || ',' || r, ' ' ORDER BY idx) || ' ' AS s
+  FROM accepted{n}
+),
+w{n} AS MATERIALIZED (
+  SELECT CASE WHEN a.s IS NULL OR len(syms) < 2 THEN syms
+         ELSE string_split(list_reduce(syms, (acc, x) ->
+           CASE WHEN strpos(a.s, ' ' || {last} || ',' || x || ' ') > 0
+                THEN acc || x
+                ELSE acc || ' ' || x END), ' ') END AS syms,
+         wcnt
+  FROM w{n - 1} LEFT JOIN aset{n} a ON TRUE
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {n} AS rnd, idx, l, r, pair_count FROM accepted{n}"
+        for n in range(1, merges + 1)
+    )
+    return (
+        "WITH " + ",".join(parts) + f"""
+SELECT CAST(row_number() OVER (ORDER BY rnd, idx) AS INTEGER)
+         AS merge_round,
+       l AS "left", r AS "right", l || r AS merged, pair_count
+FROM ({unions})
+"""
+    )
+
+
+def qx63_bpe_vocab_build_batched(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION BPE build path under the hash gate
+    (operators/text_analysis.bpe_vocab_build_batched): elect up to 8
+    mutually non-conflicting pairs per round and apply them in ONE
+    constant-depth fold pass, cutting sequential rounds from R to
+    ~R/k — the only first-class scale path that until this row rested
+    on property tests alone (qx51 pins the exact-sequential
+    cross-check; the k=1 ≡ sequential property bridges them). Oracle:
+    the per-round election + over-fetch + greedy disjoint acceptance
+    + one-pass application, unrolled (see _bpe_batched_oracle)."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_vocab_build_batched,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    return bpe_vocab_build_batched(
+        docs, merges=QX63_MERGES, pairs_per_round=QX63_PAIRS_PER_ROUND
+    )
+
+
+_ORACLE_QX63 = _bpe_batched_oracle(QX63_MERGES, QX63_PAIRS_PER_ROUND)
+
+
 QX59_SEED = "shuffle-v1"
 
 
@@ -3310,6 +3465,15 @@ QUERIES = [
         qx58_bpe_encode_kernel,
         _ORACLE_QX58,
         tags=("ext", "text"),
+    ),
+    Query(
+        "qx63_bpe_vocab_build_batched",
+        "batched BPE vocabulary build (the production path): top-8 "
+        "mutually non-conflicting pairs per round, one constant-depth "
+        "fold application, 24 merges",
+        qx63_bpe_vocab_build_batched,
+        _ORACLE_QX63,
+        tags=("ext", "text", "iterative"),
     ),
     Query(
         "qx59_seeded_shuffle",
