@@ -338,9 +338,35 @@ def mixture_resample(
     O(sources) probes; the shard_assignments precedent: a clear raise
     beats a silently skewed mixture). Returns the kept rows with
     ``rate_ppm`` attached as the per-row witness of the rate applied.
-    """
-    from gh_archive_clickhouse_spark.functions.hashing import split_bucket
 
+    Composition: ``mixture_rates`` builds the rate table,
+    ``mixture_gate`` applies it — split out so a STREAMING ingest can
+    compute rates once from a corpus snapshot (a periodic batch job)
+    and gate every arriving micro-batch with the identical keep rule
+    (qs14).
+    """
+    return mixture_gate(
+        df,
+        mixture_rates(df, weights, budget_ppm, source_col=source_col),
+        salt=salt,
+        source_col=source_col,
+        id_col=id_col,
+    )
+
+
+def mixture_rates(
+    df: DataFrame,
+    weights: DataFrame,
+    budget_ppm: int = PPM,
+    source_col: str = "source",
+) -> DataFrame:
+    """The (source, ``rate_ppm``) keep-rate table of
+    :func:`mixture_resample` — per source,
+    ``least(10^6, ((budget_ppm * weight_ppm) div 10^6) * n_total div
+    n_source)`` over ``df``'s observed per-source counts. O(sources)
+    rows; validates the weights spec eagerly (see mixture_resample).
+    Persist it (tiny parquet) to gate a stream against a corpus
+    snapshot's rates."""
     if not (0 < budget_ppm <= PPM):
         raise ValueError(
             f"budget_ppm must be in (0, {PPM}], got {budget_ppm}"
@@ -373,7 +399,7 @@ def mixture_resample(
         F.count(F.lit(1)).alias("__n_source")
     )
     totals = df.agg(F.count(F.lit(1)).alias("__n_total"))
-    rates = (
+    return (
         per_source.join(weights.select(source_col, "weight_ppm"), source_col)
         .crossJoin(F.broadcast(totals))
         .select(
@@ -387,6 +413,25 @@ def mixture_resample(
             ).alias("rate_ppm"),
         )
     )
+
+
+def mixture_gate(
+    df: DataFrame,
+    rates: DataFrame,
+    salt: str = "mix-v1",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a :func:`mixture_rates` table as a map-only keep filter:
+    a row survives iff ``split_bucket(id, salt, 10^6) < rate_ppm`` for
+    its source. The stateless per-micro-batch half of the streaming
+    mixture gate (qs14): the rate table broadcasts, the hash is
+    computed at the scan, and a row's fate depends only on (salt, id,
+    rates) — so replaying a batch, re-partitioning, or re-ordering
+    arrival cannot change membership. Rows whose source has no rate
+    row are dropped (the spec defines the mixture)."""
+    from gh_archive_clickhouse_spark.functions.hashing import split_bucket
+
     return df.join(F.broadcast(rates), source_col).filter(
         split_bucket(id_col, salt=salt, n_buckets=PPM)
         < F.col("rate_ppm")

@@ -2287,7 +2287,10 @@ def qx60_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_QX60 = f"""
+# Shared with qs14 (the streaming gate must reproduce this exact
+# membership): the rank-derived weights spec, integer rate table, and
+# salted keep rule as a reusable CTE prefix ending in `kept`.
+_QX60_KEPT_CTE = f"""
 WITH srcs AS (SELECT DISTINCT source FROM documents),
 ranked AS (
   SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS r
@@ -2313,6 +2316,11 @@ ranked AS (
   WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '{QX60_SALT}'),
          1, 8))::BIGINT % {QX60_PPM} < r.rate_ppm
 )
+"""
+
+_ORACLE_QX60 = (
+    _QX60_KEPT_CTE
+    + """
 SELECT source, lang,
        CAST(count(*) AS BIGINT) AS n_kept,
        min(doc_id) AS min_id,
@@ -2321,6 +2329,7 @@ SELECT source, lang,
        CAST(max(rate_ppm) AS BIGINT) AS rate_ppm
 FROM kept GROUP BY 1, 2
 """
+)
 
 
 QX61_SHARDS = 7

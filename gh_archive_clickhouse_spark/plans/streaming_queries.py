@@ -29,6 +29,10 @@ from gh_archive_clickhouse_spark.plans.ext_queries import (
     ORACLE_LSH_CANDIDATES as _ORACLE_QS4,
     _ORACLE_QX40 as _ORACLE_QS10,
     _ORACLE_QX5,
+    _QX60_KEPT_CTE,
+    QX60_BUDGET_PPM,
+    QX60_PPM,
+    QX60_SALT,
 )
 from gh_archive_clickhouse_spark.streaming.analytics import (
     hourly_type_counts,
@@ -819,6 +823,114 @@ def qs13_stream_dedup_survivors(
         shutil.rmtree(base, ignore_errors=True)
 
 
+def qs14_stream_mixture_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MIXTURE-GATED streaming ingest — the stream twin of qx60 on
+    the qs11 pattern: a periodic batch job computes the per-source
+    keep-rate table from a corpus snapshot
+    (operators/packing.mixture_rates, persisted as a tiny parquet);
+    every arriving micro-batch is then gated by the map-only
+    salted-hash keep rule against the BROADCAST rates
+    (operators/packing.mixture_gate) and lands in replay-idempotent
+    epoch partitions. A row's fate depends only on (salt, doc_id,
+    rates), so batching, arrival order, and replays cannot change
+    membership — the gated stream's read-back must equal the batch
+    qx60 resample over the same corpus, which is exactly what the
+    oracle (the qx60 kept-CTE at doc granularity) asserts."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from gh_archive_clickhouse_spark.operators.packing import (
+        mixture_gate,
+        mixture_rates,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="qs14_")
+    out = f"{base}/mixed"
+    try:
+        # The snapshot batch job: qx60's rank-derived non-uniform spec
+        # over the full corpus, rates persisted for the stream to read.
+        srcs = docs.select("source").distinct()
+        ranked = srcs.withColumn(
+            "__r",
+            F.row_number().over(Window.orderBy("source")).cast("long"),
+        )
+        denom = srcs.agg(F.count(F.lit(1)).alias("__k")).select(
+            F.expr("(__k * (__k + 1)) div 2").alias("__d")
+        )
+        weights = ranked.crossJoin(F.broadcast(denom)).select(
+            "source",
+            F.expr(f"(__r * {QX60_PPM}) div __d").alias("weight_ppm"),
+        )
+        rates_path = f"{base}/rates"
+        mixture_rates(
+            docs, weights, budget_ppm=QX60_BUDGET_PPM
+        ).write.parquet(rates_path)
+        rates = spark.read.parquet(rates_path)
+
+        def _gate(batch_df: DataFrame, epoch_id: int) -> None:
+            (
+                mixture_gate(batch_df, rates, salt=QX60_SALT)
+                .select("doc_id", "source", "rate_ppm")
+                .withColumn("epoch", F.lit(int(epoch_id)))
+                .repartition(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(out)
+            )
+
+        src = f"{base}/docs"
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(_gate)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .start()
+            )
+            q.awaitTermination()
+        # Explicit schema (a fully-rejected corpus leaves no data
+        # files); dropDuplicates tolerates at-least-once replays;
+        # eager checkpoint pins the frame before scratch cleanup.
+        return (
+            spark.read.schema(
+                "doc_id long, source string, rate_ppm long, epoch int"
+            )
+            .parquet(out)
+            .select("doc_id", "source", "rate_ppm")
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# The gated stream's read-back == the batch resample's membership at
+# doc granularity (the qx60 kept-CTE, shared verbatim).
+_ORACLE_QS14 = (
+    _QX60_KEPT_CTE
+    + """
+SELECT doc_id, source, CAST(rate_ppm AS BIGINT) AS rate_ppm FROM kept
+"""
+)
+
+
 # Survivors = documents minus non-representative members of the
 # connected components over the streaming pair log; the pair log
 # itself equals the batch banding SQL (the qs4 equivalence), so the
@@ -946,6 +1058,15 @@ QUERIES = [
         qs11_stream_quality_gate,
         _ORACLE_QS11,
         tags=("streaming", "quality"),
+    ),
+    Query(
+        "qs14_stream_mixture_gate",
+        "mixture-gated streaming ingest: broadcast snapshot rate "
+        "table, map-only salted keep per micro-batch; read-back == "
+        "batch qx60 membership",
+        qs14_stream_mixture_gate,
+        _ORACLE_QS14,
+        tags=("streaming", "sampling"),
     ),
     Query(
         "qs12_stream_budget_admission",
