@@ -693,6 +693,36 @@ def _write_manifest(path: str, n_shards: int, shards: list) -> None:
     os.replace(tmp, os.path.join(path, "_manifest.json"))
 
 
+def _shard_manifest_rows(back: DataFrame) -> dict:
+    """Per-shard (n_rows, fingerprint) from a read of a shard tree —
+    the ONE definition of the manifest fingerprint (count +
+    ``bit_xor`` of the 60-bit md5 row hash over the sorted data
+    columns, order-independent and overflow-free), shared by the
+    writer's read-back attestation and the consumer-side verifier so
+    the two can never drift."""
+    from gh_archive_clickhouse_spark.functions.hashing import md5_long
+
+    data_cols = [c for c in back.columns if c != "shard"]
+    row_fp = md5_long(
+        F.to_json(F.struct(*[F.col(c) for c in sorted(data_cols)]))
+    )
+    return {
+        int(r["shard"]): {
+            "shard": int(r["shard"]),
+            "n_rows": int(r["n_rows"]),
+            "fingerprint": int(r["fingerprint"]),
+        }
+        for r in (
+            back.groupBy("shard")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.bit_xor(row_fp).alias("fingerprint"),
+            )
+            .collect()
+        )
+    }
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -726,8 +756,6 @@ def write_training_shards(
     all-empty manifest.  Returns the manifest rows (shard, n_rows,
     fingerprint) sorted by shard.
     """
-    from gh_archive_clickhouse_spark.functions.hashing import md5_long
-
     total = _dense_total(df, pos_col)
     assigned = _assign(df, n_shards, pos_col, "shard", total)
     (
@@ -739,29 +767,85 @@ def write_training_shards(
     )
     written: dict[int, dict] = {}
     if total:
-        back = df.sparkSession.read.parquet(path)
-        data_cols = [c for c in back.columns if c != "shard"]
-        row_fp = md5_long(
-            F.to_json(F.struct(*[F.col(c) for c in sorted(data_cols)]))
-        )
-        written = {
-            int(r["shard"]): {
-                "shard": int(r["shard"]),
-                "n_rows": int(r["n_rows"]),
-                "fingerprint": int(r["fingerprint"]),
-            }
-            for r in (
-                back.groupBy("shard")
-                .agg(
-                    F.count(F.lit(1)).alias("n_rows"),
-                    F.bit_xor(row_fp).alias("fingerprint"),
-                )
-                .collect()
-            )
-        }
+        written = _shard_manifest_rows(df.sparkSession.read.parquet(path))
     manifest = [
         written.get(k, {"shard": k, "n_rows": 0, "fingerprint": 0})
         for k in range(n_shards)
     ]
     _write_manifest(path, n_shards, manifest)
     return manifest
+
+
+def verify_training_shards(spark, path: str) -> list:
+    """Consumer-side integrity check of a :func:`write_training_shards`
+    tree — what a training job runs BEFORE burning accelerator time:
+    recompute every shard's row count and ``bit_xor`` content
+    fingerprint from a fresh read (via the same
+    :func:`_shard_manifest_rows` the writer attested with, so the two
+    formulas cannot drift) and diff against ``_manifest.json``.
+
+    Raises ``ValueError`` naming every diverging shard (count or
+    fingerprint mismatch, a shard on disk the manifest doesn't know,
+    or a missing/garbled manifest); returns the verified manifest rows
+    on success. An all-empty tree (zero-row corpus) verifies against
+    its all-empty manifest without needing a readable parquet schema.
+
+    Scale shape: ONE column-complete scan of the shard tree into a
+    per-shard aggregate (map-side combined, O(n_shards) rows to the
+    driver) — the cheapest full-content check possible; a reader that
+    trusts counts alone can drop the fingerprint column but then
+    can't see silent row corruption."""
+    import json
+    import os
+
+    mpath = os.path.join(path, "_manifest.json")
+    try:
+        with open(mpath) as f:
+            m = json.load(f)
+        n_shards = int(m["n_shards"])
+        want = {int(s["shard"]): s for s in m["shards"]}
+    except (OSError, KeyError, TypeError, ValueError) as e:
+        raise ValueError(
+            f"unreadable or malformed shard manifest at {mpath}: {e}"
+        ) from e
+    if sorted(want) != list(range(n_shards)):
+        raise ValueError(
+            f"manifest at {mpath} must enumerate every shard 0.."
+            f"{n_shards - 1} exactly once; got {sorted(want)}"
+        )
+    got: dict[int, dict] = {}
+    if any(s["n_rows"] for s in want.values()):
+        got = _shard_manifest_rows(spark.read.parquet(path))
+    else:
+        # all-empty manifest: an empty tree has no readable schema;
+        # verify only that nothing unexpected landed on disk.
+        try:
+            got = _shard_manifest_rows(spark.read.parquet(path))
+        except Exception:
+            got = {}
+    problems = []
+    for k in range(n_shards):
+        w, g = want[k], got.get(k, {"n_rows": 0, "fingerprint": 0})
+        if int(w["n_rows"]) != g["n_rows"]:
+            problems.append(
+                f"shard {k}: manifest n_rows={w['n_rows']} "
+                f"on disk {g['n_rows']}"
+            )
+        elif int(w["fingerprint"]) != g["fingerprint"]:
+            problems.append(
+                f"shard {k}: content fingerprint mismatch "
+                f"(manifest {w['fingerprint']}, disk {g['fingerprint']})"
+            )
+    for k in sorted(set(got) - set(range(n_shards))):
+        problems.append(
+            f"shard {k}: on disk ({got[k]['n_rows']} rows) but not in "
+            f"the manifest"
+        )
+    if problems:
+        raise ValueError(
+            "training-shard verification FAILED: " + "; ".join(problems)
+        )
+    return [
+        got.get(k, {"shard": k, "n_rows": 0, "fingerprint": 0})
+        for k in range(n_shards)
+    ]

@@ -1256,3 +1256,66 @@ def test_write_training_shards_over_packed_sequences(spark, tmp_path):
         for r in back.select("seq_id", "shard").collect()
     }
     assert landed == assigned
+
+
+def test_verify_training_shards_roundtrip_and_tamper(spark, tmp_path):
+    """The consumer-side integrity check: a fresh write verifies
+    clean; losing a data file, editing a manifest count or
+    fingerprint, or an on-disk shard the manifest doesn't know each
+    raise naming the shard; an all-empty tree verifies."""
+    import json
+    import os
+    import shutil
+
+    from gh_archive_clickhouse_spark.operators.packing import (
+        verify_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("shuffle_pos")
+    )
+    path = str(tmp_path / "shards")
+    manifest = write_training_shards(df, path, 3)
+    verified = verify_training_shards(spark, path)
+    assert verified == manifest
+
+    # 1) extra on-disk shard the manifest doesn't know
+    src_dir = os.path.join(path, "shard=0")
+    extra_dir = os.path.join(path, "shard=7")
+    shutil.copytree(src_dir, extra_dir)
+    with pytest.raises(ValueError, match="shard 7.*not in"):
+        verify_training_shards(spark, path)
+    shutil.rmtree(extra_dir)
+    verify_training_shards(spark, path)  # clean again
+
+    # 2) data loss: drop shard 1's files -> count mismatch
+    backup = str(tmp_path / "backup_shard1")
+    shutil.move(os.path.join(path, "shard=1"), backup)
+    with pytest.raises(ValueError, match="shard 1: manifest n_rows"):
+        verify_training_shards(spark, path)
+    shutil.move(backup, os.path.join(path, "shard=1"))
+
+    # 3) fingerprint tamper in the manifest
+    mpath = os.path.join(path, "_manifest.json")
+    m = json.load(open(mpath))
+    m["shards"][2]["fingerprint"] ^= 1
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="shard 2: content fingerprint"):
+        verify_training_shards(spark, path)
+    m["shards"][2]["fingerprint"] ^= 1
+    json.dump(m, open(mpath, "w"))
+
+    # 4) malformed / missing manifest
+    os.remove(mpath)
+    with pytest.raises(ValueError, match="unreadable or malformed"):
+        verify_training_shards(spark, path)
+
+    # 5) all-empty corpus round trip
+    empty = df.filter("doc_id < 0")
+    epath = str(tmp_path / "empty_shards")
+    write_training_shards(empty, epath, 2)
+    assert verify_training_shards(spark, epath) == [
+        {"shard": 0, "n_rows": 0, "fingerprint": 0},
+        {"shard": 1, "n_rows": 0, "fingerprint": 0},
+    ]
