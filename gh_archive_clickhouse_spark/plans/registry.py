@@ -54,15 +54,11 @@ WINDOW = 50
 # older code, i.e. are effectively no rows — so these pin to the front
 # of the window until a driver row from _CHANGED_ROUND or later lands
 # for them, at which point the pin expires per query automatically).
-_CHANGED_ROUND = 7
+_CHANGED_ROUND = 8
 _CHANGED = (
-    "qs4_stream_incremental_lsh",  # crash-atomic fold manifest write
-    "qs10_incremental_ivfpq",      # inherits the fold manifest change
-    "qm3_frame_sample",            # Y4M magic-byte dispatch precedence
-    "qm9_real_video_decode",       # stdlib-first Y4M decode routing
-    "qx53_budget_selection",       # budget_select weight-contract assert
-    "qx52_bpe_encode",             # encode tail refactored into _bpe_join_back
-    "qx51_bpe_vocab_build",        # election refactored into _bpe_pair_counts
+    # generalized to an arbitrary caller weights frame (operator split
+    # into mixture_rates + mixture_gate; non-uniform rank-derived spec)
+    "qx60_mixture_resample",
 )
 
 # Canonical declaration order: used as the deterministic tie-break
