@@ -25,10 +25,14 @@ from gh_archive_clickhouse_spark.operators.packing import (
     budget_select,
     densify_order,
     emit_packed_sequences,
+    mixture_gate,
+    mixture_rates,
+    mixture_resample,
     pack_coordinates,
     seeded_shuffle,
     sequence_fill_stats,
     shard_assignments,
+    verify_training_shards,
     write_training_shards,
 )
 from gh_archive_clickhouse_spark.operators.sessionize import sessionize
@@ -68,6 +72,10 @@ __all__ = [
     "sequence_fill_stats",
     "shard_assignments",
     "write_training_shards",
+    "verify_training_shards",
+    "mixture_resample",
+    "mixture_rates",
+    "mixture_gate",
     "sessionize",
     "build_ivfpq_index",
     "cosine_topk",

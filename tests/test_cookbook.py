@@ -72,6 +72,29 @@ def test_readme_cookbook_composition(spark):
     )
     assert priced.count() == 0
 
+    # 3d. mix to a target source recipe (fixture sources get a
+    # non-uniform spec derived from their rank, covering both rate
+    # regimes; README shows the literal {web/code/books} form)
+    from gh_archive_clickhouse_spark.operators import mixture_resample
+
+    docs_src = read(spark, SF_DIR, "documents").select(
+        "doc_id", "source"
+    ).join(docs.select("doc_id"), "doc_id", "left_semi")
+    srcs = sorted(
+        r.source for r in docs_src.select("source").distinct().collect()
+    )
+    weights = spark.createDataFrame(
+        [(s, 1_000_000 * (i + 1) // (len(srcs) * (len(srcs) + 1) // 2))
+         for i, s in enumerate(srcs)],
+        "source string, weight_ppm long",
+    )
+    mixed = mixture_resample(
+        docs_src, weights, budget_ppm=800_000, salt="mix-2026-08"
+    )
+    n_mixed = mixed.count()
+    assert 0 < n_mixed <= n_budgeted
+    docs = docs.join(mixed.select("doc_id"), "doc_id", "left_semi")
+
     train = docs.filter(split_bucket("doc_id") < 98)
     dense = densify_order(train, "doc_id")
     coords = pack_coordinates(
@@ -90,6 +113,7 @@ def test_readme_cookbook_composition(spark):
 
     from gh_archive_clickhouse_spark.operators import (
         seeded_shuffle,
+        verify_training_shards,
         write_training_shards,
     )
 
@@ -99,3 +123,5 @@ def test_readme_cookbook_composition(spark):
             ordered, f"{d}/shards", n_shards=4
         )
         assert sum(m["n_rows"] for m in manifest) == train.count()
+        # the pre-training integrity check passes on a fresh write
+        assert verify_training_shards(spark, f"{d}/shards") == manifest
