@@ -1319,3 +1319,28 @@ def test_verify_training_shards_roundtrip_and_tamper(spark, tmp_path):
         {"shard": 0, "n_rows": 0, "fingerprint": 0},
         {"shard": 1, "n_rows": 0, "fingerprint": 0},
     ]
+
+
+def test_mixture_gate_broadcasts_rates_no_corpus_shuffle(spark):
+    """qs14's per-micro-batch hot path: the gate must broadcast the
+    rate table and keep the corpus side map-only — no hash exchange,
+    no sort-merge join (a firehose batch must never shuffle to learn
+    its fate)."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        mixture_gate,
+    )
+
+    docs = read(spark, SF_DIR, "documents")
+    rates = spark.createDataFrame(
+        [(f"src{i}", 500_000) for i in range(20)],
+        "source string, rate_ppm long",
+    )
+    plan = (
+        mixture_gate(docs, rates)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning" not in plan, plan[:3000]
