@@ -64,8 +64,7 @@ def _calibrate(spark, sf_dir: str) -> float:
 
     from gh_archive_clickhouse_spark.plans.common import read as _read
 
-    samples = []
-    for _ in range(3):
+    def _run() -> float:
         t0 = time.perf_counter()
         (
             _read(spark, sf_dir, "lineitem")
@@ -80,7 +79,10 @@ def _calibrate(spark, sf_dir: str) -> float:
             .format("noop")
             .save()
         )
-        samples.append(time.perf_counter() - t0)
+        return time.perf_counter() - t0
+
+    _run()  # untimed: this plan's one-time codegen compile
+    samples = [_run() for _ in range(3)]
     return sorted(samples)[1]
 
 
