@@ -86,6 +86,17 @@ def _calibrate(spark, sf_dir: str) -> float:
     return sorted(samples)[1]
 
 
+def _calibrate_safe(spark, sf_dir: str) -> float:
+    """A fixture dir without lineitem (or any probe failure) must not
+    abort the bench — every query the dir CAN run still gets timed
+    (matching the try/except warm-up); 0.0 marks 'no calibration' and
+    the normalized fields are omitted downstream."""
+    try:
+        return _calibrate(spark, sf_dir)
+    except Exception:
+        return 0.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -122,7 +133,7 @@ def main() -> None:
     # Environment probe: immediately before the first timed query and
     # again after the last, so a drift DURING the run shows up as
     # cal_first != cal_last rather than silently skewing half the map.
-    cal_first = _calibrate(spark, sf_dir)
+    cal_first = _calibrate_safe(spark, sf_dir)
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
         best = float("inf")
@@ -140,8 +151,10 @@ def main() -> None:
             ).save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-    cal_last = _calibrate(spark, sf_dir)
-    cal_sec = (cal_first + cal_last) / 2
+    cal_last = _calibrate_safe(spark, sf_dir)
+    cal_sec = (
+        (cal_first + cal_last) / 2 if cal_first and cal_last else 0.0
+    )
 
     # The driver snapshots only the LAST 2000 chars of stdout; full
     # registry names blow that budget and decapitate the JSON line
@@ -174,14 +187,21 @@ def main() -> None:
             "stream_total": stream_total,
             # calibration probe (see module docstring): normalized
             # per-query time = raw / cal_sec; full map in
-            # bench_report.json.
+            # bench_report.json. batch_norm is the regression signal —
+            # the probe is batch-shaped, so stream-startup jitter
+            # (>=15% on identical code) must not ride value_norm into
+            # a "normalized regression".
             "cal_first": round(cal_first, 3),
             "cal_last": round(cal_last, 3),
             "cal_sec": round(cal_sec, 3),
-            "value_norm": round(total / cal_sec, 2),
             "queries": qmap,
             "sf": sf,
         }
+        if cal_sec:
+            payload["value_norm"] = round(total / cal_sec, 2)
+            payload["batch_norm"] = round(
+                (total - stream_total) / cal_sec, 2
+            )
         if omitted:
             # sibling field, NOT a fake entry inside the timing map
             payload["queries_omitted"] = omitted
@@ -204,12 +224,22 @@ def main() -> None:
                     "cal_last": round(cal_last, 4),
                     "cal_sec": round(cal_sec, 4),
                     "value": total,
-                    "value_norm": round(total / cal_sec, 3),
+                    "batch_total": round(total - stream_total, 3),
+                    "value_norm": (
+                        round(total / cal_sec, 3) if cal_sec else None
+                    ),
+                    "batch_norm": (
+                        round((total - stream_total) / cal_sec, 3)
+                        if cal_sec
+                        else None
+                    ),
                     "queries": timings,
                     "queries_norm": {
                         n: round(t / cal_sec, 3)
                         for n, t in timings.items()
-                    },
+                    }
+                    if cal_sec
+                    else {},
                 },
                 f,
                 indent=1,

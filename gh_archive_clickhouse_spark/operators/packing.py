@@ -376,13 +376,21 @@ def mixture_rates(
             "weights frame must carry a weight_ppm column; got "
             f"{weights.columns}"
         )
+    # Upper bound too: weight_ppm is a share of the corpus in ppm, so
+    # > 10^6 is meaningless — and it silently voids the documented
+    # overflow bound (budget_ppm * weight_ppm must stay <= 10^12
+    # before the n_total multiply); better a driver-side raise than an
+    # ANSI ARITHMETIC_OVERFLOW mid-job (or a wrapped-negative rate
+    # silently dropping the source with ANSI off).
     bad = weights.filter(
-        F.col("weight_ppm").isNull() | (F.col("weight_ppm") < 0)
+        F.col("weight_ppm").isNull()
+        | (F.col("weight_ppm") < 0)
+        | (F.col("weight_ppm") > PPM)
     ).head(1)
     if bad:
         raise ValueError(
-            f"mixture weights must be non-negative and non-NULL; got "
-            f"{bad[0]}"
+            f"mixture weights must be non-NULL ppm shares in [0, {PPM}]; "
+            f"got {bad[0]}"
         )
     dup = (
         weights.groupBy(F.col(source_col))
@@ -429,9 +437,18 @@ def mixture_gate(
     computed at the scan, and a row's fate depends only on (salt, id,
     rates) — so replaying a batch, re-partitioning, or re-ordering
     arrival cannot change membership. Rows whose source has no rate
-    row are dropped (the spec defines the mixture)."""
+    row are dropped (the spec defines the mixture). The input must
+    not already carry a ``rate_ppm`` column (the output witness) —
+    re-mixing gated output requires dropping the old witness first,
+    and an eager raise beats an AMBIGUOUS_REFERENCE at plan time
+    (the ``_assign`` output-column precedent)."""
     from gh_archive_clickhouse_spark.functions.hashing import split_bucket
 
+    if "rate_ppm" in df.columns:
+        raise ValueError(
+            "input already has a rate_ppm column (a prior gate's "
+            "witness) — drop it before re-mixing"
+        )
     return df.join(F.broadcast(rates), source_col).filter(
         split_bucket(id_col, salt=salt, n_buckets=PPM)
         < F.col("rate_ppm")
@@ -803,7 +820,19 @@ def verify_training_shards(spark, path: str) -> list:
         with open(mpath) as f:
             m = json.load(f)
         n_shards = int(m["n_shards"])
-        want = {int(s["shard"]): s for s in m["shards"]}
+        rows = m["shards"]
+        # Normalize EVERY field inside the try: a row missing
+        # n_rows/fingerprint (or carrying garbage) is a malformed
+        # manifest, not a KeyError leaking out of the verifier.
+        want = {
+            int(s["shard"]): {
+                "n_rows": int(s["n_rows"]),
+                "fingerprint": int(s["fingerprint"]),
+            }
+            for s in rows
+        }
+        if len(want) != len(rows):
+            raise ValueError("duplicate shard entries")
     except (OSError, KeyError, TypeError, ValueError) as e:
         raise ValueError(
             f"unreadable or malformed shard manifest at {mpath}: {e}"
@@ -813,16 +842,15 @@ def verify_training_shards(spark, path: str) -> list:
             f"manifest at {mpath} must enumerate every shard 0.."
             f"{n_shards - 1} exactly once; got {sorted(want)}"
         )
-    got: dict[int, dict] = {}
-    if any(s["n_rows"] for s in want.values()):
+    # An unreadable tree (no parquet files at all — e.g. every shard
+    # directory lost, or a legitimately all-empty corpus) reads as
+    # zero rows everywhere: the per-shard diff below then reports
+    # exactly which counts the manifest expected, as a ValueError —
+    # never a raw AnalysisException (the documented contract).
+    try:
         got = _shard_manifest_rows(spark.read.parquet(path))
-    else:
-        # all-empty manifest: an empty tree has no readable schema;
-        # verify only that nothing unexpected landed on disk.
-        try:
-            got = _shard_manifest_rows(spark.read.parquet(path))
-        except Exception:
-            got = {}
+    except Exception:
+        got = {}
     problems = []
     for k in range(n_shards):
         w, g = want[k], got.get(k, {"n_rows": 0, "fingerprint": 0})

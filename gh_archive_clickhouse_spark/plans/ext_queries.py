@@ -2231,6 +2231,25 @@ QX60_PPM = 1_000_000
 QX60_BUDGET_PPM = 600_000
 
 
+def ranked_source_weights(docs: DataFrame) -> DataFrame:
+    """qx60/qs14's NON-UNIFORM, engine-reproducible mixture spec:
+    source s's weight_ppm = r * 10^6 div (k(k+1)/2), r its 1-based
+    alphabetical rank among the k observed sources. Built DRIVER-SIDE
+    from one distinct-sources collect (O(sources) rows — a spec is
+    dimension-sized metadata, the BPE-merge-table precedent), so the
+    weights frame handed to the operator is a literal local table:
+    mixture_rates' eager validation probes cost O(sources), never a
+    re-execution of a corpus-shaped plan."""
+    srcs = sorted(
+        r[0] for r in docs.select("source").distinct().collect()
+    )
+    d = len(srcs) * (len(srcs) + 1) // 2
+    return docs.sparkSession.createDataFrame(
+        [(s, (i + 1) * QX60_PPM // d) for i, s in enumerate(srcs)],
+        "source string, weight_ppm long",
+    )
+
+
 def qx60_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MATERIALIZE an arbitrary-weight mixture (operators/packing.
     mixture_resample): given a per-source target-share spec — the
@@ -2254,29 +2273,16 @@ def qx60_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter is map-only at the scan. Output aggregates the kept rows
     per (source, lang) with id-sum/extreme witnesses — the qx21
     pattern pinning exact membership, not just counts."""
-    from pyspark.sql import Window
-
     from gh_archive_clickhouse_spark.operators.packing import (
         mixture_resample,
     )
 
     docs = read(spark, sf_dir, "documents")
-    srcs = docs.select("source").distinct()
-    # Rank window + count over O(sources) rows — the spec table is
-    # dimension-sized by construction, so the single-task window is
-    # O(sources), never corpus-shaped.
-    ranked = srcs.withColumn(
-        "__r", F.row_number().over(Window.orderBy("source")).cast("long")
-    )
-    denom = srcs.agg(F.count(F.lit(1)).alias("__k")).select(
-        F.expr("(__k * (__k + 1)) div 2").alias("__d")
-    )
-    weights = ranked.crossJoin(F.broadcast(denom)).select(
-        "source",
-        F.expr(f"(__r * {QX60_PPM}) div __d").alias("weight_ppm"),
-    )
     kept = mixture_resample(
-        docs, weights, budget_ppm=QX60_BUDGET_PPM, salt=QX60_SALT
+        docs,
+        ranked_source_weights(docs),
+        budget_ppm=QX60_BUDGET_PPM,
+        salt=QX60_SALT,
     )
     return kept.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_kept"),

@@ -31,7 +31,6 @@ from gh_archive_clickhouse_spark.plans.ext_queries import (
     _ORACLE_QX5,
     _QX60_KEPT_CTE,
     QX60_BUDGET_PPM,
-    QX60_PPM,
     QX60_SALT,
 )
 from gh_archive_clickhouse_spark.streaming.analytics import (
@@ -841,11 +840,12 @@ def qs14_stream_mixture_gate(
     import shutil
     import tempfile
 
-    from pyspark.sql import Window
-
     from gh_archive_clickhouse_spark.operators.packing import (
         mixture_gate,
         mixture_rates,
+    )
+    from gh_archive_clickhouse_spark.plans.ext_queries import (
+        ranked_source_weights,
     )
 
     docs = read(spark, sf_dir, "documents")
@@ -853,22 +853,11 @@ def qs14_stream_mixture_gate(
     out = f"{base}/mixed"
     try:
         # The snapshot batch job: qx60's rank-derived non-uniform spec
-        # over the full corpus, rates persisted for the stream to read.
-        srcs = docs.select("source").distinct()
-        ranked = srcs.withColumn(
-            "__r",
-            F.row_number().over(Window.orderBy("source")).cast("long"),
-        )
-        denom = srcs.agg(F.count(F.lit(1)).alias("__k")).select(
-            F.expr("(__k * (__k + 1)) div 2").alias("__d")
-        )
-        weights = ranked.crossJoin(F.broadcast(denom)).select(
-            "source",
-            F.expr(f"(__r * {QX60_PPM}) div __d").alias("weight_ppm"),
-        )
+        # (driver-built O(sources) literal), rates persisted for the
+        # stream to read.
         rates_path = f"{base}/rates"
         mixture_rates(
-            docs, weights, budget_ppm=QX60_BUDGET_PPM
+            docs, ranked_source_weights(docs), budget_ppm=QX60_BUDGET_PPM
         ).write.parquet(rates_path)
         rates = spark.read.parquet(rates_path)
 

@@ -1098,18 +1098,27 @@ def test_mixture_resample_validates_weights(spark):
     ok = spark.createDataFrame(
         [("a", 500_000), ("b", 500_000)], "source string, weight_ppm long"
     )
-    with pytest.raises(ValueError, match="non-negative"):
+    with pytest.raises(ValueError, match="ppm shares"):
         mixture_resample(
             docs,
             spark.createDataFrame(
                 [("a", -1)], "source string, weight_ppm long"
             ),
         )
-    with pytest.raises(ValueError, match="non-negative"):
+    with pytest.raises(ValueError, match="ppm shares"):
         mixture_resample(
             docs,
             spark.createDataFrame(
                 [("a", None)], "source string, weight_ppm long"
+            ),
+        )
+    # > 10^6 voids the documented overflow bound — eager raise, not
+    # an ANSI overflow mid-job
+    with pytest.raises(ValueError, match="ppm shares"):
+        mixture_resample(
+            docs,
+            spark.createDataFrame(
+                [("a", 10**13)], "source string, weight_ppm long"
             ),
         )
     with pytest.raises(ValueError, match="one row per"):
@@ -1171,6 +1180,12 @@ def test_mixture_resample_weights_semantics(spark):
         ),
     ).collect()
     assert zero == []
+    # re-gating output that still carries the rate_ppm witness raises
+    # eagerly instead of an ambiguous-column plan error
+    gated = mixture_resample(docs, weights)
+    with pytest.raises(ValueError, match="rate_ppm"):
+        mixture_resample(gated, weights)
+    mixture_resample(gated.drop("rate_ppm"), weights)  # the remedy
 
 
 def test_packed_sequence_shards_add_no_exchange(spark):
@@ -1305,6 +1320,33 @@ def test_verify_training_shards_roundtrip_and_tamper(spark, tmp_path):
         verify_training_shards(spark, path)
     m["shards"][2]["fingerprint"] ^= 1
     json.dump(m, open(mpath, "w"))
+
+    # 3b) duplicate manifest entries are malformed, not last-wins
+    m = json.load(open(mpath))
+    m["shards"].append(dict(m["shards"][2]))
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="malformed"):
+        verify_training_shards(spark, path)
+    m["shards"].pop()
+    json.dump(m, open(mpath, "w"))
+
+    # 3c) a manifest row missing a field is malformed, never a KeyError
+    m = json.load(open(mpath))
+    saved = m["shards"][1].pop("fingerprint")
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="malformed"):
+        verify_training_shards(spark, path)
+    m["shards"][1]["fingerprint"] = saved
+    json.dump(m, open(mpath, "w"))
+
+    # 3d) TOTAL data loss (no parquet anywhere) is still the
+    # documented ValueError naming the counts, not an AnalysisException
+    lost = str(tmp_path / "all_lost")
+    shutil.copytree(path, lost)
+    for k in range(3):
+        shutil.rmtree(os.path.join(lost, f"shard={k}"))
+    with pytest.raises(ValueError, match="manifest n_rows"):
+        verify_training_shards(spark, lost)
 
     # 4) malformed / missing manifest
     os.remove(mpath)
