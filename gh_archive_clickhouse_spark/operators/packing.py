@@ -376,33 +376,45 @@ def mixture_rates(
             "weights frame must carry a weight_ppm column; got "
             f"{weights.columns}"
         )
-    # Upper bound too: weight_ppm is a share of the corpus in ppm, so
+    # ONE validation job (the spec is O(sources) by contract, so the
+    # per-source stats come back driver-side whole): every check in a
+    # single aggregate instead of one Spark job per probe — the probes
+    # dominated qx60's wall clock as separate head(1) jobs. Range
+    # check includes the UPPER bound: weight_ppm is a ppm share, so
     # > 10^6 is meaningless — and it silently voids the documented
     # overflow bound (budget_ppm * weight_ppm must stay <= 10^12
     # before the n_total multiply); better a driver-side raise than an
     # ANSI ARITHMETIC_OVERFLOW mid-job (or a wrapped-negative rate
     # silently dropping the source with ANSI off).
-    bad = weights.filter(
-        F.col("weight_ppm").isNull()
-        | (F.col("weight_ppm") < 0)
-        | (F.col("weight_ppm") > PPM)
-    ).head(1)
-    if bad:
-        raise ValueError(
-            f"mixture weights must be non-NULL ppm shares in [0, {PPM}]; "
-            f"got {bad[0]}"
-        )
-    dup = (
+    stats = (
         weights.groupBy(F.col(source_col))
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 1)
-        .head(1)
-    )
-    if dup:
-        raise ValueError(
-            f"mixture weights must have one row per {source_col!r}; "
-            f"found duplicate {dup[0][0]!r}"
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("weight_ppm").alias("__mn"),
+            F.max("weight_ppm").alias("__mx"),
+            F.sum(F.col("weight_ppm").isNull().cast("int")).alias(
+                "__nulls"
+            ),
         )
+        .collect()
+    )
+    for r in stats:
+        if r["__nulls"] or r["__mn"] is None:
+            raise ValueError(
+                f"mixture weights must be non-NULL ppm shares in "
+                f"[0, {PPM}]; source {r[0]!r} has a NULL weight"
+            )
+        if r["__mn"] < 0 or r["__mx"] > PPM:
+            raise ValueError(
+                f"mixture weights must be non-NULL ppm shares in "
+                f"[0, {PPM}]; source {r[0]!r} has weight "
+                f"{r['__mn'] if r['__mn'] < 0 else r['__mx']}"
+            )
+        if r["__n"] > 1:
+            raise ValueError(
+                f"mixture weights must have one row per "
+                f"{source_col!r}; found duplicate {r[0]!r}"
+            )
     per_source = df.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("__n_source")
     )
