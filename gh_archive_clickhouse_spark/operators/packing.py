@@ -456,7 +456,9 @@ def mixture_gate(
     (the ``_assign`` output-column precedent)."""
     from gh_archive_clickhouse_spark.functions.hashing import split_bucket
 
-    if "rate_ppm" in df.columns:
+    # Case-insensitive: Spark resolves columns case-insensitively by
+    # default, so a 'Rate_PPM' survivor would still collide post-join.
+    if any(c.lower() == "rate_ppm" for c in df.columns):
         raise ValueError(
             "input already has a rate_ppm column (a prior gate's "
             "witness) — drop it before re-mixing"
@@ -854,24 +856,31 @@ def verify_training_shards(spark, path: str) -> list:
             f"manifest at {mpath} must enumerate every shard 0.."
             f"{n_shards - 1} exactly once; got {sorted(want)}"
         )
-    # An unreadable tree (no parquet files at all — e.g. every shard
-    # directory lost, or a legitimately all-empty corpus) reads as
-    # zero rows everywhere: the per-shard diff below then reports
-    # exactly which counts the manifest expected, as a ValueError —
-    # never a raw AnalysisException (the documented contract).
+    # An UNREADABLE tree (no parquet files at all — every shard
+    # directory lost, or a legitimately all-empty corpus) raises
+    # AnalysisException at plan time ("unable to infer schema"); that
+    # specific case reads as zero rows everywhere so the per-shard
+    # diff below reports exactly which counts the manifest expected,
+    # as a ValueError (the documented contract). Anything else — a
+    # transient executor failure, a permission error, one corrupt
+    # footer mid-scan — PROPAGATES: misreporting an infra failure on
+    # an intact tree as total data loss could prompt a rewrite of
+    # healthy shards.
+    from pyspark.errors import AnalysisException
+
     try:
         got = _shard_manifest_rows(spark.read.parquet(path))
-    except Exception:
+    except AnalysisException:
         got = {}
     problems = []
     for k in range(n_shards):
         w, g = want[k], got.get(k, {"n_rows": 0, "fingerprint": 0})
-        if int(w["n_rows"]) != g["n_rows"]:
+        if w["n_rows"] != g["n_rows"]:
             problems.append(
                 f"shard {k}: manifest n_rows={w['n_rows']} "
                 f"on disk {g['n_rows']}"
             )
-        elif int(w["fingerprint"]) != g["fingerprint"]:
+        elif w["fingerprint"] != g["fingerprint"]:
             problems.append(
                 f"shard {k}: content fingerprint mismatch "
                 f"(manifest {w['fingerprint']}, disk {g['fingerprint']})"

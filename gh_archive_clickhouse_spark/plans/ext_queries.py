@@ -2239,10 +2239,19 @@ def ranked_source_weights(docs: DataFrame) -> DataFrame:
     dimension-sized metadata, the BPE-merge-table precedent), so the
     weights frame handed to the operator is a literal local table:
     mixture_rates' eager validation probes cost O(sources), never a
-    re-execution of a corpus-shaped plan."""
-    srcs = sorted(
+    re-execution of a corpus-shaped plan. A NULL source raises: a
+    mixture over unattributed rows is ill-defined (they could never
+    join a rate row anyway — SQL NULL never equals NULL — while
+    silently inflating k and deflating every real source's weight)."""
+    observed = [
         r[0] for r in docs.select("source").distinct().collect()
-    )
+    ]
+    if any(s is None for s in observed):
+        raise ValueError(
+            "ranked_source_weights: corpus has rows with a NULL "
+            "source — attribute or drop them before mixing"
+        )
+    srcs = sorted(observed)
     d = len(srcs) * (len(srcs) + 1) // 2
     return docs.sparkSession.createDataFrame(
         [(s, (i + 1) * QX60_PPM // d) for i, s in enumerate(srcs)],

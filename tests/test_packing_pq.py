@@ -1386,3 +1386,30 @@ def test_mixture_gate_broadcasts_rates_no_corpus_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning" not in plan, plan[:3000]
+
+
+def test_ranked_weights_null_source_and_gate_case_guard(spark):
+    """ranked_source_weights raises on a NULL source (unattributed
+    rows would silently skew every real source's weight); the gate's
+    witness-column guard is case-insensitive (Spark resolution is)."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        mixture_gate,
+    )
+    from gh_archive_clickhouse_spark.plans.ext_queries import (
+        ranked_source_weights,
+    )
+
+    with_null = spark.createDataFrame(
+        [(1, "a"), (2, None)], "doc_id long, source string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        ranked_source_weights(with_null)
+
+    rates = spark.createDataFrame(
+        [("a", 500_000)], "source string, rate_ppm long"
+    )
+    cased = spark.createDataFrame(
+        [(1, "a", 7)], "doc_id long, source string, Rate_PPM long"
+    )
+    with pytest.raises(ValueError, match="rate_ppm"):
+        mixture_gate(cased, rates)
