@@ -1413,3 +1413,24 @@ def test_ranked_weights_null_source_and_gate_case_guard(spark):
     )
     with pytest.raises(ValueError, match="rate_ppm"):
         mixture_gate(cased, rates)
+
+
+def test_mixture_resample_empty_weights_and_empty_corpus(spark):
+    """Edge semantics pinned: an empty spec keeps nothing (the spec
+    defines the mixture); an empty corpus returns empty regardless of
+    spec (rates all floor to whatever, no rows to keep) — neither
+    raises."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        mixture_resample,
+    )
+
+    docs = _mix_docs(spark, [(1, "a"), (2, "b")])
+    empty_spec = spark.createDataFrame(
+        [], "source string, weight_ppm long"
+    )
+    assert mixture_resample(docs, empty_spec).collect() == []
+    spec = spark.createDataFrame(
+        [("a", 500_000)], "source string, weight_ppm long"
+    )
+    empty_corpus = docs.filter("doc_id < 0")
+    assert mixture_resample(empty_corpus, spec).collect() == []
