@@ -399,6 +399,16 @@ def mixture_rates(
         .collect()
     )
     for r in stats:
+        if r[0] is None:
+            # A NULL source forms its own group, passes the weight
+            # checks, then never equi-joins a corpus row — a dead spec
+            # entry. The contract is a clear raise, not a silently
+            # skewed mixture (ranked_source_weights raises on NULL
+            # sources corpus-side for the same reason).
+            raise ValueError(
+                f"mixture weights must name a non-NULL {source_col!r} "
+                "per row; found a NULL source in the spec"
+            )
         if r["__nulls"] or r["__mn"] is None:
             raise ValueError(
                 f"mixture weights must be non-NULL ppm shares in "
@@ -426,8 +436,15 @@ def mixture_rates(
             source_col,
             F.least(
                 F.lit(PPM).cast("long"),
+                # weight_ppm is cast to BIGINT IN the expression: with
+                # an INT-typed weights column, 10^6 * weight_ppm is
+                # INT*INT and overflows 2^31 for valid ppm values
+                # (ARITHMETIC_OVERFLOW mid-job under ANSI; a wrapped
+                # negative rate silently dropping the source without)
+                # — the driver-side range check can't see the dtype.
                 F.expr(
-                    f"((({int(budget_ppm)} * weight_ppm) div {PPM}) "
+                    f"(((CAST({int(budget_ppm)} AS BIGINT) "
+                    f"* CAST(weight_ppm AS BIGINT)) div {PPM}) "
                     f"* __n_total) div __n_source"
                 ),
             ).alias("rate_ppm"),
@@ -851,10 +868,23 @@ def verify_training_shards(spark, path: str) -> list:
         raise ValueError(
             f"unreadable or malformed shard manifest at {mpath}: {e}"
         ) from e
-    if sorted(want) != list(range(n_shards)):
+    # Cheap length guard BEFORE any range(n_shards) materializes: a
+    # tampered manifest declaring n_shards=10^12 must fail as
+    # "malformed", not allocate unbounded driver memory in the very
+    # function whose job is to fail cleanly. With len(want) == n_shards
+    # established, n_shards is bounded by the parsed row count, and n
+    # DISTINCT ints with min 0 / max n-1 are exactly 0..n-1.
+    if len(want) != n_shards or (
+        want and (min(want) != 0 or max(want) != n_shards - 1)
+    ):
         raise ValueError(
             f"manifest at {mpath} must enumerate every shard 0.."
-            f"{n_shards - 1} exactly once; got {sorted(want)}"
+            f"{n_shards - 1} exactly once; got {len(want)} entries"
+            + (
+                f" spanning [{min(want)}, {max(want)}]"
+                if want
+                else ""
+            )
         )
     # An UNREADABLE tree (no parquet files at all — every shard
     # directory lost, or a legitimately all-empty corpus) raises

@@ -1137,6 +1137,44 @@ def test_mixture_resample_validates_weights(spark):
         mixture_resample(docs, ok, budget_ppm=0)
     with pytest.raises(ValueError, match="budget_ppm"):
         mixture_resample(docs, ok, budget_ppm=2_000_000)
+    # A NULL source is a dead spec entry (NULL never equi-joins) —
+    # eager raise, mirroring ranked_source_weights.
+    with pytest.raises(ValueError, match="NULL source"):
+        mixture_resample(
+            docs,
+            spark.createDataFrame(
+                [(None, 500_000), ("a", 500_000)],
+                "source string, weight_ppm long",
+            ),
+        )
+
+
+def test_mixture_rates_int_typed_weights_no_overflow(spark):
+    """An INT-typed weight_ppm column must not overflow: 10^6 *
+    weight_ppm as INT*INT wraps 2^31 for perfectly valid ppm values
+    (e.g. 500000) — the rate expression casts to BIGINT itself, so
+    external callers who build the spec with int32 get the same rates
+    as the in-repo long-typed path."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        mixture_rates,
+    )
+
+    docs = _mix_docs(spark, [(i, "a") for i in range(10)])
+    int_weights = spark.createDataFrame(
+        [("a", 500_000)], "source string, weight_ppm int"
+    )
+    long_weights = spark.createDataFrame(
+        [("a", 500_000)], "source string, weight_ppm long"
+    )
+    got_int = {
+        r["source"]: r["rate_ppm"]
+        for r in mixture_rates(docs, int_weights).collect()
+    }
+    got_long = {
+        r["source"]: r["rate_ppm"]
+        for r in mixture_rates(docs, long_weights).collect()
+    }
+    assert got_int == got_long == {"a": 500_000}
 
 
 def test_mixture_resample_weights_semantics(spark):
@@ -1347,6 +1385,19 @@ def test_verify_training_shards_roundtrip_and_tamper(spark, tmp_path):
         shutil.rmtree(os.path.join(lost, f"shard={k}"))
     with pytest.raises(ValueError, match="manifest n_rows"):
         verify_training_shards(spark, lost)
+
+    # 3e) a tampered n_shards must fail FAST as malformed — a
+    # manifest declaring n_shards=10^12 must not allocate a 10^12
+    # range list in the verifier whose job is to fail cleanly.
+    m = json.load(open(mpath))
+    saved_n = m["n_shards"]
+    m["n_shards"] = 10**12
+    json.dump(m, open(mpath, "w"))
+    with pytest.raises(ValueError, match="exactly once"):
+        verify_training_shards(spark, path)
+    m["n_shards"] = saved_n
+    json.dump(m, open(mpath, "w"))
+    verify_training_shards(spark, path)  # clean again
 
     # 4) malformed / missing manifest
     os.remove(mpath)
