@@ -2859,9 +2859,14 @@ SELECT query_id, vec_id, cos_sim, rk FROM ranked WHERE rk <= 3
 """
 
 
+QX42_SHARDS = 4
+QX42_SEED = "pipeline-order-v1"
+
+
 def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """THE END-TO-END PRE-TRAINING DATA PIPELINE as one declarative
-    plan — the user story every other qx query is a stage of:
+    """THE END-TO-END PRE-TRAINING DATA PIPELINE as one job graph,
+    run all the way to the VERIFIED ON-DISK ARTIFACT a trainer mounts
+    — the user story every other qx query is a stage of:
 
       1. FUZZY DEDUP: LSH near-dup pairs → connected components →
          keep each cluster's min-id representative (qx31's cut);
@@ -2869,18 +2874,39 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       3. DECONTAMINATION: drop docs whose distinct word-8-gram overlap
          with the benchmark split (source = src0) is ≥ 0.05, and drop
          the benchmark split itself (qx23's check);
-      4. SEQUENCE PACKING: lay the surviving corpus out into 256-token
-         training sequences (qx33's hierarchical prefix sum).
+      4. MIXTURE: resample the curated corpus to the rank-derived
+         target weights (qx60's integer rate table over the CLEAN
+         corpus — broadcast rates, map-only salted-hash keep);
+      5. TRAINING ORDER: seeded reproducible shuffle (qx59);
+      6. SEQUENCE PACKING: emit 256-token training sequences over the
+         shuffled order with per-sequence content fingerprints
+         (qx45's assembly + md5);
+      7. SHARDS: contiguous-range shard assignment over the dense
+         sequence ids, WRITTEN to disk via write_training_shards and
+         integrity-checked by verify_training_shards before the
+         result is returned (the pre-training check a trainer runs).
 
-    Output: one row per surviving doc with its quality score and
-    packing coordinates. Every stage keeps its individually-tested
-    scale shape; Catalyst pipelines them into one job graph.
+    Output: one row per packed sequence with its content fingerprint
+    and shard — read back from the verified shard tree itself, so a
+    row in the result IS a row a trainer would mount. Every stage
+    keeps its individually-tested scale shape; Catalyst pipelines
+    them into one job graph with materialization barriers at each
+    fan-out.
     """
+    import shutil
+    import tempfile
+
     from gh_archive_clickhouse_spark.operators.dedup import (
         dedup_survivors,
     )
     from gh_archive_clickhouse_spark.operators.packing import (
+        emit_packed_sequences,
+        mixture_gate,
+        mixture_rates,
         pack_coordinates,
+        seeded_shuffle,
+        verify_training_shards,
+        write_training_shards,
     )
     from gh_archive_clickhouse_spark.operators.text_analysis import (
         ngram_contamination,
@@ -2911,29 +2937,94 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = ngram_contamination(
         qkept, docs.filter(F.col("source") == "src0"), n=8
     ).select("doc_id", "rate")
-    # Materialized: `clean` fans out to three consumers (both packing
-    # window stages + the final quality join) — un-checkpointed, the
-    # decontamination pipeline would execute three times.
+    # Materialized: `clean` fans out to multiple consumers (the
+    # mixture's spec/rate probes + the gated scan) — un-checkpointed,
+    # the decontamination pipeline would execute once per consumer.
     clean = materialize(
-        qkept.join(rates, "doc_id", "left").filter(
-            F.coalesce(F.col("rate"), F.lit(0.0)) < 0.05
-        ),
+        qkept.join(rates, "doc_id", "left")
+        .filter(F.coalesce(F.col("rate"), F.lit(0.0)) < 0.05)
+        .select("doc_id", "source", "text"),
         "qx42_clean",
     )
-    # 4. packing
+    # 4. mixture: rates from the CLEAN corpus snapshot (the mixture
+    # spec governs the curated corpus, not the raw crawl) — the spec
+    # is a driver-built O(sources) literal, the rate table broadcasts,
+    # the keep filter is map-only at the scratch scan.
+    mixed = mixture_gate(
+        clean,
+        mixture_rates(
+            clean,
+            ranked_source_weights(clean),
+            budget_ppm=QX60_BUDGET_PPM,
+        ),
+        salt=QX60_SALT,
+    )
+    # 5.-6. training order + packing. Tokenize ONCE and materialize:
+    # the token arrays feed the packing coordinates AND the slice
+    # join-back (the qx45 barrier), and the seeded order feeds both
+    # emission sides.
+    ordered = materialize(
+        seeded_shuffle(
+            mixed.select("doc_id", tokens(F.col("text")).alias("__t")),
+            seed=QX42_SEED,
+        ),
+        "qx42_ordered",
+    )
     coords = pack_coordinates(
-        clean, F.size(tokens(F.col("text"))), budget=256
+        ordered,
+        F.size(F.col("__t")),
+        budget=256,
+        order_col="shuffle_pos",
     )
-    return coords.join(
-        clean.select("doc_id", "quality"), "doc_id"
-    ).select(
-        "doc_id",
-        "quality",
-        "n_tokens",
-        "tokens_before",
+    slices = emit_packed_sequences(coords, 256, order_col="shuffle_pos")
+    sliced = slices.join(ordered, "shuffle_pos").select(
         "seq_id",
-        "seq_offset",
+        "seq_pos",
+        "slice_len",
+        F.slice(
+            F.col("__t"),
+            (F.col("slice_start") + 1).cast("int"),
+            F.col("slice_len").cast("int"),
+        ).alias("__st"),
     )
+    seqs = sliced.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_slices"),
+        F.sum("slice_len").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seq_pos", "__st"))
+                        ),
+                        lambda s: s["__st"],
+                    )
+                ),
+            )
+        ).alias("content_md5"),
+    )
+    # 7. the on-disk artifact: sequence ids from packing are dense
+    # 0-based (every spanned id occurs), so they ARE the shard
+    # position column — written, then integrity-verified exactly as a
+    # trainer would before burning accelerator time, and the verified
+    # tree itself is what the query returns.
+    base = tempfile.mkdtemp(prefix="qx42_shards_")
+    shards_path = f"{base}/shards"
+    try:
+        write_training_shards(seqs, shards_path, QX42_SHARDS, pos_col="seq_id")
+        verify_training_shards(spark, shards_path)
+        return (
+            spark.read.schema(
+                "seq_id long, n_slices bigint, n_tokens bigint, "
+                "content_md5 string, shard int"
+            )
+            .parquet(shards_path)
+            .select("seq_id", "n_slices", "n_tokens", "content_md5", "shard")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def qx43_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3284,21 +3375,79 @@ rates AS (
   FROM kgr GROUP BY doc_id
 ),
 clean AS (
-  SELECT k.doc_id, k.quality, CAST(k.ntok AS BIGINT) AS n_tokens
+  SELECT k.doc_id, k.source, k.text
   FROM qkept k LEFT JOIN rates r ON k.doc_id = r.doc_id
   WHERE COALESCE(r.rate, 0.0) < 0.05
 ),
-c AS (
-  SELECT doc_id, quality, n_tokens,
-    COALESCE(CAST(sum(n_tokens) OVER (ORDER BY doc_id
+msrcs AS (SELECT DISTINCT source FROM clean),
+mranked AS (
+  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS r
+  FROM msrcs
+),
+mdenom AS (SELECT (count(*) * (count(*) + 1)) // 2 AS d FROM msrcs),
+mweights AS (
+  SELECT source, (r * {QX60_PPM}) // d AS weight_ppm
+  FROM mranked CROSS JOIN mdenom
+),
+mper AS (SELECT source, count(*) AS n_source FROM clean GROUP BY 1),
+mtot AS (SELECT count(*) AS n_total FROM clean),
+mrates AS (
+  SELECT w.source,
+         least({QX60_PPM},
+               ((({QX60_BUDGET_PPM} * w.weight_ppm) // {QX60_PPM})
+                * n_total) // n_source) AS rate_ppm
+  FROM mweights w JOIN mper USING (source) CROSS JOIN mtot
+),
+mixed AS (
+  SELECT c.doc_id, c.text
+  FROM clean c JOIN mrates r USING (source)
+  WHERE ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR) || '{QX60_SALT}'),
+         1, 8))::BIGINT % {QX60_PPM} < r.rate_ppm
+),
+ordered AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '{QX42_SEED}')
+                    || '-' || lpad(CAST(doc_id AS VARCHAR), 12, '0')
+         ) - 1 AS BIGINT) AS shuffle_pos,
+         {toks} AS tk
+  FROM mixed
+),
+oc AS (
+  SELECT shuffle_pos, tk, CAST(len(tk) AS BIGINT) AS n_tokens,
+    COALESCE(CAST(sum(len(tk)) OVER (ORDER BY shuffle_pos
       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
       AS tokens_before
-  FROM clean
+  FROM ordered
+),
+osp AS (
+  SELECT shuffle_pos, tk, n_tokens, tokens_before,
+         unnest(range(tokens_before // 256,
+                      (tokens_before + n_tokens - 1) // 256 + 1)) AS seq
+  FROM oc WHERE n_tokens > 0
+),
+osl AS (
+  SELECT seq AS seq_id,
+         greatest(seq * 256, tokens_before) - seq * 256 AS seq_pos,
+         least((seq + 1) * 256, tokens_before + n_tokens)
+           - greatest(seq * 256, tokens_before) AS slice_len,
+         tk[CAST(greatest(seq * 256, tokens_before) - tokens_before + 1
+                 AS BIGINT) :
+            CAST(least((seq + 1) * 256, tokens_before + n_tokens)
+                 - tokens_before AS BIGINT)] AS st
+  FROM osp
+),
+seqs AS (
+  SELECT seq_id,
+         CAST(count(*) AS BIGINT) AS n_slices,
+         CAST(sum(slice_len) AS BIGINT) AS n_tokens,
+         md5(string_agg(array_to_string(st, ' '), ' ' ORDER BY seq_pos))
+           AS content_md5
+  FROM osl GROUP BY seq_id
 )
-SELECT doc_id, quality, n_tokens, tokens_before,
-  CAST(tokens_before // 256 AS BIGINT) AS seq_id,
-  CAST(tokens_before % 256 AS BIGINT) AS seq_offset
-FROM c
+SELECT seq_id, n_slices, n_tokens, content_md5,
+       CAST((seq_id * {QX42_SHARDS})
+            // (SELECT count(*) FROM seqs) AS INT) AS shard
+FROM seqs
 """
 
 
@@ -3601,7 +3750,8 @@ QUERIES = [
     Query(
         "qx42_preprocess_pipeline",
         "end-to-end pre-training pipeline: fuzzy dedup -> quality "
-        "gate -> decontamination -> sequence packing",
+        "gate -> decontamination -> mixture -> seeded order -> "
+        "sequence packing -> verified training shards on disk",
         qx42_preprocess_pipeline,
         _oracle_qx42(),
         tags=("ext", "dedup", "pipeline", "iterative"),

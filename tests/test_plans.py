@@ -349,16 +349,36 @@ def test_qx40_ivfpq_prune_shortlist_rerank(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_qx42_pipeline_never_quadratic(spark):
-    """The composite pre-training pipeline: no CartesianProduct or
-    BroadcastNestedLoopJoin in the final stage graph. (The
-    materialization barriers truncate lineage, so each upstream
-    stage's shape is pinned by its OWN test: qx31's LeftAnti cut,
-    qx23's broadcast benchmark grams, qx33's two-level window.)"""
-    df = QUERIES["qx42_preprocess_pipeline"].builder(spark, SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+def test_qx42_pipeline_artifact_invariants(spark):
+    """The composite pre-training pipeline now ends at the VERIFIED
+    on-disk shard artifact (write_training_shards +
+    verify_training_shards run inside the builder — a divergent
+    manifest would have raised before the frame is returned), so the
+    output frame is the read-back of the verified tree. Pin the
+    artifact contract: dense 0-based sequence ids, the contiguous
+    integer shard formula, full 256-token sequences except possibly
+    the last, and a content fingerprint on every row. (Each upstream
+    stage's plan shape is pinned by its OWN test: qx31's LeftAnti
+    cut, qx23's broadcast benchmark grams, qx33's two-level window,
+    qx60's broadcast rate table, qx62's exchange-free shard stage.)"""
+    from gh_archive_clickhouse_spark.plans.ext_queries import QX42_SHARDS
+
+    rows = (
+        QUERIES["qx42_preprocess_pipeline"]
+        .builder(spark, SF_DIR)
+        .orderBy("seq_id")
+        .collect()
+    )
+    assert rows, "pipeline produced no sequences at the test SF"
+    total = len(rows)
+    assert [r["seq_id"] for r in rows] == list(range(total))
+    for r in rows:
+        assert r["shard"] == r["seq_id"] * QX42_SHARDS // total
+        assert r["content_md5"] and len(r["content_md5"]) == 32
+        assert r["n_slices"] >= 1
+    # every sequence is budget-full except possibly the final one
+    assert all(r["n_tokens"] == 256 for r in rows[:-1])
+    assert 0 < rows[-1]["n_tokens"] <= 256
 
 
 def test_qx44_checks_fire_on_planted_violations(spark, tmp_path):
