@@ -36,6 +36,32 @@ only normalized deltas count as regressions. The full per-query map
 of raw AND normalized times is written to ``bench_report.json`` at
 the repo root (the stdout JSON line must stay under the driver's
 2000-char snapshot, which two 137-entry maps would blow).
+
+The harness also ACTS on the calibration instead of leaving the
+analysis to the reader:
+
+* ``cal_drift`` = max(cal_first, cal_last)/min(...) — the within-run
+  environment drift; ``cal_noisy`` flags a run whose drift exceeds
+  1.25x (the r8 driver run hit 1.9x), meaning even normalized
+  per-query numbers carry position-dependent skew that round.
+* ``regressions_norm`` — before overwriting ``bench_report.json``,
+  the PRIOR round's normalized per-query map is loaded and every
+  non-streaming, not-declared-changed query whose normalized time
+  grew >25% (and by >0.5 probe units, so sub-100ms jitter can't
+  qualify) is listed {name: [prev_norm, cur_norm]}. Streaming
+  queries are excluded (their startup jitter is >=15% on identical
+  code — the batch_norm policy); queries in the registry's _CHANGED
+  list are excluded because their code intentionally changed.
+
+Normalization form: mean-of-probes, not position-interpolated. Tested
+on the two calibrated r8 runs (driver ``bench_report.json`` vs solo
+``BENCH_LOCAL_r08.json``, 140 common queries): interpolating the
+probe linearly by query position improved the MEDIAN cross-run
+agreement slightly (15.7% -> 14.2% rel diff) but worsened the MEAN
+(17.4% -> 19.3%) — within-run drift is not linear in position, so
+the extra model buys nothing reliable and would break continuity
+with earlier rounds' numbers. Mean-cal stays; ``cal_noisy`` carries
+the "this run drifted" signal instead.
 """
 
 from __future__ import annotations
@@ -155,6 +181,42 @@ def main() -> None:
     cal_sec = (
         (cal_first + cal_last) / 2 if cal_first and cal_last else 0.0
     )
+    cal_drift = (
+        round(max(cal_first, cal_last) / min(cal_first, cal_last), 3)
+        if cal_first and cal_last
+        else 0.0
+    )
+
+    report_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_report.json"
+    )
+    # Round-over-round normalized regression check (see module
+    # docstring): the PRIOR report is read before this run overwrites
+    # it. Declared-changed queries and streaming queries are excluded.
+    regressions_norm: dict[str, list] = {}
+    try:
+        with open(report_path) as f:
+            prev_norm = json.load(f).get("queries_norm") or {}
+    except (OSError, json.JSONDecodeError, AttributeError):
+        prev_norm = {}
+    if cal_sec and prev_norm:
+        try:
+            from gh_archive_clickhouse_spark.plans.registry import (
+                _CHANGED as _changed_queries,
+            )
+        except ImportError:  # registry layout change must not kill bench
+            _changed_queries = ()
+        for name, t in timings.items():
+            if "streaming" in QUERIES[name].tags:
+                continue
+            if name in _changed_queries:
+                continue
+            p = prev_norm.get(name)
+            if not p or p <= 0:
+                continue
+            cur = t / cal_sec
+            if cur / p > 1.25 and cur - p > 0.5:
+                regressions_norm[name] = [round(p, 2), round(cur, 2)]
 
     # The driver snapshots only the LAST 2000 chars of stdout; full
     # registry names blow that budget and decapitate the JSON line
@@ -202,6 +264,16 @@ def main() -> None:
             payload["batch_norm"] = round(
                 (total - stream_total) / cal_sec, 2
             )
+            payload["cal_drift"] = cal_drift
+            payload["cal_noisy"] = cal_drift > 1.25
+            # the harness-computed regression signal (top offenders by
+            # ratio if the list is ever long; normally empty)
+            payload["regressions_norm"] = dict(
+                sorted(
+                    regressions_norm.items(),
+                    key=lambda kv: -(kv[1][1] / kv[1][0]),
+                )[:8]
+            )
         if omitted:
             # sibling field, NOT a fake entry inside the timing map
             payload["queries_omitted"] = omitted
@@ -210,19 +282,16 @@ def main() -> None:
     # Full report (raw + calibration-normalized per query) to a file:
     # the stdout line's 2000-char budget cannot carry two full maps.
     try:
-        with open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "bench_report.json",
-            ),
-            "w",
-        ) as f:
+        with open(report_path, "w") as f:
             json.dump(
                 {
                     "sf": sf,
                     "cal_first": round(cal_first, 4),
                     "cal_last": round(cal_last, 4),
                     "cal_sec": round(cal_sec, 4),
+                    "cal_drift": cal_drift,
+                    "cal_noisy": cal_drift > 1.25,
+                    "regressions_norm": regressions_norm,
                     "value": total,
                     "batch_total": round(total - stream_total, 3),
                     "value_norm": (

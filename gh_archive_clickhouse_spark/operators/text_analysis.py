@@ -62,16 +62,15 @@ def language_id(
     )
 
 
-def quality_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Deterministic quality features + a composite score.
-
-    Features: token count, mean token length, stopword ratio,
-    punctuation ratio, alpha ratio. Score is a fixed linear blend in
-    [0,1] — the point is a reproducible ranking signal, not a model.
-    Output columns are rounded to 6 decimals for engine parity.
-    """
+def quality_features(text_col: str = "text") -> dict:
+    """Ordered ``name -> Column`` map of :func:`quality_score`'s
+    feature and score expressions — exposed so a streaming gate can
+    stamp ``quality`` onto a micro-batch as a PURE PROJECTION
+    (``withColumn``, map-only at the scan) instead of computing the
+    feature frame and joining it back on doc_id (qs15's composed
+    per-batch plan must stay map-only + broadcast). The dict IS
+    quality_score's output contract: same names, same expressions,
+    same 6-decimal rounding."""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -99,14 +98,29 @@ def quality_score(
         + F.lit(0.2) * (F.lit(1.0) - F.abs(stop_ratio - F.lit(0.3)))
         + F.lit(0.1) * (F.lit(1.0) - punct_ratio)
     )
+    return {
+        "n_tokens": n_tok,
+        "mean_token_len": F.round(mean_tok_len, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "alpha_ratio": F.round(alpha_ratio, 6),
+        "quality": F.round(score, 6),
+    }
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic quality features + a composite score.
+
+    Features: token count, mean token length, stopword ratio,
+    punctuation ratio, alpha ratio. Score is a fixed linear blend in
+    [0,1] — the point is a reproducible ranking signal, not a model.
+    Output columns are rounded to 6 decimals for engine parity.
+    """
+    feats = quality_features(text_col)
     return df.select(
-        F.col(id_col),
-        n_tok.alias("n_tokens"),
-        F.round(mean_tok_len, 6).alias("mean_token_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
-        F.round(score, 6).alias("quality"),
+        F.col(id_col), *[c.alias(n) for n, c in feats.items()]
     )
 
 

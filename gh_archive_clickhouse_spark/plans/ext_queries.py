@@ -4442,9 +4442,16 @@ FROM m2
 # LSH candidate pairs WITHOUT the jaccard verify — the banding prefix
 # of _ORACLE_QX9, exported for the incremental-stream query (qs4),
 # whose per-batch union must equal exactly this set.
-ORACLE_LSH_CANDIDATES = f"""
+def lsh_candidates_sql(src: str = "documents") -> str:
+    """The banding SQL over an arbitrary source relation — ``src`` may
+    be an outer CTE name, letting a composed oracle (qs15) run the
+    identical banding over a gated subset. ``lsh_candidates_sql()``
+    is byte-for-byte :data:`ORACLE_LSH_CANDIDATES` (qs4/qs13's oracle
+    prefix), so parameterizing the table cannot drift the
+    long-standing oracles."""
+    return f"""
 WITH shl AS (
-  SELECT doc_id, {_sql_shingles('text', 3)} AS shs FROM documents
+  SELECT doc_id, {_sql_shingles('text', 3)} AS shs FROM {src}
 ), hashed AS (
   SELECT doc_id, shs, list_transform(shs, s -> {_sql_word_hash31('s')}) AS sh
   FROM shl
@@ -4460,3 +4467,6 @@ FROM bands l JOIN bands r
   ON l.band_id = r.band_id AND l.band_key = r.band_key
  AND l.doc_id < r.doc_id
 """
+
+
+ORACLE_LSH_CANDIDATES = lsh_candidates_sql()

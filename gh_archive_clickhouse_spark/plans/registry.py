@@ -54,11 +54,16 @@ WINDOW = 50
 # older code, i.e. are effectively no rows — so these pin to the front
 # of the window until a driver row from _CHANGED_ROUND or later lands
 # for them, at which point the pin expires per query automatically).
-_CHANGED_ROUND = 8
+_CHANGED_ROUND = 9
 _CHANGED = (
-    # generalized to an arbitrary caller weights frame (operator split
-    # into mixture_rates + mixture_gate; non-uniform rank-derived spec)
+    # extended to the full curate->mix->order->pack->shard story with
+    # the verified on-disk artifact (write + verify inside the builder)
+    "qx42_preprocess_pipeline",
+    # mixture_rates hardened: BIGINT cast in the rate expression,
+    # NULL-source spec raise (results identical for long-typed specs,
+    # but the operator code changed)
     "qx60_mixture_resample",
+    "qs14_stream_mixture_gate",
 )
 
 # Canonical declaration order: used as the deterministic tie-break

@@ -31,7 +31,9 @@ from gh_archive_clickhouse_spark.plans.ext_queries import (
     _ORACLE_QX5,
     _QX60_KEPT_CTE,
     QX60_BUDGET_PPM,
+    QX60_PPM,
     QX60_SALT,
+    lsh_candidates_sql,
 )
 from gh_archive_clickhouse_spark.streaming.analytics import (
     hourly_type_counts,
@@ -910,6 +912,217 @@ def qs14_stream_mixture_gate(
         shutil.rmtree(base, ignore_errors=True)
 
 
+QS15_QUALITY_BAR = 0.75
+
+
+def qs15_stream_preprocess_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE END-TO-END STREAMING INGEST COMPOSITE — the streaming twin
+    of qx42's curation prefix, every stage of which is individually
+    stream==batch-proven (qs11 quality gate, qs14 mixture gate,
+    qs4/qs13 incremental dedup) but whose COMPOSITION — one ingest
+    stream, one checkpoint lineage, shared micro-batch cadence,
+    interacting epoch folds — is what a production deployment actually
+    runs (the full Spark restatement of the reference's composed
+    poll→dedup→sink dataflow, cmd/gh-archived/main.go:214-281):
+
+      1. a SNAPSHOT batch job computes the mixture spec + integer
+         rate table over the quality-curated corpus snapshot
+         (persisted tiny parquet — the qs14 pattern);
+      2. every arriving micro-batch then flows gate→gate→dedup in ONE
+         foreachBatch body: quality stamp + threshold (pure
+         projection — map-only), mixture keep (broadcast rates +
+         salted-hash filter — map-only), curated rows landing in
+         replay-idempotent epoch partitions, and the SAME gated frame
+         feeding the incremental LSH dedup sink (signature append +
+         bucket join against the signature table — the only
+         non-map-only stage, by design);
+      3. at stream end the labels fold closes the books and the
+         survivors cut is read back.
+
+    Because the quality and mixture gates are pure per-row functions
+    and the pair log's union-over-batches equals the batch banding
+    (the qs4 equivalence), the composite's read-back must equal the
+    BATCH pipeline prefix over the same corpus: quality filter →
+    mixture resample → LSH dedup survivors — exactly what the oracle
+    (qx5's score SQL → the qx60 rate CTEs over the curated set → the
+    qs4 banding SQL over the mixed set → recursive-CTE CC →
+    anti-join) asserts, hash-verified."""
+    import shutil
+    import tempfile
+
+    from gh_archive_clickhouse_spark.operators.packing import (
+        mixture_gate,
+        mixture_rates,
+    )
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        quality_features,
+    )
+    from gh_archive_clickhouse_spark.plans.ext_queries import (
+        ranked_source_weights,
+    )
+    from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        LABELS_SCHEMA,
+        fold_cluster_labels,
+        incremental_dedup_sink,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    q_col = quality_features()["quality"]
+    base = tempfile.mkdtemp(prefix="qs15_")
+    out = f"{base}/curated"
+    try:
+        # 1. the snapshot batch job: spec + rates over the curated
+        # snapshot, persisted for the stream (rates must come from a
+        # snapshot, not per-batch counts — per-batch rates would make
+        # membership depend on batching).
+        snap = docs.withColumn("quality", q_col).filter(
+            F.col("quality") >= QS15_QUALITY_BAR
+        )
+        rates_path = f"{base}/rates"
+        mixture_rates(
+            snap, ranked_source_weights(snap), budget_ppm=QX60_BUDGET_PPM
+        ).write.parquet(rates_path)
+        rates = spark.read.parquet(rates_path)
+
+        dedup = incremental_dedup_sink(
+            f"{base}/sigs", f"{base}/pairs", f"{base}/labels"
+        )
+
+        def _pipe(batch_df: DataFrame, epoch_id: int) -> None:
+            # gate → gate: one pure projection + one broadcast-join
+            # filter; persisted because two sinks consume it (the
+            # curated epoch write and the dedup signature append).
+            gated = mixture_gate(
+                batch_df.withColumn("quality", q_col).filter(
+                    F.col("quality") >= QS15_QUALITY_BAR
+                ),
+                rates,
+                salt=QX60_SALT,
+            ).persist()
+            try:
+                (
+                    gated.select(
+                        "doc_id", "source", "quality", "rate_ppm"
+                    )
+                    .withColumn("epoch", F.lit(int(epoch_id)))
+                    .repartition(1)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch")
+                    .parquet(out)
+                )
+                dedup(gated.select("doc_id", "text"), epoch_id)
+            finally:
+                gated.unpersist()
+
+        src = f"{base}/docs"
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        with _stream_shuffle_partitions(spark):
+            q = (
+                stream.writeStream.foreachBatch(_pipe)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", f"{base}/ckpt")
+                .start()
+            )
+            q.awaitTermination()
+            # close the books: exact labels over the full pair log
+            fold_cluster_labels(
+                spark, f"{base}/pairs", f"{base}/labels"
+            )
+        drops = (
+            spark.read.schema(LABELS_SCHEMA)
+            .parquet(f"{base}/labels")
+            .filter(F.col("doc_id") != F.col("cluster_rep"))
+            .select("doc_id")
+        )
+        return (
+            spark.read.schema(
+                "doc_id long, source string, quality double, "
+                "rate_ppm long, epoch int"
+            )
+            .parquet(out)
+            .select("doc_id", "source", "quality", "rate_ppm")
+            .dropDuplicates(["doc_id"])
+            .join(drops, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# The composed stream's read-back == the batch curation prefix:
+# quality filter → mixture resample over the curated set → LSH dedup
+# survivors, each stage's SQL shared with its standalone oracle.
+_ORACLE_QS15 = f"""
+WITH RECURSIVE q AS ({_ORACLE_QX5}),
+curated AS (
+  SELECT d.doc_id, d.source, d.text, q.quality
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality >= {QS15_QUALITY_BAR}
+),
+msrcs AS (SELECT DISTINCT source FROM curated),
+mranked AS (
+  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS r
+  FROM msrcs
+),
+mdenom AS (SELECT (count(*) * (count(*) + 1)) // 2 AS d FROM msrcs),
+mweights AS (
+  SELECT source, (r * {QX60_PPM}) // d AS weight_ppm
+  FROM mranked CROSS JOIN mdenom
+),
+mper AS (SELECT source, count(*) AS n_source FROM curated GROUP BY 1),
+mtot AS (SELECT count(*) AS n_total FROM curated),
+mrates AS (
+  SELECT w.source,
+         least({QX60_PPM},
+               ((({QX60_BUDGET_PPM} * w.weight_ppm) // {QX60_PPM})
+                * n_total) // n_source) AS rate_ppm
+  FROM mweights w JOIN mper USING (source) CROSS JOIN mtot
+),
+mixed AS (
+  SELECT c.doc_id, c.source, c.text, c.quality, r.rate_ppm
+  FROM curated c JOIN mrates r USING (source)
+  WHERE ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR) || '{QX60_SALT}'),
+         1, 8))::BIGINT % {QX60_PPM} < r.rate_ppm
+),
+cand AS ({lsh_candidates_sql("mixed")}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  SELECT node, node AS label FROM nodes
+  UNION
+  SELECT e.src AS node, r.label
+  FROM edges e JOIN reach r ON e.dst = r.node
+),
+cc AS (
+  SELECT node AS doc_id, min(label) AS cluster_rep
+  FROM reach GROUP BY node
+)
+SELECT doc_id, source, quality, CAST(rate_ppm AS BIGINT) AS rate_ppm
+FROM mixed
+WHERE doc_id NOT IN (
+  SELECT doc_id FROM cc WHERE doc_id <> cluster_rep
+)
+"""
+
+
 # The gated stream's read-back == the batch resample's membership at
 # doc granularity (the qx60 kept-CTE, shared verbatim).
 _ORACLE_QS14 = (
@@ -1056,6 +1269,15 @@ QUERIES = [
         qs14_stream_mixture_gate,
         _ORACLE_QS14,
         tags=("streaming", "sampling"),
+    ),
+    Query(
+        "qs15_stream_preprocess_pipeline",
+        "end-to-end streaming ingest composite: quality gate -> "
+        "mixture gate -> incremental LSH dedup to survivors in one "
+        "foreachBatch lineage; read-back == the batch curation prefix",
+        qs15_stream_preprocess_pipeline,
+        _ORACLE_QS15,
+        tags=("streaming", "dedup", "pipeline"),
     ),
     Query(
         "qs12_stream_budget_admission",

@@ -629,3 +629,242 @@ def test_stream_budget_admission_is_stateful_prefix(spark):
                 expect[doc_id] = (n, acc)
             acc += n
         assert got.get(source, {}) == expect, source
+
+
+def test_qs15_per_batch_gate_is_map_only_plus_broadcast(spark):
+    """qs15's composed per-micro-batch hot path BEFORE the dedup sink
+    — quality stamp + threshold + mixture keep — must stay one pure
+    projection plus one broadcast-join filter: no hash exchange, no
+    sort-merge join, no aggregation. The only shuffle a composed
+    ingest batch pays is the dedup bucket join, by design."""
+    from gh_archive_clickhouse_spark.operators.packing import (
+        mixture_gate,
+    )
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        quality_features,
+    )
+    from gh_archive_clickhouse_spark.plans.streaming_queries import (
+        QS15_QUALITY_BAR,
+    )
+
+    docs = read(spark, SF_DIR, "documents")
+    rates = spark.createDataFrame(
+        [(f"src{i}", 500_000) for i in range(10)],
+        "source string, rate_ppm long",
+    )
+    gated = mixture_gate(
+        docs.withColumn("quality", quality_features()["quality"]).filter(
+            F.col("quality") >= QS15_QUALITY_BAR
+        ),
+        rates,
+    )
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning" not in plan, plan[:3000]
+    # the ONLY exchange is the tiny rate-table broadcast
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), (
+        plan[:3000]
+    )
+
+
+def test_dedup_sink_restart_from_checkpoint(spark, tmp_path):
+    """Spark's actual RESUME path, not just replay: a stream is run to
+    completion on the first half of the corpus, STOPPED, and a brand
+    new StreamingQuery is started against the SAME checkpoint + epoch
+    directories after the second half arrives. The offset log must
+    make the restarted query skip the already-committed batch (no
+    duplicate signatures) and continue the epoch numbering; the final
+    signature/pair/label tables must equal an uninterrupted run over
+    the same files. This is the routine cluster event the reference's
+    reconnect loop exists for (cmd/gh-archived/main.go:44-52)."""
+    import os
+    import time
+
+    from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        LABELS_SCHEMA,
+        PAIRS_SCHEMA,
+        SIGS_SCHEMA,
+        fold_cluster_labels,
+        incremental_dedup_sink,
+    )
+
+    docs = read(spark, SF_DIR, "documents")
+    half1 = docs.filter(F.col("doc_id") % 2 == 0)
+    half2 = docs.filter(F.col("doc_id") % 2 != 0)
+
+    def _pin_mtimes(src):
+        # deterministic file order for the file stream (qs12 lesson:
+        # same-second writes tie and fall back to path order)
+        files = sorted(
+            (f for f in os.listdir(src) if f.endswith(".parquet")),
+            key=lambda f: os.path.getmtime(os.path.join(src, f)),
+        )
+        now = time.time()
+        for i, f in enumerate(files):
+            os.utime(
+                os.path.join(src, f), (now + 100 * i, now + 100 * i)
+            )
+
+    def _start(src, ckpt, sink):
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    def _state(base):
+        sigs = {
+            (r.doc_id, tuple(r.minhash))
+            for r in spark.read.schema(SIGS_SCHEMA)
+            .parquet(str(base / "sigs"))
+            .collect()
+        }
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in spark.read.schema(PAIRS_SCHEMA)
+            .parquet(str(base / "pairs"))
+            .collect()
+        }
+        labels = {
+            (r.doc_id, r.cluster_rep)
+            for r in spark.read.schema(LABELS_SCHEMA)
+            .parquet(str(base / "labels"))
+            .collect()
+        }
+        return sigs, pairs, labels
+
+    def _run(tag, interrupted):
+        base = tmp_path / tag
+        src = str(base / "docs")
+        ckpt = str(base / "ckpt")
+        sink = incremental_dedup_sink(
+            str(base / "sigs"), str(base / "pairs"), str(base / "labels")
+        )
+        half1.coalesce(1).write.mode("append").parquet(src)
+        if interrupted:
+            _start(src, ckpt, sink)  # processes half 1, commits, stops
+            half2.coalesce(1).write.mode("append").parquet(src)
+            _pin_mtimes(src)
+            _start(src, ckpt, sink)  # RESTART: must resume at half 2
+        else:
+            half2.coalesce(1).write.mode("append").parquet(src)
+            _pin_mtimes(src)
+            _start(src, ckpt, sink)
+        fold_cluster_labels(
+            spark, str(base / "pairs"), str(base / "labels")
+        )
+        return base
+
+    rbase = _run("restarted", interrupted=True)
+    ubase = _run("uninterrupted", interrupted=False)
+
+    r_sigs, r_pairs, r_labels = _state(rbase)
+    u_sigs, u_pairs, u_labels = _state(ubase)
+    # no duplicate signatures: the restarted query did NOT reprocess
+    # the committed batch
+    assert len({d for d, _ in r_sigs}) == len(r_sigs)
+    assert r_sigs == u_sigs and r_sigs
+    assert r_pairs == u_pairs
+    assert r_labels == u_labels
+    # the restarted run resumed epoch numbering from the offset log
+    # (epoch partitions 0 AND 1 exist across its tables)
+    epochs = {
+        r.epoch
+        for r in spark.read.schema(SIGS_SCHEMA)
+        .parquet(str(rbase / "sigs"))
+        .select("epoch")
+        .distinct()
+        .collect()
+    }
+    assert {0, 1} <= epochs or epochs == {-1}
+
+
+def test_mv_sink_restart_from_checkpoint(spark, tmp_path):
+    """The qs7 MV sink under Spark's resume path: run to completion on
+    half the events, stop, start a NEW StreamingQuery against the same
+    checkpoint + partials dir once the rest arrives — the rolled-up
+    view must equal both an uninterrupted run and the batch rollup."""
+    import os
+    import time
+
+    from gh_archive_clickhouse_spark.streaming.mv import (
+        incremental_rollup_sink,
+        rollup_view,
+    )
+
+    events = read(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 != 0)
+
+    def _start(src, ckpt, sink):
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    def _run(tag, interrupted):
+        base = tmp_path / tag
+        src, ckpt = str(base / "events"), str(base / "ckpt")
+        partials = str(base / "partials")
+        sink = incremental_rollup_sink(partials)
+        half1.coalesce(1).write.mode("append").parquet(src)
+        if interrupted:
+            _start(src, ckpt, sink)
+            half2.coalesce(1).write.mode("append").parquet(src)
+            # keep file order deterministic on restart
+            files = sorted(
+                f for f in os.listdir(src) if f.endswith(".parquet")
+            )
+            now = time.time()
+            for i, f in enumerate(files):
+                os.utime(
+                    os.path.join(src, f), (now + 100 * i,) * 2
+                )
+            _start(src, ckpt, sink)
+        else:
+            half2.coalesce(1).write.mode("append").parquet(src)
+            _start(src, ckpt, sink)
+        return {
+            (r.day, r.event_type): (
+                r.n_events,
+                r.min_event_id,
+                r.max_event_id,
+            )
+            for r in rollup_view(spark, partials).collect()
+        }
+
+    restarted = _run("restarted", interrupted=True)
+    uninterrupted = _run("uninterrupted", interrupted=False)
+    batch = {
+        (r.day, r.event_type): (r.n, r.mn, r.mx)
+        for r in events.groupBy(
+            F.date_format("ts", "yyyyMMdd").alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("mn"),
+            F.max("event_id").alias("mx"),
+        )
+        .collect()
+    }
+    assert restarted == uninterrupted == batch and restarted
