@@ -196,7 +196,14 @@ def main() -> None:
     regressions_norm: dict[str, list] = {}
     try:
         with open(report_path) as f:
-            prev_norm = json.load(f).get("queries_norm") or {}
+            prev_report = json.load(f)
+        prev_norm = prev_report.get("queries_norm") or {}
+        # normalized times are only comparable at the SAME scale
+        # factor: the probe scales ~linearly with SF while join/
+        # window-heavy queries scale superlinearly, so a cross-SF
+        # comparison would flag phantom regressions.
+        if prev_report.get("sf") != sf:
+            prev_norm = {}
     except (OSError, json.JSONDecodeError, AttributeError):
         prev_norm = {}
     if cal_sec and prev_norm:
@@ -216,7 +223,9 @@ def main() -> None:
                 continue
             cur = t / cal_sec
             if cur / p > 1.25 and cur - p > 0.5:
-                regressions_norm[name] = [round(p, 2), round(cur, 2)]
+                # keep the UNROUNDED prev: a sub-0.005 prev would
+                # round to 0.0 and divide-by-zero in the sort below
+                regressions_norm[name] = [p, cur]
 
     # The driver snapshots only the LAST 2000 chars of stdout; full
     # registry names blow that budget and decapitate the JSON line
@@ -267,13 +276,15 @@ def main() -> None:
             payload["cal_drift"] = cal_drift
             payload["cal_noisy"] = cal_drift > 1.25
             # the harness-computed regression signal (top offenders by
-            # ratio if the list is ever long; normally empty)
-            payload["regressions_norm"] = dict(
-                sorted(
+            # ratio if the list is ever long; normally empty) —
+            # rounded for DISPLAY only, the sort uses unrounded values
+            payload["regressions_norm"] = {
+                k: [round(v[0], 2), round(v[1], 2)]
+                for k, v in sorted(
                     regressions_norm.items(),
                     key=lambda kv: -(kv[1][1] / kv[1][0]),
                 )[:8]
-            )
+            }
         if omitted:
             # sibling field, NOT a fake entry inside the timing map
             payload["queries_omitted"] = omitted
@@ -291,7 +302,10 @@ def main() -> None:
                     "cal_sec": round(cal_sec, 4),
                     "cal_drift": cal_drift,
                     "cal_noisy": cal_drift > 1.25,
-                    "regressions_norm": regressions_norm,
+                    "regressions_norm": {
+                        k: [round(v[0], 3), round(v[1], 3)]
+                        for k, v in regressions_norm.items()
+                    },
                     "value": total,
                     "batch_total": round(total - stream_total, 3),
                     "value_norm": (

@@ -631,6 +631,65 @@ def emit_packed_sequences(
     )
 
 
+def packed_sequence_fingerprints(
+    toks: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    tokens_col: str = "__t",
+) -> DataFrame:
+    """One row per packed training sequence — (``seq_id``,
+    ``n_slices``, ``n_tokens``, ``content_md5``) — from a
+    (``order_col``, ``tokens_col`` token-array) frame: pack
+    coordinates → slice emission → slice join-back → in-order concat
+    fingerprint. The ONE definition of the sequence-content
+    fingerprint, shared by qx45 (document order) and qx42 (seeded
+    shuffle order) so the two pipelines and their oracles cannot
+    drift.
+
+    ``toks`` is consumed by BOTH the packing branch and the slice
+    join-back — pass a materialized/persisted frame or the upstream
+    plan executes twice (the qx45 barrier).
+
+    Scale shape: nothing beyond pack_coordinates' two-level prefix
+    scan — the emission is a pure map stage, the join-back is a
+    uniform-key equi-join, and the fingerprint is one hash aggregate
+    over (sequence, slice) rows."""
+    coords = pack_coordinates(
+        toks,
+        F.size(F.col(tokens_col)),
+        budget=budget,
+        order_col=order_col,
+    )
+    slices = emit_packed_sequences(coords, budget, order_col=order_col)
+    sliced = slices.join(toks, order_col).select(
+        "seq_id",
+        "seq_pos",
+        "slice_len",
+        F.slice(
+            F.col(tokens_col),
+            (F.col("slice_start") + 1).cast("int"),
+            F.col("slice_len").cast("int"),
+        ).alias("__st"),
+    )
+    return sliced.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_slices"),
+        F.sum("slice_len").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seq_pos", "__st"))
+                        ),
+                        lambda s: s["__st"],
+                    )
+                ),
+            )
+        ).alias("content_md5"),
+    )
+
+
 def sequence_fill_stats(coords: DataFrame, budget: int) -> DataFrame:
     """Per-sequence packing summary from :func:`pack_coordinates`
     output: how many documents START in each sequence, how many of the

@@ -1356,8 +1356,7 @@ def qx45_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     or boundary splitting flips the hash. No window beyond qx33's
     bucket-totals scan (plan-asserted in tests)."""
     from gh_archive_clickhouse_spark.operators.packing import (
-        emit_packed_sequences,
-        pack_coordinates,
+        packed_sequence_fingerprints,
     )
 
     docs = read(spark, sf_dir, "documents")
@@ -1368,35 +1367,7 @@ def qx45_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", tokens(F.col("text")).alias("__t")),
         "qx45_toks",
     )
-    coords = pack_coordinates(toks, F.size(F.col("__t")), budget=256)
-    slices = emit_packed_sequences(coords, 256)
-    sliced = slices.join(toks, "doc_id").select(
-        "seq_id",
-        "seq_pos",
-        "slice_len",
-        F.slice(
-            F.col("__t"),
-            (F.col("slice_start") + 1).cast("int"),
-            F.col("slice_len").cast("int"),
-        ).alias("__st"),
-    )
-    return sliced.groupBy("seq_id").agg(
-        F.count(F.lit(1)).alias("n_slices"),
-        F.sum("slice_len").alias("n_tokens"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.flatten(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seq_pos", "__st"))
-                        ),
-                        lambda s: s["__st"],
-                    )
-                ),
-            )
-        ).alias("content_md5"),
-    )
+    return packed_sequence_fingerprints(toks, 256)
 
 
 _ORACLE_QX45 = f"""
@@ -2302,34 +2273,57 @@ def qx60_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared with qs14 (the streaming gate must reproduce this exact
-# membership): the rank-derived weights spec, integer rate table, and
-# salted keep rule as a reusable CTE prefix ending in `kept`.
-_QX60_KEPT_CTE = f"""
-WITH srcs AS (SELECT DISTINCT source FROM documents),
-ranked AS (
+def mixture_rates_cte(src: str = "documents", prefix: str = "") -> str:
+    """CTE fragment (no ``WITH`` keyword) ending in ``{prefix}rates``
+    (source, rate_ppm): the rank-derived weights spec and integer
+    rate table of the qx60 mixture — the ONE SQL definition of the
+    rate formula, parameterized on the corpus relation (and a CTE
+    name prefix for composition into oracles that already use these
+    names) so the qx60/qs14/qx42/qs15 oracles cannot drift apart
+    (the lsh_candidates_sql precedent)."""
+    p = prefix
+    return f"""{p}srcs AS (SELECT DISTINCT source FROM {src}),
+{p}ranked AS (
   SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS r
-  FROM srcs
-), denom AS (
-  SELECT (count(*) * (count(*) + 1)) // 2 AS d FROM srcs
-), weights AS (
+  FROM {p}srcs
+), {p}denom AS (
+  SELECT (count(*) * (count(*) + 1)) // 2 AS d FROM {p}srcs
+), {p}weights AS (
   SELECT source, (r * {QX60_PPM}) // d AS weight_ppm
-  FROM ranked CROSS JOIN denom
-), per_source AS (
-  SELECT source, count(*) AS n_source FROM documents GROUP BY 1
-), totals AS (
-  SELECT count(*) AS n_total FROM documents
-), rates AS (
+  FROM {p}ranked CROSS JOIN {p}denom
+), {p}per_source AS (
+  SELECT source, count(*) AS n_source FROM {src} GROUP BY 1
+), {p}totals AS (
+  SELECT count(*) AS n_total FROM {src}
+), {p}rates AS (
   SELECT w.source,
          least({QX60_PPM},
                ((({QX60_BUDGET_PPM} * w.weight_ppm) // {QX60_PPM})
                 * n_total) // n_source) AS rate_ppm
-  FROM weights w JOIN per_source USING (source) CROSS JOIN totals
-), kept AS (
+  FROM {p}weights w JOIN {p}per_source USING (source)
+  CROSS JOIN {p}totals
+)"""
+
+
+def mixture_keep_sql(alias: str, rates_alias: str = "r") -> str:
+    """The salted-hash keep predicate of the qx60 mixture over a row
+    alias — shared by every oracle that applies a rate table."""
+    return (
+        f"('0x' || substr(md5(CAST({alias}.doc_id AS VARCHAR) || "
+        f"'{QX60_SALT}'), 1, 8))::BIGINT % {QX60_PPM} "
+        f"< {rates_alias}.rate_ppm"
+    )
+
+
+# Shared with qs14 (the streaming gate must reproduce this exact
+# membership): the rank-derived weights spec, integer rate table, and
+# salted keep rule as a reusable CTE prefix ending in `kept`.
+_QX60_KEPT_CTE = f"""
+WITH {mixture_rates_cte("documents")},
+kept AS (
   SELECT d.source, d.lang, d.doc_id, r.rate_ppm
   FROM documents d JOIN rates r USING (source)
-  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '{QX60_SALT}'),
-         1, 8))::BIGINT % {QX60_PPM} < r.rate_ppm
+  WHERE {mixture_keep_sql("d")}
 )
 """
 
@@ -2900,10 +2894,9 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_survivors,
     )
     from gh_archive_clickhouse_spark.operators.packing import (
-        emit_packed_sequences,
         mixture_gate,
         mixture_rates,
-        pack_coordinates,
+        packed_sequence_fingerprints,
         seeded_shuffle,
         verify_training_shards,
         write_training_shards,
@@ -2970,39 +2963,15 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "qx42_ordered",
     )
-    coords = pack_coordinates(
-        ordered,
-        F.size(F.col("__t")),
-        budget=256,
-        order_col="shuffle_pos",
-    )
-    slices = emit_packed_sequences(coords, 256, order_col="shuffle_pos")
-    sliced = slices.join(ordered, "shuffle_pos").select(
-        "seq_id",
-        "seq_pos",
-        "slice_len",
-        F.slice(
-            F.col("__t"),
-            (F.col("slice_start") + 1).cast("int"),
-            F.col("slice_len").cast("int"),
-        ).alias("__st"),
-    )
-    seqs = sliced.groupBy("seq_id").agg(
-        F.count(F.lit(1)).alias("n_slices"),
-        F.sum("slice_len").alias("n_tokens"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.flatten(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seq_pos", "__st"))
-                        ),
-                        lambda s: s["__st"],
-                    )
-                ),
-            )
-        ).alias("content_md5"),
+    # Materialized: write_training_shards consumes the sequence frame
+    # twice (the density-validation aggregate + the sharded write) —
+    # unbarriered, the slice join-back + fingerprint aggregate would
+    # execute twice.
+    seqs = materialize(
+        packed_sequence_fingerprints(
+            ordered, 256, order_col="shuffle_pos"
+        ),
+        "qx42_seqs",
     )
     # 7. the on-disk artifact: sequence ids from packing are dense
     # 0-based (every spanned id occurs), so they ARE the shard
@@ -3379,30 +3348,11 @@ clean AS (
   FROM qkept k LEFT JOIN rates r ON k.doc_id = r.doc_id
   WHERE COALESCE(r.rate, 0.0) < 0.05
 ),
-msrcs AS (SELECT DISTINCT source FROM clean),
-mranked AS (
-  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS r
-  FROM msrcs
-),
-mdenom AS (SELECT (count(*) * (count(*) + 1)) // 2 AS d FROM msrcs),
-mweights AS (
-  SELECT source, (r * {QX60_PPM}) // d AS weight_ppm
-  FROM mranked CROSS JOIN mdenom
-),
-mper AS (SELECT source, count(*) AS n_source FROM clean GROUP BY 1),
-mtot AS (SELECT count(*) AS n_total FROM clean),
-mrates AS (
-  SELECT w.source,
-         least({QX60_PPM},
-               ((({QX60_BUDGET_PPM} * w.weight_ppm) // {QX60_PPM})
-                * n_total) // n_source) AS rate_ppm
-  FROM mweights w JOIN mper USING (source) CROSS JOIN mtot
-),
+{mixture_rates_cte("clean", prefix="m")},
 mixed AS (
   SELECT c.doc_id, c.text
   FROM clean c JOIN mrates r USING (source)
-  WHERE ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR) || '{QX60_SALT}'),
-         1, 8))::BIGINT % {QX60_PPM} < r.rate_ppm
+  WHERE {mixture_keep_sql("c")}
 ),
 ordered AS (
   SELECT CAST(row_number() OVER (

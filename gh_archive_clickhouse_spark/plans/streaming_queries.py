@@ -31,9 +31,10 @@ from gh_archive_clickhouse_spark.plans.ext_queries import (
     _ORACLE_QX5,
     _QX60_KEPT_CTE,
     QX60_BUDGET_PPM,
-    QX60_PPM,
     QX60_SALT,
     lsh_candidates_sql,
+    mixture_keep_sql,
+    mixture_rates_cte,
 )
 from gh_archive_clickhouse_spark.streaming.analytics import (
     hourly_type_counts,
@@ -976,10 +977,16 @@ def qs15_stream_preprocess_pipeline(
         # 1. the snapshot batch job: spec + rates over the curated
         # snapshot, persisted for the stream (rates must come from a
         # snapshot, not per-batch counts — per-batch rates would make
-        # membership depend on batching).
-        snap = docs.withColumn("quality", q_col).filter(
+        # membership depend on batching). The snapshot's (doc_id,
+        # source) projection is materialized FIRST: the spec's
+        # distinct-sources collect and the rate job's two aggregates
+        # would otherwise each re-run the corpus-wide quality
+        # projection (one scan instead of three).
+        snap_path = f"{base}/snap"
+        docs.withColumn("quality", q_col).filter(
             F.col("quality") >= QS15_QUALITY_BAR
-        )
+        ).select("doc_id", "source").write.parquet(snap_path)
+        snap = spark.read.parquet(snap_path)
         rates_path = f"{base}/rates"
         mixture_rates(
             snap, ranked_source_weights(snap), budget_ppm=QX60_BUDGET_PPM
@@ -1073,30 +1080,11 @@ curated AS (
   FROM documents d JOIN q USING (doc_id)
   WHERE q.quality >= {QS15_QUALITY_BAR}
 ),
-msrcs AS (SELECT DISTINCT source FROM curated),
-mranked AS (
-  SELECT source, CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS r
-  FROM msrcs
-),
-mdenom AS (SELECT (count(*) * (count(*) + 1)) // 2 AS d FROM msrcs),
-mweights AS (
-  SELECT source, (r * {QX60_PPM}) // d AS weight_ppm
-  FROM mranked CROSS JOIN mdenom
-),
-mper AS (SELECT source, count(*) AS n_source FROM curated GROUP BY 1),
-mtot AS (SELECT count(*) AS n_total FROM curated),
-mrates AS (
-  SELECT w.source,
-         least({QX60_PPM},
-               ((({QX60_BUDGET_PPM} * w.weight_ppm) // {QX60_PPM})
-                * n_total) // n_source) AS rate_ppm
-  FROM mweights w JOIN mper USING (source) CROSS JOIN mtot
-),
+{mixture_rates_cte("curated", prefix="m")},
 mixed AS (
   SELECT c.doc_id, c.source, c.text, c.quality, r.rate_ppm
   FROM curated c JOIN mrates r USING (source)
-  WHERE ('0x' || substr(md5(CAST(c.doc_id AS VARCHAR) || '{QX60_SALT}'),
-         1, 8))::BIGINT % {QX60_PPM} < r.rate_ppm
+  WHERE {mixture_keep_sql("c")}
 ),
 cand AS ({lsh_candidates_sql("mixed")}),
 edges AS (
