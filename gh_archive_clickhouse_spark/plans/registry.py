@@ -64,6 +64,9 @@ _CHANGED = (
     # but the operator code changed)
     "qx60_mixture_resample",
     "qs14_stream_mixture_gate",
+    # builder rerouted through the shared packed_sequence_fingerprints
+    # helper (expressions identical, but the builder code changed)
+    "qx45_packed_sequences",
 )
 
 # Canonical declaration order: used as the deterministic tie-break

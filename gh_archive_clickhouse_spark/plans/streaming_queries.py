@@ -977,15 +977,16 @@ def qs15_stream_preprocess_pipeline(
         # 1. the snapshot batch job: spec + rates over the curated
         # snapshot, persisted for the stream (rates must come from a
         # snapshot, not per-batch counts — per-batch rates would make
-        # membership depend on batching). The snapshot's (doc_id,
-        # source) projection is materialized FIRST: the spec's
-        # distinct-sources collect and the rate job's two aggregates
-        # would otherwise each re-run the corpus-wide quality
-        # projection (one scan instead of three).
+        # membership depend on batching). The snapshot's source column
+        # is materialized FIRST: the spec's distinct-sources collect
+        # and the rate job's two aggregates would otherwise each
+        # re-run the corpus-wide quality projection (one scan instead
+        # of three); both consumers need only per-source counts, so
+        # one column suffices.
         snap_path = f"{base}/snap"
         docs.withColumn("quality", q_col).filter(
             F.col("quality") >= QS15_QUALITY_BAR
-        ).select("doc_id", "source").write.parquet(snap_path)
+        ).select("source").write.parquet(snap_path)
         snap = spark.read.parquet(snap_path)
         rates_path = f"{base}/rates"
         mixture_rates(
