@@ -868,3 +868,170 @@ def test_mv_sink_restart_from_checkpoint(spark, tmp_path):
         .collect()
     }
     assert restarted == uninterrupted == batch and restarted
+
+
+def test_composed_pipeline_many_batches_with_epoch_folds(spark, tmp_path):
+    """The qs15 COMPOSITION under a long stream: the oracle row runs
+    two micro-batches (no fold ever fires), but at 100 TB the
+    interaction between the gates and the dedup sink's epoch-fold
+    machinery is where surprises live. Drive the composed quality →
+    mixture → dedup pipeline through SIX single-file micro-batches
+    with keep_epochs=2 (minor folds MUST fire mid-stream, renaming
+    committed epochs into the consolidated partition while later
+    gated batches keep arriving) and assert the survivors cut still
+    equals the batch prefix over the same corpus."""
+    import os
+    import time
+
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        dedup_survivors,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from gh_archive_clickhouse_spark.operators.packing import (
+        mixture_gate,
+        mixture_rates,
+    )
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        quality_features,
+    )
+    from gh_archive_clickhouse_spark.plans.ext_queries import (
+        QX60_BUDGET_PPM,
+        QX60_SALT,
+        ranked_source_weights,
+    )
+    from gh_archive_clickhouse_spark.plans.streaming_queries import (
+        QS15_QUALITY_BAR,
+    )
+    from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        LABELS_SCHEMA,
+        fold_cluster_labels,
+        incremental_dedup_sink,
+    )
+
+    docs = read(spark, SF_DIR, "documents")
+    q_col = quality_features()["quality"]
+    snap = docs.withColumn("quality", q_col).filter(
+        F.col("quality") >= QS15_QUALITY_BAR
+    )
+    rates_path = str(tmp_path / "rates")
+    mixture_rates(
+        snap.select("source"),
+        ranked_source_weights(snap),
+        budget_ppm=QX60_BUDGET_PPM,
+    ).write.parquet(rates_path)
+    rates = spark.read.parquet(rates_path)
+
+    sigs_p = str(tmp_path / "sigs")
+    pairs_p = str(tmp_path / "pairs")
+    labels_p = str(tmp_path / "labels")
+    out = str(tmp_path / "curated")
+    # keep_epochs=2 over 6 batches: the minor fold fires repeatedly
+    # mid-stream, interleaved with the gates.
+    dedup = incremental_dedup_sink(
+        sigs_p, pairs_p, labels_p, keep_epochs=2
+    )
+
+    def _pipe(batch_df, epoch_id):
+        gated = mixture_gate(
+            batch_df.withColumn("quality", q_col).filter(
+                F.col("quality") >= QS15_QUALITY_BAR
+            ),
+            rates,
+            salt=QX60_SALT,
+        ).persist()
+        try:
+            (
+                gated.select("doc_id", "source", "quality", "rate_ppm")
+                .withColumn("epoch", F.lit(int(epoch_id)))
+                .repartition(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(out)
+            )
+            dedup(gated.select("doc_id", "text"), epoch_id)
+        finally:
+            gated.unpersist()
+
+    src = str(tmp_path / "docs")
+    # Pin mtimes in WRITE order (the qs12 _parquet_files pattern):
+    # part filenames are UUIDs, so sorting by name would give a
+    # run-dependent arrival order — per-epoch pair attribution (and
+    # therefore which epoch dirs ever exist) depends on it.
+    seen: set = set()
+    order: list = []
+    for k in range(6):
+        docs.filter(F.col("doc_id") % 6 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        new = {
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        } - seen
+        order.extend(sorted(new))
+        seen |= new
+    now = time.time()
+    for i, f in enumerate(order):
+        os.utime(os.path.join(src, f), (now + 60 * i,) * 2)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_pipe)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    fold_cluster_labels(spark, pairs_p, labels_p)
+
+    # The fold machinery actually engaged mid-composition: every
+    # batch appends a signature epoch, so at keep_epochs=2 over 6
+    # batches the sigs table MUST have consolidated. Pair epochs only
+    # exist for batches that discovered new pairs (arrival-order
+    # dependent), so assert the table's actual invariant instead:
+    # committed epoch dirs stay bounded, never one-per-batch forever.
+    assert os.path.isdir(os.path.join(sigs_p, "epoch=-1"))
+    pair_epochs = [
+        d
+        for d in os.listdir(pairs_p)
+        if d.startswith("epoch=") and d != "epoch=-1"
+    ]
+    assert len(pair_epochs) <= 3, pair_epochs  # keep_epochs + current
+
+    drops = (
+        spark.read.schema(LABELS_SCHEMA)
+        .parquet(labels_p)
+        .filter(F.col("doc_id") != F.col("cluster_rep"))
+        .select("doc_id")
+    )
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(out)
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+        .join(drops, "doc_id", "left_anti")
+        .collect()
+    }
+
+    # batch prefix over the same corpus: quality -> mixture -> dedup
+    gated_batch = mixture_gate(
+        docs.withColumn("quality", q_col).filter(
+            F.col("quality") >= QS15_QUALITY_BAR
+        ),
+        rates,
+        salt=QX60_SALT,
+    )
+    want = {
+        r.doc_id
+        for r in dedup_survivors(
+            gated_batch,
+            lsh_candidate_pairs(minhash_signatures(gated_batch)),
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want and got
