@@ -1035,3 +1035,161 @@ def test_composed_pipeline_many_batches_with_epoch_folds(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_composed_pipeline_restart_from_checkpoint(spark, tmp_path):
+    """The COMPOSED qs15 pipeline under Spark's resume path: the
+    curated table is written with dynamic epoch-partition overwrite,
+    so if a restarted query did NOT resume batch numbering from the
+    offset log, its first batch would rewrite epoch 0 and silently
+    drop previously-curated rows. Run gates+dedup over half the
+    files, stop, start a NEW StreamingQuery on the same checkpoint
+    with the rest present — the curated read-back and survivors cut
+    must equal the batch prefix over the full corpus."""
+    import os
+    import time
+
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        dedup_survivors,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from gh_archive_clickhouse_spark.operators.packing import (
+        mixture_gate,
+        mixture_rates,
+    )
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        quality_features,
+    )
+    from gh_archive_clickhouse_spark.plans.ext_queries import (
+        QX60_BUDGET_PPM,
+        QX60_SALT,
+        ranked_source_weights,
+    )
+    from gh_archive_clickhouse_spark.plans.streaming_queries import (
+        QS15_QUALITY_BAR,
+    )
+    from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        LABELS_SCHEMA,
+        fold_cluster_labels,
+        incremental_dedup_sink,
+    )
+
+    docs = read(spark, SF_DIR, "documents")
+    q_col = quality_features()["quality"]
+    snap = docs.withColumn("quality", q_col).filter(
+        F.col("quality") >= QS15_QUALITY_BAR
+    )
+    rates_path = str(tmp_path / "rates")
+    mixture_rates(
+        snap.select("source"),
+        ranked_source_weights(snap),
+        budget_ppm=QX60_BUDGET_PPM,
+    ).write.parquet(rates_path)
+    rates = spark.read.parquet(rates_path)
+
+    out = str(tmp_path / "curated")
+    dedup = incremental_dedup_sink(
+        str(tmp_path / "sigs"),
+        str(tmp_path / "pairs"),
+        str(tmp_path / "labels"),
+    )
+
+    def _pipe(batch_df, epoch_id):
+        gated = mixture_gate(
+            batch_df.withColumn("quality", q_col).filter(
+                F.col("quality") >= QS15_QUALITY_BAR
+            ),
+            rates,
+            salt=QX60_SALT,
+        ).persist()
+        try:
+            (
+                gated.select("doc_id", "source", "quality", "rate_ppm")
+                .withColumn("epoch", F.lit(int(epoch_id)))
+                .repartition(1)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("epoch")
+                .parquet(out)
+            )
+            dedup(gated.select("doc_id", "text"), epoch_id)
+        finally:
+            gated.unpersist()
+
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _write_half(pred, offset):
+        before = {
+            f
+            for f in (os.listdir(src) if os.path.isdir(src) else [])
+            if f.endswith(".parquet")
+        }
+        docs.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        new = {
+            f for f in os.listdir(src) if f.endswith(".parquet")
+        } - before
+        now = time.time()
+        for f in sorted(new):
+            os.utime(os.path.join(src, f), (now + offset,) * 2)
+
+    def _start():
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(_pipe)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_half(F.col("doc_id") % 2 == 0, 0)
+    _start()  # processes half 1 as epoch 0, commits, stops
+    _write_half(F.col("doc_id") % 2 != 0, 100)
+    _start()  # RESTART: must resume as epoch 1, not rewrite epoch 0
+    fold_cluster_labels(
+        spark, str(tmp_path / "pairs"), str(tmp_path / "labels")
+    )
+
+    # both curated epochs survived the restart (0 was not clobbered)
+    curated = spark.read.parquet(out)
+    assert {r.epoch for r in curated.select("epoch").distinct().collect()} == {
+        0,
+        1,
+    }
+    drops = (
+        spark.read.schema(LABELS_SCHEMA)
+        .parquet(str(tmp_path / "labels"))
+        .filter(F.col("doc_id") != F.col("cluster_rep"))
+        .select("doc_id")
+    )
+    got = {
+        r.doc_id
+        for r in curated.select("doc_id")
+        .dropDuplicates(["doc_id"])
+        .join(drops, "doc_id", "left_anti")
+        .collect()
+    }
+    gated_batch = mixture_gate(
+        docs.withColumn("quality", q_col).filter(
+            F.col("quality") >= QS15_QUALITY_BAR
+        ),
+        rates,
+        salt=QX60_SALT,
+    )
+    want = {
+        r.doc_id
+        for r in dedup_survivors(
+            gated_batch,
+            lsh_candidate_pairs(minhash_signatures(gated_batch)),
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want and got
