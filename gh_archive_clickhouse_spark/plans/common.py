@@ -259,6 +259,63 @@ def materialize(
     return df.localCheckpoint(eager=False)
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage behind an eagerly
+    ``localCheckpoint``'ed frame NOW instead of waiting for the
+    JVM ContextCleaner (which only reclaims once both the Python and
+    Java references are garbage-collected — effectively never inside
+    a long foreachBatch loop). The frame is UNREADABLE afterwards;
+    only call this when every consumer of the frame has finished.
+
+    Best-effort by design: if the plan isn't the expected LogicalRDD
+    (or the context is stopped) there is nothing to free and the old
+    cleaner-based behavior simply remains.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
+# (application id, key) -> the checkpointed RDD backing the PREVIOUS
+# result returned under that key, released when a new one replaces it.
+_RESULT_SNAPSHOTS: dict[tuple[str, str], object] = {}
+
+
+def snapshot_result(df: DataFrame, key: str) -> DataFrame:
+    """Eagerly ``localCheckpoint`` a builder's RESULT frame so it
+    survives the builder's temp-dir cleanup — and release the blocks
+    the PREVIOUS invocation under the same ``key`` left in the block
+    manager, so repeated invocations (bench times every builder twice;
+    the oracle gate runs it again) hold O(1) snapshots per query
+    instead of accumulating storage for the session's lifetime.
+
+    Contract: invoking a builder AGAIN invalidates the frame its
+    previous invocation returned (the old blocks are freed). Callers
+    that need two results of the same query live at once must collect
+    the first before re-invoking — which every harness (bench,
+    driver, tests) already does.
+    """
+    out = df.localCheckpoint(eager=True)
+    app = out.sparkSession.sparkContext.applicationId
+    prev = _RESULT_SNAPSHOTS.pop((app, key), None)
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass
+    try:
+        jrdd = out._jdf.queryExecution().analyzed().rdd()
+    except Exception:
+        return out
+    # entries from stopped sessions hold dead references — prune them
+    # so the registry stays O(keys), not O(keys x sessions)
+    for k in [k for k in _RESULT_SNAPSHOTS if k[0] != app]:
+        del _RESULT_SNAPSHOTS[k]
+    _RESULT_SNAPSHOTS[(app, key)] = jrdd
+    return out
+
+
 _SHIPPED_CONTEXTS: set[str] = set()
 _PKG_ZIP: str | None = None
 

@@ -54,7 +54,12 @@ from gh_archive_clickhouse_spark.functions.text import (
     STOPWORDS,
     tokens,
 )
-from gh_archive_clickhouse_spark.plans.common import Query, materialize, read
+from gh_archive_clickhouse_spark.plans.common import (
+    Query,
+    materialize,
+    read,
+    snapshot_result,
+)
 
 # ---------------------------------------------------------------- SQL
 # generators: DuckDB fragments mirroring functions/hashing + text.
@@ -2857,7 +2862,9 @@ QX42_SHARDS = 4
 QX42_SEED = "pipeline-order-v1"
 
 
-def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def qx42_preprocess_pipeline(
+    spark: SparkSession, sf_dir: str, probe: dict | None = None
+) -> DataFrame:
     """THE END-TO-END PRE-TRAINING DATA PIPELINE as one job graph,
     run all the way to the VERIFIED ON-DISK ARTIFACT a trainer mounts
     — the user story every other qx query is a stage of:
@@ -2886,6 +2893,19 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps its individually-tested scale shape; Catalyst pipelines
     them into one job graph with materialization barriers at each
     fan-out.
+
+    ``probe``: when a dict is passed, each stage's PRE-barrier frame
+    is stashed in it (the materialization barriers truncate lineage,
+    so the composed stage plans are only inspectable before their
+    barrier) — the plan test asserts no stage ever goes quadratic.
+
+    Cost/lifecycle notes (deliberate): every invocation re-runs the
+    shard write + verify — the artifact IS the query's output, so the
+    bench number for qx42 includes one sharded parquet write and one
+    verification scan, not just query execution. Re-invoking releases
+    the block-manager snapshot behind the PREVIOUS invocation's
+    result (see :func:`snapshot_result`), so repeated bench/oracle
+    runs hold O(1) storage.
     """
     import shutil
     import tempfile
@@ -2906,6 +2926,11 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score,
     )
 
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        if probe is not None:
+            probe[name] = df
+        return df
+
     docs = read(spark, sf_dir, "documents")
     # 1. dedup survivors
     pairs = qx9_lsh_candidates(spark, sf_dir).filter(
@@ -2915,13 +2940,17 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # later stage — without this each downstream consumer re-runs the
     # whole candidate/cluster pipeline (measured 2x wall time).
     kept = materialize(
-        dedup_survivors(docs, pairs), "qx42_dedup_kept"
+        _stage("kept", dedup_survivors(docs, pairs)), "qx42_dedup_kept"
     )
     # 2. quality gate (re-join text for the later stages)
     quality = quality_score(kept).select("doc_id", "quality")
     qkept = materialize(
-        kept.join(quality, "doc_id").filter(
-            (F.col("quality") >= 0.75) & (F.col("source") != "src0")
+        _stage(
+            "qkept",
+            kept.join(quality, "doc_id").filter(
+                (F.col("quality") >= 0.75)
+                & (F.col("source") != "src0")
+            ),
         ),
         "qx42_quality_kept",
     )
@@ -2934,9 +2963,12 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mixture's spec/rate probes + the gated scan) — un-checkpointed,
     # the decontamination pipeline would execute once per consumer.
     clean = materialize(
-        qkept.join(rates, "doc_id", "left")
-        .filter(F.coalesce(F.col("rate"), F.lit(0.0)) < 0.05)
-        .select("doc_id", "source", "text"),
+        _stage(
+            "clean",
+            qkept.join(rates, "doc_id", "left")
+            .filter(F.coalesce(F.col("rate"), F.lit(0.0)) < 0.05)
+            .select("doc_id", "source", "text"),
+        ),
         "qx42_clean",
     )
     # 4. mixture: rates from the CLEAN corpus snapshot (the mixture
@@ -2957,9 +2989,14 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join-back (the qx45 barrier), and the seeded order feeds both
     # emission sides.
     ordered = materialize(
-        seeded_shuffle(
-            mixed.select("doc_id", tokens(F.col("text")).alias("__t")),
-            seed=QX42_SEED,
+        _stage(
+            "ordered",
+            seeded_shuffle(
+                mixed.select(
+                    "doc_id", tokens(F.col("text")).alias("__t")
+                ),
+                seed=QX42_SEED,
+            ),
         ),
         "qx42_ordered",
     )
@@ -2968,8 +3005,11 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unbarriered, the slice join-back + fingerprint aggregate would
     # execute twice.
     seqs = materialize(
-        packed_sequence_fingerprints(
-            ordered, 256, order_col="shuffle_pos"
+        _stage(
+            "seqs",
+            packed_sequence_fingerprints(
+                ordered, 256, order_col="shuffle_pos"
+            ),
         ),
         "qx42_seqs",
     )
@@ -2983,14 +3023,16 @@ def qx42_preprocess_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         write_training_shards(seqs, shards_path, QX42_SHARDS, pos_col="seq_id")
         verify_training_shards(spark, shards_path)
-        return (
+        return snapshot_result(
             spark.read.schema(
                 "seq_id long, n_slices bigint, n_tokens bigint, "
                 "content_md5 string, shard int"
             )
             .parquet(shards_path)
-            .select("seq_id", "n_slices", "n_tokens", "content_md5", "shard")
-            .localCheckpoint(eager=True)
+            .select(
+                "seq_id", "n_slices", "n_tokens", "content_md5", "shard"
+            ),
+            "qx42",
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)

@@ -54,19 +54,15 @@ WINDOW = 50
 # older code, i.e. are effectively no rows — so these pin to the front
 # of the window until a driver row from _CHANGED_ROUND or later lands
 # for them, at which point the pin expires per query automatically).
-_CHANGED_ROUND = 9
+_CHANGED_ROUND = 10
 _CHANGED = (
-    # extended to the full curate->mix->order->pack->shard story with
-    # the verified on-disk artifact (write + verify inside the builder)
+    # result snapshot now released on re-invocation (snapshot_result)
+    # + the builder grew the plan-probe hook (results identical, but
+    # the builder code changed)
     "qx42_preprocess_pipeline",
-    # mixture_rates hardened: BIGINT cast in the rate expression,
-    # NULL-source spec raise (results identical for long-typed specs,
-    # but the operator code changed)
-    "qx60_mixture_resample",
-    "qs14_stream_mixture_gate",
-    # builder rerouted through the shared packed_sequence_fingerprints
-    # helper (expressions identical, but the builder code changed)
-    "qx45_packed_sequences",
+    # source-file mtimes now pinned in write order (deterministic
+    # epoch layout) + snapshot_result routing
+    "qs15_stream_preprocess_pipeline",
 )
 
 # Canonical declaration order: used as the deterministic tie-break

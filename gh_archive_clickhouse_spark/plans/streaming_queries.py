@@ -24,7 +24,12 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gh_archive_clickhouse_spark.plans.common import Query, read, ts_fmt
+from gh_archive_clickhouse_spark.plans.common import (
+    Query,
+    read,
+    snapshot_result,
+    ts_fmt,
+)
 from gh_archive_clickhouse_spark.plans.ext_queries import (
     ORACLE_LSH_CANDIDATES as _ORACLE_QS4,
     _ORACLE_QX40 as _ORACLE_QS10,
@@ -950,8 +955,10 @@ def qs15_stream_preprocess_pipeline(
     (qx5's score SQL → the qx60 rate CTEs over the curated set → the
     qs4 banding SQL over the mixed set → recursive-CTE CC →
     anti-join) asserts, hash-verified."""
+    import os
     import shutil
     import tempfile
+    import time
 
     from gh_archive_clickhouse_spark.operators.packing import (
         mixture_gate,
@@ -1026,12 +1033,33 @@ def qs15_stream_preprocess_pipeline(
                 gated.unpersist()
 
         src = f"{base}/docs"
+
+        def _parquet_files() -> set:
+            return {
+                f for f in os.listdir(src) if f.endswith(".parquet")
+            }
+
         docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        first = _parquet_files()
         docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        second = _parquet_files() - first
+        # Pin mtimes far apart IN WRITE ORDER (capture the file set
+        # after each write — part names are UUIDs, so path order is
+        # arbitrary; the qs12 lesson): same-second writes would
+        # otherwise tie on mtime and which half becomes epoch 0 vs 1
+        # would be run-dependent. The final read-back is
+        # order-invariant (the gates are pure per-row functions and
+        # the pair-log union is order-independent), but the epoch
+        # partition LAYOUT should not vary run to run.
+        now = time.time()
+        for f in first:
+            os.utime(f"{src}/{f}", (now, now))
+        for f in second:
+            os.utime(f"{src}/{f}", (now + 100, now + 100))
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
@@ -1056,7 +1084,7 @@ def qs15_stream_preprocess_pipeline(
             .filter(F.col("doc_id") != F.col("cluster_rep"))
             .select("doc_id")
         )
-        return (
+        return snapshot_result(
             spark.read.schema(
                 "doc_id long, source string, quality double, "
                 "rate_ppm long, epoch int"
@@ -1064,8 +1092,8 @@ def qs15_stream_preprocess_pipeline(
             .parquet(out)
             .select("doc_id", "source", "quality", "rate_ppm")
             .dropDuplicates(["doc_id"])
-            .join(drops, "doc_id", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(drops, "doc_id", "left_anti"),
+            "qs15",
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)

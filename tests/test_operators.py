@@ -709,6 +709,35 @@ def test_scratch_tables_are_garbage_collected(
     assert (tmp_path / "my_index").exists()
 
 
+def test_snapshot_result_releases_previous_invocation(spark):
+    """Builder-result snapshots hold O(1) block-manager storage per
+    query key: a SECOND invocation under the same key frees the first
+    frame's checkpoint blocks (deterministically — not whenever the
+    JVM cleaner eventually notices), while distinct keys coexist and
+    the newest frame under each key stays fully readable."""
+    from gh_archive_clickhouse_spark.plans.common import snapshot_result
+
+    def _cached_rdd_ids():
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = _cached_rdd_ids()
+    a1 = snapshot_result(spark.range(100).selectExpr("id"), "op_a")
+    b1 = snapshot_result(spark.range(50).selectExpr("id"), "op_b")
+    a1_ids = _cached_rdd_ids() - before
+    assert len(a1_ids) == 2  # one checkpoint RDD per snapshot
+    assert a1.count() == 100 and b1.count() == 50
+
+    a2 = snapshot_result(spark.range(10).selectExpr("id"), "op_a")
+    after = _cached_rdd_ids()
+    # exactly one of the two original RDDs (op_a's) was released and
+    # one new one (a2's) took its place; op_b's frame is untouched
+    assert len(a1_ids - after) == 1
+    assert a2.count() == 10 and b1.count() == 50
+
+
 def test_kmeans_fit_matches_numpy_reference(spark):
     """kmeans_fit == a literal numpy Lloyd implementation with the
     same determinism rules (id<k init, cosine argmax with lowest-id

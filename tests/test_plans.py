@@ -354,21 +354,33 @@ def test_qx42_pipeline_artifact_invariants(spark):
     on-disk shard artifact (write_training_shards +
     verify_training_shards run inside the builder — a divergent
     manifest would have raised before the frame is returned), so the
-    output frame is the read-back of the verified tree. Pin the
-    artifact contract: dense 0-based sequence ids, the contiguous
-    integer shard formula, full 256-token sequences except possibly
-    the last, and a content fingerprint on every row. (Each upstream
-    stage's plan shape is pinned by its OWN test: qx31's LeftAnti
-    cut, qx23's broadcast benchmark grams, qx33's two-level window,
-    qx60's broadcast rate table, qx62's exchange-free shard stage.)"""
-    from gh_archive_clickhouse_spark.plans.ext_queries import QX42_SHARDS
+    output frame is the read-back of the verified tree. Pin BOTH:
 
-    rows = (
-        QUERIES["qx42_preprocess_pipeline"]
-        .builder(spark, SF_DIR)
-        .orderBy("seq_id")
-        .collect()
+    1. the COMPOSED stage plans never go quadratic — the builder's
+       ``probe`` stashes each stage's pre-barrier frame (the
+       materialization barriers truncate lineage, so the final
+       frame's plan alone would say nothing about the join-bearing
+       stages: the mixture-gate join, the seeded shuffle, the packing
+       slice join-back) and every one must be free of
+       CartesianProduct / BroadcastNestedLoopJoin;
+    2. the artifact contract: dense 0-based sequence ids, the
+       contiguous integer shard formula, full 256-token sequences
+       except possibly the last, and a content fingerprint on every
+       row."""
+    from gh_archive_clickhouse_spark.plans.ext_queries import (
+        QX42_SHARDS,
+        qx42_preprocess_pipeline,
     )
+
+    probe: dict = {}
+    df = qx42_preprocess_pipeline(spark, SF_DIR, probe=probe)
+    assert set(probe) == {"kept", "qkept", "clean", "ordered", "seqs"}
+    for name, frame in probe.items():
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+    rows = df.orderBy("seq_id").collect()
     assert rows, "pipeline produced no sequences at the test SF"
     total = len(rows)
     assert [r["seq_id"] for r in rows] == list(range(total))

@@ -776,7 +776,9 @@ def test_dedup_sink_restart_from_checkpoint(spark, tmp_path):
     assert r_pairs == u_pairs
     assert r_labels == u_labels
     # the restarted run resumed epoch numbering from the offset log
-    # (epoch partitions 0 AND 1 exist across its tables)
+    # (epoch partitions 0 AND 1 exist in the sigs table — with the
+    # default keep_epochs=4 no fold can fire in a 2-batch run, so
+    # there is no consolidated epoch=-1 to hide behind)
     epochs = {
         r.epoch
         for r in spark.read.schema(SIGS_SCHEMA)
@@ -785,7 +787,16 @@ def test_dedup_sink_restart_from_checkpoint(spark, tmp_path):
         .distinct()
         .collect()
     }
-    assert {0, 1} <= epochs or epochs == {-1}
+    assert epochs == {0, 1}
+    # and the checkpoint itself committed exactly batches 0 and 1:
+    # the restarted query CONTINUED batch numbering from the offset
+    # log rather than resetting to 0 and reprocessing
+    commits = {
+        f
+        for f in os.listdir(str(rbase / "ckpt" / "commits"))
+        if f.isdigit()
+    }
+    assert commits == {"0", "1"}
 
 
 def test_mv_sink_restart_from_checkpoint(spark, tmp_path):
