@@ -52,6 +52,24 @@ analysis to the reader:
   queries are excluded (their startup jitter is >=15% on identical
   code — the batch_norm policy); queries in the registry's _CHANGED
   list are excluded because their code intentionally changed.
+* ``lat_sec`` — a SECOND probe for the environment component the
+  scan-aggregate can't see: per-JOB scheduling latency. The r9
+  driver run proved the gap — seven sub-1.7s queries inflated
+  1.4-3.9x normalized while the scan probe moved only 8%, because
+  small queries at sf0.1 are job-count-dominated (each Spark job
+  carries a fixed scheduler/round-trip cost that contended
+  environments inflate independently of scan throughput), and all
+  seven were byte-identical code that the solo run timed flat. The
+  latency probe is the median of 5 one-task noop jobs (no data
+  read), taken first-and-last like the scan probe. A candidate
+  regression must now show >25% growth under BOTH normalizations
+  (raw/cal_sec AND raw/lat_sec) to be listed in
+  ``regressions_norm``; candidates the latency gate exonerates go
+  to ``cal_only_flags`` in the report file — visible, but not
+  alarmed on. A genuine plan regression (more work per query) grows
+  under both; an environment latency shift grows only under cal.
+  Until a prior report carries ``queries_lat_norm`` the gate falls
+  back to cal-only (previous behavior).
 
 Normalization form: mean-of-probes, not position-interpolated. Tested
 on the two calibrated r8 runs (driver ``bench_report.json`` vs solo
@@ -112,6 +130,34 @@ def _calibrate(spark, sf_dir: str) -> float:
     return sorted(samples)[1]
 
 
+def _latency_probe(spark) -> float:
+    """Per-job scheduling-latency probe: a one-task, zero-input noop
+    job (no scan, no shuffle) — pure job submit/schedule/commit
+    round-trip. Median of 5; one untimed warm-up first. Like the scan
+    probe this MUST NOT change across rounds."""
+
+    def _run() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 1, 1, 1)
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    _run()
+    samples = [_run() for _ in range(5)]
+    return sorted(samples)[2]
+
+
+def _latency_probe_safe(spark) -> float:
+    try:
+        return _latency_probe(spark)
+    except Exception:
+        return 0.0
+
+
 def _calibrate_safe(spark, sf_dir: str) -> float:
     """A fixture dir without lineitem (or any probe failure) must not
     abort the bench — every query the dir CAN run still gets timed
@@ -121,6 +167,55 @@ def _calibrate_safe(spark, sf_dir: str) -> float:
         return _calibrate(spark, sf_dir)
     except Exception:
         return 0.0
+
+
+def flag_regressions(
+    timings: dict[str, float],
+    prev_norm: dict[str, float],
+    prev_lat_norm: dict[str, float],
+    cal_sec: float,
+    lat_sec: float,
+    streaming: set[str],
+    changed: tuple[str, ...] | set[str],
+) -> tuple[dict[str, list], dict[str, list]]:
+    """The round-over-round regression gate as a pure function (unit-
+    tested in tests/test_bench_gate.py). Returns
+    ``(regressions_norm, cal_only_flags)``:
+
+    - a query lands in ``regressions_norm`` when its cal-normalized
+      time grew >25% AND by >0.5 probe units AND (when both runs
+      carry a latency normalization) its lat-normalized time ALSO
+      grew >25% — the dual gate from the module docstring;
+    - a cal-flagged query the latency gate exonerates lands in
+      ``cal_only_flags`` instead (report-file visibility, no alarm);
+    - streaming-tagged and declared-changed queries never flag.
+    """
+    regressions_norm: dict[str, list] = {}
+    cal_only_flags: dict[str, list] = {}
+    if not cal_sec or not prev_norm:
+        return regressions_norm, cal_only_flags
+    for name, t in timings.items():
+        if name in streaming or name in changed:
+            continue
+        p = prev_norm.get(name)
+        if not p or p <= 0:
+            continue
+        cur = t / cal_sec
+        if cur / p > 1.25 and cur - p > 0.5:
+            # the latency gate (see module docstring): a genuine
+            # regression also grows under per-job-latency
+            # normalization; a scheduler-contended environment
+            # inflates small queries under cal only
+            pl = prev_lat_norm.get(name)
+            if lat_sec and pl and pl > 0 and (
+                (t / lat_sec) / pl <= 1.25
+            ):
+                cal_only_flags[name] = [p, cur]
+                continue
+            # keep the UNROUNDED prev: a sub-0.005 prev would round
+            # to 0.0 and divide-by-zero in the display sort
+            regressions_norm[name] = [p, cur]
+    return regressions_norm, cal_only_flags
 
 
 def main() -> None:
@@ -160,6 +255,7 @@ def main() -> None:
     # again after the last, so a drift DURING the run shows up as
     # cal_first != cal_last rather than silently skewing half the map.
     cal_first = _calibrate_safe(spark, sf_dir)
+    lat_first = _latency_probe_safe(spark)
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
         best = float("inf")
@@ -178,8 +274,12 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     cal_last = _calibrate_safe(spark, sf_dir)
+    lat_last = _latency_probe_safe(spark)
     cal_sec = (
         (cal_first + cal_last) / 2 if cal_first and cal_last else 0.0
+    )
+    lat_sec = (
+        (lat_first + lat_last) / 2 if lat_first and lat_last else 0.0
     )
     cal_drift = (
         round(max(cal_first, cal_last) / min(cal_first, cal_last), 3)
@@ -193,39 +293,38 @@ def main() -> None:
     # Round-over-round normalized regression check (see module
     # docstring): the PRIOR report is read before this run overwrites
     # it. Declared-changed queries and streaming queries are excluded.
-    regressions_norm: dict[str, list] = {}
     try:
         with open(report_path) as f:
             prev_report = json.load(f)
         prev_norm = prev_report.get("queries_norm") or {}
+        prev_lat_norm = prev_report.get("queries_lat_norm") or {}
         # normalized times are only comparable at the SAME scale
         # factor: the probe scales ~linearly with SF while join/
         # window-heavy queries scale superlinearly, so a cross-SF
-        # comparison would flag phantom regressions.
+        # comparison would flag phantom regressions. (The latency
+        # normalization divides the same SF-dependent raw time, so it
+        # is cross-SF-incomparable for the same reason.)
         if prev_report.get("sf") != sf:
             prev_norm = {}
+            prev_lat_norm = {}
     except (OSError, json.JSONDecodeError, AttributeError):
         prev_norm = {}
-    if cal_sec and prev_norm:
-        try:
-            from gh_archive_clickhouse_spark.plans.registry import (
-                _CHANGED as _changed_queries,
-            )
-        except ImportError:  # registry layout change must not kill bench
-            _changed_queries = ()
-        for name, t in timings.items():
-            if "streaming" in QUERIES[name].tags:
-                continue
-            if name in _changed_queries:
-                continue
-            p = prev_norm.get(name)
-            if not p or p <= 0:
-                continue
-            cur = t / cal_sec
-            if cur / p > 1.25 and cur - p > 0.5:
-                # keep the UNROUNDED prev: a sub-0.005 prev would
-                # round to 0.0 and divide-by-zero in the sort below
-                regressions_norm[name] = [p, cur]
+        prev_lat_norm = {}
+    try:
+        from gh_archive_clickhouse_spark.plans.registry import (
+            _CHANGED as _changed_queries,
+        )
+    except ImportError:  # registry layout change must not kill bench
+        _changed_queries = ()
+    regressions_norm, cal_only_flags = flag_regressions(
+        timings,
+        prev_norm,
+        prev_lat_norm,
+        cal_sec,
+        lat_sec,
+        {n for n in timings if "streaming" in QUERIES[n].tags},
+        _changed_queries,
+    )
 
     # The driver snapshots only the LAST 2000 chars of stdout; full
     # registry names blow that budget and decapitate the JSON line
@@ -265,6 +364,7 @@ def main() -> None:
             "cal_first": round(cal_first, 3),
             "cal_last": round(cal_last, 3),
             "cal_sec": round(cal_sec, 3),
+            "lat_sec": round(lat_sec, 3),
             "queries": qmap,
             "sf": sf,
         }
@@ -300,11 +400,18 @@ def main() -> None:
                     "cal_first": round(cal_first, 4),
                     "cal_last": round(cal_last, 4),
                     "cal_sec": round(cal_sec, 4),
+                    "lat_first": round(lat_first, 4),
+                    "lat_last": round(lat_last, 4),
+                    "lat_sec": round(lat_sec, 4),
                     "cal_drift": cal_drift,
                     "cal_noisy": cal_drift > 1.25,
                     "regressions_norm": {
                         k: [round(v[0], 3), round(v[1], 3)]
                         for k, v in regressions_norm.items()
+                    },
+                    "cal_only_flags": {
+                        k: [round(v[0], 3), round(v[1], 3)]
+                        for k, v in cal_only_flags.items()
                     },
                     "value": total,
                     "batch_total": round(total - stream_total, 3),
@@ -322,6 +429,12 @@ def main() -> None:
                         for n, t in timings.items()
                     }
                     if cal_sec
+                    else {},
+                    "queries_lat_norm": {
+                        n: round(t / lat_sec, 3)
+                        for n, t in timings.items()
+                    }
+                    if lat_sec
                     else {},
                 },
                 f,

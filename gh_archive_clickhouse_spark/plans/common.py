@@ -259,24 +259,6 @@ def materialize(
     return df.localCheckpoint(eager=False)
 
 
-def release_local_checkpoint(df: DataFrame) -> None:
-    """Free the block-manager storage behind an eagerly
-    ``localCheckpoint``'ed frame NOW instead of waiting for the
-    JVM ContextCleaner (which only reclaims once both the Python and
-    Java references are garbage-collected — effectively never inside
-    a long foreachBatch loop). The frame is UNREADABLE afterwards;
-    only call this when every consumer of the frame has finished.
-
-    Best-effort by design: if the plan isn't the expected LogicalRDD
-    (or the context is stopped) there is nothing to free and the old
-    cleaner-based behavior simply remains.
-    """
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
-
-
 # (application id, key) -> the checkpointed RDD backing the PREVIOUS
 # result returned under that key, released when a new one replaces it.
 _RESULT_SNAPSHOTS: dict[tuple[str, str], object] = {}

@@ -1,0 +1,79 @@
+"""The bench harness's round-over-round regression gate, pinned as a
+pure function (no Spark): the dual cal+latency normalization decides
+what gets alarmed on, so its edge cases deserve the same treatment as
+query logic — a silently-broken gate reads as "no regressions".
+"""
+
+from __future__ import annotations
+
+from bench import flag_regressions
+
+# A prior round where every query took exactly its normalized value
+# at cal=1.0, lat=0.1 (so prev_lat_norm = 10x prev_norm).
+PREV = {"qa_small": 1.0, "qb_big": 8.0, "qc_stream": 2.0, "qd_new": 1.0}
+PREV_LAT = {k: v * 10 for k, v in PREV.items()}
+
+
+def _gate(timings, cal=1.0, lat=0.1, prev_lat=PREV_LAT, changed=()):
+    return flag_regressions(
+        timings, PREV, prev_lat, cal, lat, {"qc_stream"}, changed
+    )
+
+
+def test_flat_run_flags_nothing():
+    reg, cal_only = _gate({k: v for k, v in PREV.items()})
+    assert reg == {} and cal_only == {}
+
+
+def test_genuine_regression_flags_under_both_normalizations():
+    # 2x the work: grows under cal AND lat normalization
+    reg, cal_only = _gate({"qa_small": 2.0, "qb_big": 8.0})
+    assert set(reg) == {"qa_small"} and cal_only == {}
+    prev, cur = reg["qa_small"]
+    assert prev == 1.0 and cur == 2.0
+
+
+def test_latency_shift_is_exonerated_not_alarmed():
+    # the r9 driver scenario: raw time doubled, scan probe flat, but
+    # the latency probe ALSO doubled (0.1 -> 0.2) — lat-normalized
+    # time is unchanged, so the flag is informational only
+    reg, cal_only = _gate({"qa_small": 2.0}, cal=1.0, lat=0.2)
+    assert reg == {} and set(cal_only) == {"qa_small"}
+
+
+def test_small_absolute_deltas_never_qualify():
+    # +40% but only +0.4 probe units: under the 0.5 absolute floor
+    reg, cal_only = _gate({"qa_small": 1.4})
+    assert reg == {} and cal_only == {}
+
+
+def test_streaming_and_changed_queries_are_excluded():
+    reg, _ = _gate(
+        {"qc_stream": 10.0, "qd_new": 10.0}, changed=("qd_new",)
+    )
+    assert reg == {}
+
+
+def test_missing_lat_history_falls_back_to_cal_only_gate():
+    # first run after the lat probe landed: prior report has no
+    # queries_lat_norm — the cal gate must still alarm by itself
+    reg, cal_only = _gate({"qa_small": 2.0}, prev_lat={})
+    assert set(reg) == {"qa_small"} and cal_only == {}
+
+
+def test_no_calibration_or_no_history_disables_the_gate():
+    assert flag_regressions(
+        {"qa_small": 9.0}, PREV, PREV_LAT, 0.0, 0.1, set(), ()
+    ) == ({}, {})
+    assert flag_regressions(
+        {"qa_small": 9.0}, {}, {}, 1.0, 0.1, set(), ()
+    ) == ({}, {})
+
+
+def test_uniform_environment_shift_divides_out():
+    # everything (queries AND both probes) 3x slower: normalized
+    # times are unchanged — nothing flags
+    reg, cal_only = _gate(
+        {k: v * 3 for k, v in PREV.items()}, cal=3.0, lat=0.3
+    )
+    assert reg == {} and cal_only == {}
