@@ -385,6 +385,17 @@ def main() -> None:
                     key=lambda kv: -(kv[1][1] / kv[1][0]),
                 )[:8]
             }
+            # latency-exonerated candidates ride the stdout line too:
+            # the demotion must be VISIBLE in the driver snapshot, not
+            # only in the report file — a genuine regression that
+            # co-occurs with a latency shift shows up here
+            payload["cal_only_flags"] = {
+                k: [round(v[0], 2), round(v[1], 2)]
+                for k, v in sorted(
+                    cal_only_flags.items(),
+                    key=lambda kv: -(kv[1][1] / kv[1][0]),
+                )[:8]
+            }
         if omitted:
             # sibling field, NOT a fake entry inside the timing map
             payload["queries_omitted"] = omitted

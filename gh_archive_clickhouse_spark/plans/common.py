@@ -262,6 +262,7 @@ def materialize(
 # (application id, key) -> the checkpointed RDD backing the PREVIOUS
 # result returned under that key, released when a new one replaces it.
 _RESULT_SNAPSHOTS: dict[tuple[str, str], object] = {}
+_SNAPSHOT_RELEASE_WARNED = False
 
 
 def snapshot_result(df: DataFrame, key: str) -> DataFrame:
@@ -289,6 +290,23 @@ def snapshot_result(df: DataFrame, key: str) -> DataFrame:
     try:
         jrdd = out._jdf.queryExecution().analyzed().rdd()
     except Exception:
+        # Degrading to cleaner-based release must be VISIBLE (once):
+        # callers believe the O(1)-storage contract holds, and on an
+        # API where the LogicalRDD handle isn't reachable (e.g. Spark
+        # Connect) snapshots would silently accumulate again.
+        global _SNAPSHOT_RELEASE_WARNED
+        if not _SNAPSHOT_RELEASE_WARNED:
+            _SNAPSHOT_RELEASE_WARNED = True
+            import warnings
+
+            warnings.warn(
+                "snapshot_result: checkpointed-RDD handle not "
+                "reachable on this Spark API; previous-result release "
+                "is disabled and snapshots accumulate until the JVM "
+                "ContextCleaner reclaims them",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         return out
     # entries from stopped sessions hold dead references — prune them
     # so the registry stays O(keys), not O(keys x sessions)
