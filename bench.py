@@ -65,8 +65,8 @@ analysis to the reader:
   regression must now show >25% growth under BOTH normalizations
   (raw/cal_sec AND raw/lat_sec) to be listed in
   ``regressions_norm``; candidates the latency gate exonerates go
-  to ``cal_only_flags`` in the report file — visible, but not
-  alarmed on. A genuine plan regression (more work per query) grows
+  to ``cal_only_flags`` (stdout line AND report file — visible, but
+  not alarmed on). A genuine plan regression (more work per query) grows
   under both; an environment latency shift grows only under cal.
   Until a prior report carries ``queries_lat_norm`` the gate falls
   back to cal-only (previous behavior).

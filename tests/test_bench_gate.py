@@ -77,3 +77,67 @@ def test_uniform_environment_shift_divides_out():
         {k: v * 3 for k, v in PREV.items()}, cal=3.0, lat=0.3
     )
     assert reg == {} and cal_only == {}
+
+
+# ---- randomized properties --------------------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_norms = st.dictionaries(
+    st.sampled_from(["q1", "q2", "q3", "q4", "q5"]),
+    st.floats(min_value=0.01, max_value=50, allow_nan=False),
+    min_size=1,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    prev=_norms,
+    env=st.floats(min_value=0.1, max_value=10, allow_nan=False),
+    cal=st.floats(min_value=0.05, max_value=5, allow_nan=False),
+    lat=st.floats(min_value=0.005, max_value=0.5, allow_nan=False),
+)
+def test_property_uniform_shift_never_flags(prev, env, cal, lat):
+    """ANY uniform environment shift (every query and both probes
+    scaled by the same factor) must divide out completely."""
+    timings = {n: p * cal * env for n, p in prev.items()}
+    reg, cal_only = flag_regressions(
+        timings,
+        prev,
+        {n: p * cal / lat for n, p in prev.items()},
+        cal * env,
+        lat * env,
+        set(),
+        (),
+    )
+    assert reg == {} and cal_only == {}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    prev=_norms,
+    growth=st.floats(min_value=1.3, max_value=20, allow_nan=False),
+)
+def test_property_real_growth_with_stable_probes_always_flags(
+    prev, growth
+):
+    """A query that genuinely does `growth`x the work while both
+    probes are stable must be ALARMED (never merely exonerated),
+    provided it clears the 0.5-probe-unit absolute floor."""
+    name = next(iter(prev))
+    timings = {name: prev[name] * growth}
+    reg, cal_only = flag_regressions(
+        timings,
+        prev,
+        {n: p * 10 for n, p in prev.items()},  # lat = cal/10
+        1.0,
+        0.1,
+        set(),
+        (),
+    )
+    if prev[name] * growth - prev[name] > 0.5:
+        assert name in reg and name not in cal_only
+    else:
+        assert reg == {} and cal_only == {}
