@@ -218,6 +218,21 @@ def flag_regressions(
     return regressions_norm, cal_only_flags
 
 
+def _worst_by_ratio(
+    flags: dict[str, list], nd: int, keep: int = 8
+) -> dict[str, list]:
+    """The display form of a flag map: worst `keep` entries by
+    growth ratio, values rounded to `nd` decimals. The sort runs on
+    the stored UNROUNDED values (a rounded-to-0.0 prev would divide
+    by zero) — the single definition every emission site shares."""
+    return {
+        k: [round(v[0], nd), round(v[1], nd)]
+        for k, v in sorted(
+            flags.items(), key=lambda kv: -(kv[1][1] / kv[1][0])
+        )[:keep]
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -298,6 +313,7 @@ def main() -> None:
             prev_report = json.load(f)
         prev_norm = prev_report.get("queries_norm") or {}
         prev_lat_norm = prev_report.get("queries_lat_norm") or {}
+        prev_noisy = bool(prev_report.get("cal_noisy"))
         # normalized times are only comparable at the SAME scale
         # factor: the probe scales ~linearly with SF while join/
         # window-heavy queries scale superlinearly, so a cross-SF
@@ -310,6 +326,7 @@ def main() -> None:
     except (OSError, json.JSONDecodeError, AttributeError):
         prev_norm = {}
         prev_lat_norm = {}
+        prev_noisy = False
     try:
         from gh_archive_clickhouse_spark.plans.registry import (
             _CHANGED as _changed_queries,
@@ -375,27 +392,29 @@ def main() -> None:
             )
             payload["cal_drift"] = cal_drift
             payload["cal_noisy"] = cal_drift > 1.25
-            # the harness-computed regression signal (top offenders by
-            # ratio if the list is ever long; normally empty) —
-            # rounded for DISPLAY only, the sort uses unrounded values
-            payload["regressions_norm"] = {
-                k: [round(v[0], 2), round(v[1], 2)]
-                for k, v in sorted(
-                    regressions_norm.items(),
-                    key=lambda kv: -(kv[1][1] / kv[1][0]),
-                )[:8]
-            }
-            # latency-exonerated candidates ride the stdout line too:
-            # the demotion must be VISIBLE in the driver snapshot, not
-            # only in the report file — a genuine regression that
-            # co-occurs with a latency shift shows up here
-            payload["cal_only_flags"] = {
-                k: [round(v[0], 2), round(v[1], 2)]
-                for k, v in sorted(
-                    cal_only_flags.items(),
-                    key=lambda kv: -(kv[1][1] / kv[1][0]),
-                )[:8]
-            }
+            # the harness-computed regression signal (worst 8 by
+            # ratio; normally empty) plus the latency-exonerated
+            # candidates — the demotion must be VISIBLE in the driver
+            # snapshot, not only in the report file. Anything the
+            # top-8 cut drops is counted, never silently truncated
+            # (the queries_omitted convention below).
+            payload["regressions_norm"] = _worst_by_ratio(
+                regressions_norm, 2
+            )
+            payload["cal_only_flags"] = _worst_by_ratio(
+                cal_only_flags, 2
+            )
+            for fname, full in (
+                ("regressions_omitted", regressions_norm),
+                ("cal_only_omitted", cal_only_flags),
+            ):
+                if len(full) > 8:
+                    payload[fname] = len(full) - 8
+            if prev_noisy and (regressions_norm or cal_only_flags):
+                # the comparison BASE was itself a cal_noisy run (the
+                # r9->r10 lesson: a contended driver run as baseline
+                # manufactures phantom alarms) — stamp the provenance
+                payload["prev_noisy"] = True
         if omitted:
             # sibling field, NOT a fake entry inside the timing map
             payload["queries_omitted"] = omitted
@@ -416,14 +435,13 @@ def main() -> None:
                     "lat_sec": round(lat_sec, 4),
                     "cal_drift": cal_drift,
                     "cal_noisy": cal_drift > 1.25,
-                    "regressions_norm": {
-                        k: [round(v[0], 3), round(v[1], 3)]
-                        for k, v in regressions_norm.items()
-                    },
-                    "cal_only_flags": {
-                        k: [round(v[0], 3), round(v[1], 3)]
-                        for k, v in cal_only_flags.items()
-                    },
+                    "regressions_norm": _worst_by_ratio(
+                        regressions_norm, 3, keep=len(regressions_norm)
+                    ),
+                    "cal_only_flags": _worst_by_ratio(
+                        cal_only_flags, 3, keep=len(cal_only_flags)
+                    ),
+                    "prev_noisy": prev_noisy,
                     "value": total,
                     "batch_total": round(total - stream_total, 3),
                     "value_norm": (

@@ -280,14 +280,17 @@ def snapshot_result(df: DataFrame, key: str) -> DataFrame:
     driver, tests) already does.
     """
     out = df.localCheckpoint(eager=True)
-    app = out.sparkSession.sparkContext.applicationId
-    prev = _RESULT_SNAPSHOTS.pop((app, key), None)
-    if prev is not None:
-        try:
-            prev.unpersist(False)
-        except Exception:
-            pass
     try:
+        # sparkContext and the internal-plan handle are both absent on
+        # connect-style APIs — reaching either is part of the guarded
+        # fast path, not a precondition.
+        app = out.sparkSession.sparkContext.applicationId
+        prev = _RESULT_SNAPSHOTS.pop((app, key), None)
+        if prev is not None:
+            try:
+                prev.unpersist(False)
+            except Exception:
+                pass
         jrdd = out._jdf.queryExecution().analyzed().rdd()
     except Exception:
         # Degrading to cleaner-based release must be VISIBLE (once):
