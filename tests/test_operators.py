@@ -983,6 +983,10 @@ def test_ivfpq_sink_rejects_empty_centroids(spark, tmp_path):
         "qx46_densified_packing",
         "qx47_ivf_blocked_neardup",
         "qx45_packed_sequences",
+        # the composite pipeline materializes FIVE stage frames — the
+        # cluster-durable path (written index tables) must produce
+        # the identical verified artifact
+        "qx42_preprocess_pipeline",
     ],
 )
 def test_round5_queries_durable_materialize_path(
