@@ -668,6 +668,55 @@ def test_qs15_per_batch_gate_is_map_only_plus_broadcast(spark):
     )
 
 
+def test_qs15_epoch_layout_is_run_deterministic(spark, monkeypatch):
+    """The builder pins its source-file mtimes in WRITE order, so which
+    half of the corpus becomes micro-batch/epoch 0 vs 1 must be the
+    same on every invocation (same-second writes used to tie on mtime
+    and fall back to arbitrary UUID path order). The curated table is
+    deleted in the builder's finally, so the epoch->membership map is
+    captured by intercepting the cleanup."""
+    import shutil
+
+    from gh_archive_clickhouse_spark.plans.streaming_queries import (
+        qs15_stream_preprocess_pipeline,
+    )
+
+    layouts: list[dict[int, frozenset[int]]] = []
+    real_rmtree = shutil.rmtree
+
+    def capturing_rmtree(path, *a, **kw):
+        if "qs15_" in str(path):
+            rows = (
+                spark.read.schema(
+                    "doc_id long, source string, quality double, "
+                    "rate_ppm long, epoch int"
+                )
+                .parquet(f"{path}/curated")
+                .select("doc_id", "epoch")
+                .collect()
+            )
+            by_epoch: dict[int, set[int]] = {}
+            for r in rows:
+                by_epoch.setdefault(r.epoch, set()).add(r.doc_id)
+            layouts.append(
+                {e: frozenset(s) for e, s in by_epoch.items()}
+            )
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", capturing_rmtree)
+    qs15_stream_preprocess_pipeline(spark, SF_DIR).collect()
+    qs15_stream_preprocess_pipeline(spark, SF_DIR).collect()
+    assert len(layouts) == 2
+    # two micro-batches, identical epoch->membership on both runs —
+    # not merely an order-invariant union
+    assert set(layouts[0]) == {0, 1}
+    assert layouts[0] == layouts[1]
+    # and the layout matches the builder's declared split: epoch 0 is
+    # the even-doc_id half
+    assert all(d % 2 == 0 for d in layouts[0][0])
+    assert all(d % 2 != 0 for d in layouts[0][1])
+
+
 def test_dedup_sink_restart_from_checkpoint(spark, tmp_path):
     """Spark's actual RESUME path, not just replay: a stream is run to
     completion on the first half of the corpus, STOPPED, and a brand
