@@ -45,13 +45,24 @@ analysis to the reader:
   1.25x (the r8 driver run hit 1.9x), meaning even normalized
   per-query numbers carry position-dependent skew that round.
 * ``regressions_norm`` — before overwriting ``bench_report.json``,
-  the PRIOR round's normalized per-query map is loaded and every
-  non-streaming, not-declared-changed query whose normalized time
-  grew >25% (and by >0.5 probe units, so sub-100ms jitter can't
-  qualify) is listed {name: [prev_norm, cur_norm]}. Streaming
-  queries are excluded (their startup jitter is >=15% on identical
-  code — the batch_norm policy); queries in the registry's _CHANGED
-  list are excluded because their code intentionally changed.
+  a comparison BASE is chosen (``select_baseline``): the on-disk
+  prior report when it matches the SF and is NOT cal_noisy, else
+  the newest committed solo snapshot (``BENCH_LOCAL_r*.json``),
+  else the noisy on-disk report with ``prev_noisy`` stamped —
+  ``bench_report.json`` is untracked, so "whatever ran last in this
+  container" can be a contended driver run that manufactures
+  phantom flags (the r10 qm7 / r10-driver qx38/qx39/qx63 lessons).
+  Against that base, every non-streaming, not-declared-changed
+  query whose normalized time grew >25% (and by >0.5 probe units,
+  so sub-100ms jitter can't qualify) is listed
+  {name: [prev_norm, cur_norm]}. Streaming queries are excluded
+  (their startup jitter is >=15% on identical code — the batch_norm
+  policy); queries in the registry's _CHANGED list are excluded
+  because their code intentionally changed. RAW-DELTA EXONERATION:
+  a candidate whose RAW time moved <=10% vs the base cannot be a
+  regression regardless of normalization (a genuine plan regression
+  does more work; more work takes more raw time) — it is demoted to
+  ``cal_only_flags``.
 * ``lat_sec`` — a SECOND probe for the environment component the
   scan-aggregate can't see: per-JOB scheduling latency. The r9
   driver run proved the gap — seven sub-1.7s queries inflated
@@ -69,7 +80,13 @@ analysis to the reader:
   not alarmed on). A genuine plan regression (more work per query) grows
   under both; an environment latency shift grows only under cal.
   Until a prior report carries ``queries_lat_norm`` the gate falls
-  back to cal-only (previous behavior).
+  back to cal-only (previous behavior). Documented tradeoff
+  (advisor-adjudicated r10): the exoneration has no absolute-delta
+  floor, so a genuine regression coinciding with a real
+  scheduler-latency rise is demoted rather than alarmed — the
+  demotion stays VISIBLE in ``cal_only_flags`` (stdout + report),
+  and the raw-delta rule above keeps the opposite failure mode
+  (flat-raw phantoms) out of the alarm list.
 
 Normalization form: mean-of-probes, not position-interpolated. Tested
 on the two calibrated r8 runs (driver ``bench_report.json`` vs solo
@@ -177,6 +194,7 @@ def flag_regressions(
     lat_sec: float,
     streaming: set[str],
     changed: tuple[str, ...] | set[str],
+    prev_raw: dict[str, float] | None = None,
 ) -> tuple[dict[str, list], dict[str, list]]:
     """The round-over-round regression gate as a pure function (unit-
     tested in tests/test_bench_gate.py). Returns
@@ -186,12 +204,19 @@ def flag_regressions(
       time grew >25% AND by >0.5 probe units AND (when both runs
       carry a latency normalization) its lat-normalized time ALSO
       grew >25% — the dual gate from the module docstring;
-    - a cal-flagged query the latency gate exonerates lands in
+    - RAW-DELTA EXONERATION (the r10 phantom lesson: qx38 1.15→1.17 s
+      and qx63 1.52→1.51 s were "regressions" purely because the
+      noisy base's normalization moved under them): a candidate whose
+      RAW wall-clock moved <=10% vs the base cannot be a regression
+      regardless of what either normalization says — a genuine plan
+      regression does more work, and more work takes more raw time;
+    - a cal-flagged query either exoneration clears lands in
       ``cal_only_flags`` instead (report-file visibility, no alarm);
     - streaming-tagged and declared-changed queries never flag.
     """
     regressions_norm: dict[str, list] = {}
     cal_only_flags: dict[str, list] = {}
+    prev_raw = prev_raw or {}
     if not cal_sec or not prev_norm:
         return regressions_norm, cal_only_flags
     for name, t in timings.items():
@@ -202,6 +227,13 @@ def flag_regressions(
             continue
         cur = t / cal_sec
         if cur / p > 1.25 and cur - p > 0.5:
+            # raw-delta exoneration (see docstring): flat raw time
+            # means the "growth" lives entirely in the normalization
+            # base, not in the query
+            pr = prev_raw.get(name)
+            if pr and pr > 0 and t / pr <= 1.10:
+                cal_only_flags[name] = [p, cur]
+                continue
             # the latency gate (see module docstring): a genuine
             # regression also grows under per-job-latency
             # normalization; a scheduler-contended environment
@@ -216,6 +248,53 @@ def flag_regressions(
             # to 0.0 and divide-by-zero in the display sort
             regressions_norm[name] = [p, cur]
     return regressions_norm, cal_only_flags
+
+
+def select_baseline(
+    on_disk: dict | None,
+    snapshots: list[tuple[int, dict]],
+    sf: float | None,
+) -> tuple[dict, str | None]:
+    """Choose the comparison BASE for the regression gate (pure
+    function, unit-tested). ``on_disk`` is the parsed prior
+    ``bench_report.json`` (or None); ``snapshots`` are the COMMITTED
+    solo runs ``[(round, parsed BENCH_LOCAL_r{N}.json), ...]``.
+
+    The r10 lesson: ``bench_report.json`` is untracked, so whatever
+    run last executed in the container is the on-disk base — for the
+    r10 solo run that was the DRIVER's contended r9 run (cal_noisy,
+    1.5x within-run drift), which manufactured phantom regressions on
+    byte-identical code. Preference order:
+
+    1. the on-disk report, when it matches ``sf`` and is NOT
+       cal_noisy (freshest clean base — usually last round's run on
+       this very machine);
+    2. the newest committed snapshot matching ``sf`` (a known,
+       reviewed artifact — even a noisy one beats an unknown noisy
+       run, and its noise is stamped via ``prev_noisy``);
+    3. the on-disk report even though noisy (better a stamped noisy
+       gate than none);
+    4. no base — the gate disables itself.
+
+    Returns ``(base_report, provenance)`` where provenance is
+    ``"bench_report.json"`` / ``"BENCH_LOCAL_r{N}.json"`` / None.
+    """
+
+    def _usable(rep: dict | None) -> bool:
+        return (
+            isinstance(rep, dict)
+            and rep.get("sf") == sf
+            and bool(rep.get("queries_norm"))
+        )
+
+    if _usable(on_disk) and not on_disk.get("cal_noisy"):
+        return on_disk, "bench_report.json"
+    for rnd, rep in sorted(snapshots, key=lambda x: -x[0]):
+        if _usable(rep):
+            return rep, f"BENCH_LOCAL_r{rnd:02d}.json"
+    if _usable(on_disk):
+        return on_disk, "bench_report.json"
+    return {}, None
 
 
 def _worst_by_ratio(
@@ -306,27 +385,35 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_report.json"
     )
     # Round-over-round normalized regression check (see module
-    # docstring): the PRIOR report is read before this run overwrites
-    # it. Declared-changed queries and streaming queries are excluded.
+    # docstring): the comparison base is chosen by ``select_baseline``
+    # — the on-disk prior report when it's clean, else the newest
+    # committed solo snapshot (BENCH_LOCAL_r*.json), else the noisy
+    # on-disk report with provenance stamped. Cross-SF bases are
+    # rejected inside the selector: the probe scales ~linearly with SF
+    # while join/window-heavy queries scale superlinearly, so a
+    # cross-SF comparison would flag phantom regressions (and the
+    # latency normalization divides the same SF-dependent raw time).
     try:
         with open(report_path) as f:
-            prev_report = json.load(f)
-        prev_norm = prev_report.get("queries_norm") or {}
-        prev_lat_norm = prev_report.get("queries_lat_norm") or {}
-        prev_noisy = bool(prev_report.get("cal_noisy"))
-        # normalized times are only comparable at the SAME scale
-        # factor: the probe scales ~linearly with SF while join/
-        # window-heavy queries scale superlinearly, so a cross-SF
-        # comparison would flag phantom regressions. (The latency
-        # normalization divides the same SF-dependent raw time, so it
-        # is cross-SF-incomparable for the same reason.)
-        if prev_report.get("sf") != sf:
-            prev_norm = {}
-            prev_lat_norm = {}
-    except (OSError, json.JSONDecodeError, AttributeError):
-        prev_norm = {}
-        prev_lat_norm = {}
-        prev_noisy = False
+            on_disk_report = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        on_disk_report = None
+    snapshots: list[tuple[int, dict]] = []
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    for fname in os.listdir(repo_dir):
+        m_snap = re.fullmatch(r"BENCH_LOCAL_r(\d+)\.json", fname)
+        if not m_snap:
+            continue
+        try:
+            with open(os.path.join(repo_dir, fname)) as f:
+                snapshots.append((int(m_snap.group(1)), json.load(f)))
+        except (OSError, json.JSONDecodeError, ValueError):
+            continue
+    base, base_name = select_baseline(on_disk_report, snapshots, sf)
+    prev_norm = base.get("queries_norm") or {}
+    prev_lat_norm = base.get("queries_lat_norm") or {}
+    prev_raw = base.get("queries") or {}
+    prev_noisy = bool(base.get("cal_noisy"))
     try:
         from gh_archive_clickhouse_spark.plans.registry import (
             _CHANGED as _changed_queries,
@@ -341,6 +428,7 @@ def main() -> None:
         lat_sec,
         {n for n in timings if "streaming" in QUERIES[n].tags},
         _changed_queries,
+        prev_raw=prev_raw,
     )
 
     # The driver snapshots only the LAST 2000 chars of stdout; full
@@ -410,11 +498,15 @@ def main() -> None:
             ):
                 if len(full) > 8:
                     payload[fname] = len(full) - 8
-            if prev_noisy and (regressions_norm or cal_only_flags):
-                # the comparison BASE was itself a cal_noisy run (the
-                # r9->r10 lesson: a contended driver run as baseline
-                # manufactures phantom alarms) — stamp the provenance
-                payload["prev_noisy"] = True
+            if regressions_norm or cal_only_flags:
+                # which file the gate compared against — a flag is
+                # only as good as its base (the r9->r10 lesson)
+                payload["prev_base"] = base_name
+                if prev_noisy:
+                    # the comparison BASE was itself a cal_noisy run
+                    # (a contended driver run as baseline manufactures
+                    # phantom alarms) — stamp the provenance
+                    payload["prev_noisy"] = True
         if omitted:
             # sibling field, NOT a fake entry inside the timing map
             payload["queries_omitted"] = omitted
@@ -442,6 +534,7 @@ def main() -> None:
                         cal_only_flags, 3, keep=len(cal_only_flags)
                     ),
                     "prev_noisy": prev_noisy,
+                    "prev_base": base_name,
                     "value": total,
                     "batch_total": round(total - stream_total, 3),
                     "value_norm": (

@@ -25,6 +25,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gh_archive_clickhouse_spark.checkpoints import checkpoint_rdd_handle
+
 # Spark datetime pattern ≍ DuckDB strftime('%Y-%m-%d %H:%M:%S.%f'):
 # microseconds, zero-padded to 6.
 TS_PATTERN_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -262,6 +264,13 @@ def materialize(
 # (application id, key) -> the checkpointed RDD backing the PREVIOUS
 # result returned under that key, released when a new one replaces it.
 _RESULT_SNAPSHOTS: dict[tuple[str, str], object] = {}
+# Tombstones: (application id, key) pairs whose previous result frame
+# was invalidated by a re-invocation. A caller whose action on an OLD
+# result frame dies with an obscure "checkpoint block not found" can
+# map the failure to its real cause here (the documented
+# invalidation-on-re-invocation contract), instead of chasing a
+# phantom executor loss.
+RELEASED_RESULT_KEYS: set[tuple[str, str]] = set()
 _SNAPSHOT_RELEASE_WARNED = False
 
 
@@ -274,25 +283,24 @@ def snapshot_result(df: DataFrame, key: str) -> DataFrame:
     instead of accumulating storage for the session's lifetime.
 
     Contract: invoking a builder AGAIN invalidates the frame its
-    previous invocation returned (the old blocks are freed). Callers
-    that need two results of the same query live at once must collect
-    the first before re-invoking — which every harness (bench,
-    driver, tests) already does.
+    previous invocation returned (the old blocks are freed — a later
+    action on that frame fails at block-fetch time). Callers that need
+    two results of the same query live at once must collect the first
+    before re-invoking — which every harness (bench, driver, tests)
+    already does. Invalidated (app, key) pairs are recorded in
+    :data:`RELEASED_RESULT_KEYS` so such a failure can be traced to
+    this contract.
     """
     out = df.localCheckpoint(eager=True)
+    # sparkContext and the internal-plan handle are both absent on
+    # connect-style APIs — reaching either is part of the guarded
+    # fast path, not a precondition.
+    jrdd = checkpoint_rdd_handle(out)
     try:
-        # sparkContext and the internal-plan handle are both absent on
-        # connect-style APIs — reaching either is part of the guarded
-        # fast path, not a precondition.
         app = out.sparkSession.sparkContext.applicationId
-        prev = _RESULT_SNAPSHOTS.pop((app, key), None)
-        if prev is not None:
-            try:
-                prev.unpersist(False)
-            except Exception:
-                pass
-        jrdd = out._jdf.queryExecution().analyzed().rdd()
     except Exception:
+        app = None
+    if jrdd is None or app is None:
         # Degrading to cleaner-based release must be VISIBLE (once):
         # callers believe the O(1)-storage contract holds, and on an
         # API where the LogicalRDD handle isn't reachable (e.g. Spark
@@ -311,10 +319,25 @@ def snapshot_result(df: DataFrame, key: str) -> DataFrame:
                 stacklevel=2,
             )
         return out
+    # Registry update only AFTER both handles resolved: popping the
+    # previous entry before fetching the new frame's handle would, on
+    # a fetch failure, drop the old registration without installing a
+    # successor — release silently disabled for that key from then on
+    # (the degradation warning fires only once globally).
+    prev = _RESULT_SNAPSHOTS.pop((app, key), None)
+    if prev is not None:
+        try:
+            prev.unpersist(False)
+        except Exception:
+            pass
+        RELEASED_RESULT_KEYS.add((app, key))
     # entries from stopped sessions hold dead references — prune them
     # so the registry stays O(keys), not O(keys x sessions)
     for k in [k for k in _RESULT_SNAPSHOTS if k[0] != app]:
         del _RESULT_SNAPSHOTS[k]
+    RELEASED_RESULT_KEYS.difference_update(
+        [k for k in RELEASED_RESULT_KEYS if k[0] != app]
+    )
     _RESULT_SNAPSHOTS[(app, key)] = jrdd
     return out
 

@@ -54,15 +54,20 @@ WINDOW = 50
 # older code, i.e. are effectively no rows — so these pin to the front
 # of the window until a driver row from _CHANGED_ROUND or later lands
 # for them, at which point the pin expires per query automatically).
-_CHANGED_ROUND = 10
+_CHANGED_ROUND = 11
 _CHANGED = (
-    # result snapshot now released on re-invocation (snapshot_result)
-    # + the builder grew the plan-probe hook (results identical, but
-    # the builder code changed)
-    "qx42_preprocess_pipeline",
-    # source-file mtimes now pinned in write order (deterministic
-    # epoch layout) + snapshot_result routing
+    # streaming fold/label-refresh localCheckpoints now released
+    # explicitly after the overwrite commits (checkpoints.py) — the
+    # r10-deferred storage-lifecycle item; qs4/qs13 are the canonical
+    # incremental-LSH / dedup-survivors streams over that code
+    "qs4_stream_incremental_lsh",
+    "qs13_stream_dedup_survivors",
+    # same release change (fold_cluster_labels runs inside the
+    # builder) + source mtimes now backdated instead of future-dated
     "qs15_stream_preprocess_pipeline",
+    # source mtimes backdated instead of future-dated (the same
+    # advisor finding applied to the identical stamping site)
+    "qs12_stream_budget_admission",
 )
 
 # Canonical declaration order: used as the deterministic tie-break

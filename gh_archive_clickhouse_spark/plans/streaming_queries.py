@@ -710,11 +710,15 @@ def qs12_stream_budget_admission(
         # modification-time ordering matches the doc_id-range split
         # regardless of write timing (same-second writes would
         # otherwise tie and fall back to arbitrary path order).
+        # Backdate the first set rather than future-date the second —
+        # only the relative order matters, and future mtimes can
+        # confuse age-based tooling scanning the temp root (the qs15
+        # convention).
         now = time.time()
         for f in first:
-            os.utime(f"{src}/{f}", (now, now))
+            os.utime(f"{src}/{f}", (now - 100, now - 100))
         for f in second:
-            os.utime(f"{src}/{f}", (now + 100, now + 100))
+            os.utime(f"{src}/{f}", (now, now))
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
@@ -1054,12 +1058,16 @@ def qs15_stream_preprocess_pipeline(
         # would be run-dependent. The final read-back is
         # order-invariant (the gates are pure per-row functions and
         # the pair-log union is order-independent), but the epoch
-        # partition LAYOUT should not vary run to run.
+        # partition LAYOUT should not vary run to run. Backdate the
+        # FIRST set instead of future-dating the second: FileStream
+        # only needs the relative order, and a future mtime can
+        # confuse age-based tooling (TTL sweeps, backup daemons) that
+        # touches the temp root while the builder runs.
         now = time.time()
         for f in first:
-            os.utime(f"{src}/{f}", (now, now))
+            os.utime(f"{src}/{f}", (now - 100, now - 100))
         for f in second:
-            os.utime(f"{src}/{f}", (now + 100, now + 100))
+            os.utime(f"{src}/{f}", (now, now))
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)

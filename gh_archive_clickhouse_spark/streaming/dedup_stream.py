@@ -32,6 +32,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gh_archive_clickhouse_spark.checkpoints import release_checkpoint
 from gh_archive_clickhouse_spark.operators.dedup import (
     lsh_candidate_pairs_between,
     minhash_signatures,
@@ -208,13 +209,23 @@ def _compact_old_epochs(
     else:
         n_files = max(1, -(-(major_b + minor_b) // target_file_bytes))
         folded = folded.repartition(int(n_files), *dedup_cols)
+    # Lineage-break checkpoint: the rewrite reads the very partition it
+    # overwrites, so the frame must be pinned first. The blocks are
+    # dead the moment the overwrite commits (the next fold re-reads
+    # from disk) — release them NOW rather than once per fold for the
+    # stream's lifetime until the ContextCleaner notices; on a failed
+    # write they are equally dead (the replay recomputes the fold from
+    # the on-disk epochs), hence the finally.
     folded = folded.localCheckpoint(eager=True)
-    (
-        folded.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+    try:
+        (
+            folded.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        release_checkpoint(folded)
     # Crash-atomic manifest commit: write-to-temp + os.replace (atomic
     # on POSIX), so a crash mid-write can never leave a torn/partial
     # JSON behind — the manifest is either the old one (next major
@@ -345,10 +356,17 @@ def fold_cluster_labels(
     # localCheckpoint before the overwrite: CC's lineage reads the
     # pair log, and (unlike the epoch fold) labels_path is a separate
     # table, so only the lineage-truncation half of the fold's
-    # read-then-overwrite discipline is needed.
-    labels.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        labels_path
-    )
+    # read-then-overwrite discipline is needed. Same storage
+    # lifecycle as the fold's checkpoint: the refresh runs once per
+    # major-fold cadence for the stream's lifetime, so its blocks are
+    # released as soon as the overwrite commits (consumers read the
+    # labels TABLE, never this frame); a failed write is recomputed
+    # from the pair log, so the finally is equally safe.
+    snap = labels.localCheckpoint(eager=True)
+    try:
+        snap.write.mode("overwrite").parquet(labels_path)
+    finally:
+        release_checkpoint(snap)
 
 
 def incremental_dedup_sink(

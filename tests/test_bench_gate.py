@@ -79,6 +79,103 @@ def test_uniform_environment_shift_divides_out():
     assert reg == {} and cal_only == {}
 
 
+def test_flat_raw_time_is_exonerated_regardless_of_normalization():
+    """The r10-driver phantom shape (qx38 1.15->1.17 s raw flagged as
+    a 'normalized regression'): the cal probe moved under the query,
+    so cal-normalized time grew >25%, but RAW time is flat. With the
+    base's raw map available the candidate must be demoted — no lat
+    history needed (the driver base that manufactured these had one,
+    but the rule must stand alone)."""
+    reg, cal_only = flag_regressions(
+        {"qa_small": 1.05},          # raw +5%
+        {"qa_small": 1.0},           # prev_norm at cal=1.0
+        {},                          # no lat history
+        0.6,                         # cal probe got 40% faster
+        0.1,
+        set(),
+        (),
+        prev_raw={"qa_small": 1.0},
+    )
+    assert reg == {} and set(cal_only) == {"qa_small"}
+
+
+def test_real_raw_growth_is_not_exonerated_by_the_raw_rule():
+    """+30% raw is past the 10% raw-delta bar: with no lat history the
+    candidate must still ALARM — the raw rule only clears flat-raw
+    phantoms, it must never swallow genuine growth."""
+    reg, cal_only = flag_regressions(
+        {"qa_small": 1.3},
+        {"qa_small": 1.0},
+        {},
+        0.6,
+        0.1,
+        set(),
+        (),
+        prev_raw={"qa_small": 1.0},
+    )
+    assert set(reg) == {"qa_small"} and cal_only == {}
+
+
+def test_missing_prev_raw_falls_through_to_the_other_gates():
+    """A base without a raw map (or a query absent from it) keeps the
+    pre-existing behavior — the rule only ever demotes."""
+    reg, _ = flag_regressions(
+        {"qa_small": 1.05}, {"qa_small": 1.0}, {}, 0.6, 0.1, set(), ()
+    )
+    assert set(reg) == {"qa_small"}
+
+
+# ---- baseline selection ------------------------------------------
+
+
+from bench import select_baseline
+
+_CLEAN = {
+    "sf": 0.1,
+    "cal_noisy": False,
+    "queries_norm": {"qa": 1.0},
+    "queries": {"qa": 0.4},
+}
+_NOISY = {
+    "sf": 0.1,
+    "cal_noisy": True,
+    "queries_norm": {"qa": 2.0},
+    "queries": {"qa": 0.8},
+}
+
+
+def test_clean_on_disk_report_is_preferred():
+    base, name = select_baseline(_CLEAN, [(10, _NOISY)], 0.1)
+    assert base is _CLEAN and name == "bench_report.json"
+
+
+def test_noisy_on_disk_defers_to_newest_committed_snapshot():
+    """The r10 qm7 lesson: an untracked noisy driver run on disk must
+    not outrank the committed solo snapshot."""
+    old = dict(_CLEAN)
+    base, name = select_baseline(_NOISY, [(9, old), (10, _CLEAN)], 0.1)
+    assert base is _CLEAN and name == "BENCH_LOCAL_r10.json"
+
+
+def test_sf_mismatched_candidates_are_rejected():
+    wrong_sf = {**_CLEAN, "sf": 0.01}
+    base, name = select_baseline(wrong_sf, [(10, wrong_sf)], 0.1)
+    assert base == {} and name is None
+
+
+def test_noisy_on_disk_is_the_last_resort():
+    """With no committed snapshot at this SF, a stamped noisy gate
+    beats no gate."""
+    base, name = select_baseline(
+        _NOISY, [(10, {**_CLEAN, "sf": 0.01})], 0.1
+    )
+    assert base is _NOISY and name == "bench_report.json"
+
+
+def test_absent_everything_disables_the_gate():
+    assert select_baseline(None, [], 0.1) == ({}, None)
+
+
 # ---- randomized properties --------------------------------------
 
 

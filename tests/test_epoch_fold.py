@@ -261,6 +261,81 @@ def test_incremental_dedup_sink_refreshes_labels_on_major_fold(
     assert got <= expect
 
 
+def _cached_rdd_ids(spark):
+    return {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
+def _wait_gone(spark, ids, timeout_s=10.0):
+    """unpersist(blocking=False) removes blocks asynchronously."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if not (ids & _cached_rdd_ids(spark)):
+            return True
+        time.sleep(0.1)
+    return not (ids & _cached_rdd_ids(spark))
+
+
+def test_major_fold_releases_its_checkpoint(spark, tmp_path):
+    """The major rewrite's lineage-break localCheckpoint is dead the
+    moment the overwrite commits; a long-lived ingest stream folds for
+    its whole lifetime, so the blocks must be released AT THE FOLD,
+    not left for the ContextCleaner — block-manager storage is
+    byte-identical before and after the fold."""
+    path = str(tmp_path / "t")
+    for e in range(4):
+        _write_epoch(spark, path, e, e * 100, e * 100 + 100)
+    before = _cached_rdd_ids(spark)
+    kind = _compact_old_epochs(
+        spark, path, SCHEMA, 4, ["doc_id"], keep_epochs=2
+    )
+    assert kind == "major"
+    assert _wait_gone(spark, _cached_rdd_ids(spark) - before)
+    # and the fold's output is intact
+    assert spark.read.schema(SCHEMA).parquet(path).count() == 400
+
+
+def test_fold_cluster_labels_releases_its_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """The label refresh's result checkpoint is released once the
+    labels table is written (consumers read the TABLE, never the
+    frame). CC's per-round lazy materializes are session-scoped by
+    design (measured minor, adjudicated r10) — so the assertion
+    targets the refresh's OWN snapshot: the release hook fired,
+    reported success, and that specific RDD left the block manager."""
+    from gh_archive_clickhouse_spark import checkpoints
+    from gh_archive_clickhouse_spark.streaming import dedup_stream
+
+    released = []
+    real = dedup_stream.release_checkpoint
+
+    def _spy(df):
+        rid = checkpoints.checkpoint_rdd_handle(df).id()
+        ok = real(df)
+        released.append((rid, ok))
+        return ok
+
+    monkeypatch.setattr(dedup_stream, "release_checkpoint", _spy)
+    pairs_path = str(tmp_path / "pairs")
+    spark.createDataFrame(
+        [(1, 2, 0), (2, 3, 0)], "doc_a long, doc_b long, epoch int"
+    ).write.partitionBy("epoch").parquet(pairs_path)
+    labels_path = str(tmp_path / "labels")
+    dedup_stream.fold_cluster_labels(spark, pairs_path, labels_path)
+
+    assert [ok for _, ok in released] == [True]
+    assert _wait_gone(spark, {released[0][0]})
+    got = {
+        (r.doc_id, r.cluster_rep)
+        for r in spark.read.parquet(labels_path).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1)}
+
+
 def test_fold_manifest_commit_is_crash_atomic(spark, tmp_path):
     """The manifest commits via write-to-temp + os.replace: after a
     major fold no temp file remains and the manifest is complete

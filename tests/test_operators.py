@@ -736,6 +736,94 @@ def test_snapshot_result_releases_previous_invocation(spark):
     # one new one (a2's) took its place; op_b's frame is untouched
     assert len(a1_ids - after) == 1
     assert a2.count() == 10 and b1.count() == 50
+    # the invalidation is recorded so an external caller's
+    # "checkpoint block not found" on the OLD frame can be traced to
+    # the re-invocation contract instead of a phantom executor loss
+    from gh_archive_clickhouse_spark.plans.common import (
+        RELEASED_RESULT_KEYS,
+    )
+
+    app = spark.sparkContext.applicationId
+    assert (app, "op_a") in RELEASED_RESULT_KEYS
+    assert (app, "op_b") not in RELEASED_RESULT_KEYS
+
+
+def test_release_checkpoint_frees_blocks(spark):
+    """checkpoints.release_checkpoint drops an eager localCheckpoint's
+    block-manager storage deterministically — the primitive the
+    streaming folds and snapshot_result build on."""
+    import time
+
+    from gh_archive_clickhouse_spark.checkpoints import (
+        checkpoint_rdd_handle,
+        release_checkpoint,
+    )
+
+    def _cached_rdd_ids():
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    df = spark.range(1000).localCheckpoint(eager=True)
+    rid = checkpoint_rdd_handle(df).id()
+    assert rid in _cached_rdd_ids()
+    assert release_checkpoint(df) is True
+    # unpersist(blocking=False): give the async removal a moment
+    for _ in range(100):
+        if rid not in _cached_rdd_ids():
+            break
+        time.sleep(0.1)
+    assert rid not in _cached_rdd_ids()
+
+
+def test_snapshot_result_registry_survives_handle_fetch_failure(
+    spark, monkeypatch
+):
+    """The registry update is atomic w.r.t. fetch failures (advisor
+    r10): a degraded invocation (handle unreachable) must NOT drop the
+    previous registration — otherwise release would be silently
+    disabled for that key for the session's lifetime (the warning
+    fires only once globally). The next healthy invocation still
+    releases the ORIGINAL frame."""
+    import time
+    import warnings
+
+    from gh_archive_clickhouse_spark.plans import common
+
+    def _cached_rdd_ids():
+        return {
+            i.id()
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = _cached_rdd_ids()
+    a1 = common.snapshot_result(
+        spark.range(100).selectExpr("id"), "op_atomic"
+    )
+    a1_ids = _cached_rdd_ids() - before
+    assert len(a1_ids) == 1
+
+    with monkeypatch.context() as m:
+        m.setattr(common, "checkpoint_rdd_handle", lambda df: None)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            a2 = common.snapshot_result(
+                spark.range(50).selectExpr("id"), "op_atomic"
+            )
+    # the failed update left a1's registration (and blocks) standing
+    assert a1_ids <= _cached_rdd_ids()
+    assert a1.count() == 100 and a2.count() == 50
+
+    a3 = common.snapshot_result(
+        spark.range(10).selectExpr("id"), "op_atomic"
+    )
+    for _ in range(100):
+        if not (a1_ids & _cached_rdd_ids()):
+            break
+        time.sleep(0.1)
+    assert not (a1_ids & _cached_rdd_ids())  # a1 released after all
+    assert a3.count() == 10
 
 
 def test_kmeans_fit_matches_numpy_reference(spark):
