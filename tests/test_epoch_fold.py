@@ -521,3 +521,170 @@ def test_fold_invariants_under_random_epoch_schedules(spark, tmp_path_factory):
             assert n_dirs <= KEEP + 2
 
     run()
+
+
+# ---- hard-kill crash recovery -------------------------------------
+
+# Subprocess driver for test_sigkill_mid_fold_recovers_from_checkpoint.
+# Mode "crash": run the dedup-sink stream and SIGKILL OURSELVES from
+# inside the first major fold — at the worst possible instant, after
+# the consolidated partition was rewritten but before the atomic
+# manifest commit (the exact window the fold's safety argument claims
+# to survive). Mode "resume": restart the SAME stream from its
+# checkpoint, close the books, and write the survivor ids out.
+_KILL_DRIVER = r"""
+import os
+import signal
+import sys
+
+mode, base = sys.argv[1], sys.argv[2]
+from pyspark.sql import SparkSession, functions as F
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from gh_archive_clickhouse_spark.streaming import dedup_stream
+from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+    LABELS_SCHEMA,
+    fold_cluster_labels,
+    incremental_dedup_sink,
+)
+
+if mode == "crash":
+    _real_replace = os.replace
+
+    def _kill_at_manifest_commit(src, dst):
+        if "_fold_manifest" in str(dst):
+            with open(f"{base}/killed_at", "w") as f:
+                f.write(str(dst))
+            os.kill(os.getpid(), signal.SIGKILL)
+        return _real_replace(src, dst)
+
+    os.replace = _kill_at_manifest_commit
+
+src = f"{base}/docs"
+schema = spark.read.parquet(src).schema
+stream = (
+    spark.readStream.schema(schema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(src)
+)
+sink = incremental_dedup_sink(
+    f"{base}/sigs", f"{base}/pairs", f"{base}/labels", keep_epochs=2
+)
+q = (
+    stream.writeStream.foreachBatch(sink)
+    .trigger(availableNow=True)
+    .option("checkpointLocation", f"{base}/ckpt")
+    .start()
+)
+q.awaitTermination()
+if mode == "crash":
+    sys.exit(3)  # the kill hook never fired - fail loudly
+
+fold_cluster_labels(spark, f"{base}/pairs", f"{base}/labels")
+drops = (
+    spark.read.schema(LABELS_SCHEMA)
+    .parquet(f"{base}/labels")
+    .filter(F.col("doc_id") != F.col("cluster_rep"))
+    .select("doc_id")
+)
+(
+    spark.read.parquet(src)
+    .select("doc_id")
+    .join(drops, "doc_id", "left_anti")
+    .write.mode("overwrite")
+    .parquet(f"{base}/survivors")
+)
+print("RESUME_DONE")
+"""
+
+
+def test_sigkill_mid_fold_recovers_from_checkpoint(spark, tmp_path):
+    """END-TO-END crash recovery, not just the manifest file op
+    (test_fold_manifest_commit_is_crash_atomic covers that): a driver
+    SIGKILL'd from INSIDE the first major fold — consolidated
+    partition already rewritten, manifest commit not yet executed,
+    stream epoch not yet committed — must, on restart from the SAME
+    checkpoint, replay the in-flight epoch, re-run the folds (the
+    stale manifest only makes the next major fold run early), collapse
+    any crash duplicates via dedup_cols, and end with EXACTLY the
+    batch pipeline's survivor set."""
+    import os
+    import subprocess
+    import sys
+
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        dedup_survivors,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from gh_archive_clickhouse_spark.plans.common import read
+    from tests.conftest import SF_DIR
+
+    base = tmp_path / "kill"
+    base.mkdir()
+    docs = read(spark, SF_DIR, "documents").select("doc_id", "text")
+    # 6 single-file arrivals -> 6 epochs; keep_epochs=2 reaches the
+    # first (bootstrap-major) fold at epoch 2, mid-stream.
+    for i in range(6):
+        docs.filter(F.col("doc_id") % 6 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(base / "docs"))
+
+    script = base / "driver.py"
+    script.write_text(_KILL_DRIVER)
+    env = dict(os.environ, PYTHONPATH=str(Path(__file__).parents[1]))
+
+    crash = subprocess.run(
+        [sys.executable, str(script), "crash", str(base)],
+        cwd=str(base),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert crash.returncode == -9, (
+        f"expected SIGKILL from inside the fold, got rc="
+        f"{crash.returncode}\n{crash.stdout[-2000:]}\n"
+        f"{crash.stderr[-2000:]}"
+    )
+    assert (base / "killed_at").exists()  # died at the manifest commit
+
+    resume = subprocess.run(
+        [sys.executable, str(script), "resume", str(base)],
+        cwd=str(base),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert resume.returncode == 0 and "RESUME_DONE" in resume.stdout, (
+        f"{resume.stdout[-2000:]}\n{resume.stderr[-2000:]}"
+    )
+
+    # every epoch committed exactly once after the resume
+    commits = {
+        p.name
+        for p in (base / "ckpt" / "commits").iterdir()
+        if p.name.isdigit()
+    }
+    assert commits == {str(i) for i in range(6)}
+
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(str(base / "survivors")).collect()
+    }
+    expect = {
+        r.doc_id
+        for r in dedup_survivors(
+            docs.select("doc_id"),
+            lsh_candidate_pairs(minhash_signatures(docs)),
+        ).collect()
+    }
+    assert got == expect and got
