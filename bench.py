@@ -61,8 +61,11 @@ analysis to the reader:
   because their code intentionally changed. RAW-DELTA EXONERATION:
   a candidate whose RAW time moved <=10% vs the base cannot be a
   regression regardless of normalization (a genuine plan regression
-  does more work; more work takes more raw time) — it is demoted to
-  ``cal_only_flags``.
+  does more work; more work takes more raw time at constant
+  environment speed) — it is demoted to ``cal_only_flags``. The
+  rule disarms when this run's probe is >10% faster than the
+  base's, where flat raw could hide a regression paid for by the
+  environment speedup.
 * ``lat_sec`` — a SECOND probe for the environment component the
   scan-aggregate can't see: per-JOB scheduling latency. The r9
   driver run proved the gap — seven sub-1.7s queries inflated
@@ -195,6 +198,7 @@ def flag_regressions(
     streaming: set[str],
     changed: tuple[str, ...] | set[str],
     prev_raw: dict[str, float] | None = None,
+    prev_cal_sec: float | None = None,
 ) -> tuple[dict[str, list], dict[str, list]]:
     """The round-over-round regression gate as a pure function (unit-
     tested in tests/test_bench_gate.py). Returns
@@ -206,10 +210,16 @@ def flag_regressions(
       grew >25% — the dual gate from the module docstring;
     - RAW-DELTA EXONERATION (the r10 phantom lesson: qx38 1.15→1.17 s
       and qx63 1.52→1.51 s were "regressions" purely because the
-      noisy base's normalization moved under them): a candidate whose
-      RAW wall-clock moved <=10% vs the base cannot be a regression
-      regardless of what either normalization says — a genuine plan
-      regression does more work, and more work takes more raw time;
+      noisy base's WITHIN-RUN drift skewed individual normalized
+      values — the mean probes of the two runs were equal): a
+      candidate whose RAW wall-clock moved <=10% vs the base cannot
+      be a regression regardless of what either normalization says —
+      a genuine plan regression does more work, and more work takes
+      more raw time AT CONSTANT ENVIRONMENT SPEED. That caveat is the
+      rule's arming condition: when the current environment is
+      materially FASTER than the base's (probe ratio < 0.9), flat raw
+      time could equally hide a genuine regression paid for by the
+      speedup, so the rule disarms and the latency gate decides;
     - a cal-flagged query either exoneration clears lands in
       ``cal_only_flags`` instead (report-file visibility, no alarm);
     - streaming-tagged and declared-changed queries never flag.
@@ -219,6 +229,12 @@ def flag_regressions(
     prev_raw = prev_raw or {}
     if not cal_sec or not prev_norm:
         return regressions_norm, cal_only_flags
+    # the raw rule's arming condition (see docstring): disarmed when
+    # this run's environment is >10% faster than the base's, unknown
+    # base probe = armed (the plain rule)
+    raw_rule_armed = not (
+        prev_cal_sec and prev_cal_sec > 0 and cal_sec < 0.9 * prev_cal_sec
+    )
     for name, t in timings.items():
         if name in streaming or name in changed:
             continue
@@ -231,7 +247,7 @@ def flag_regressions(
             # means the "growth" lives entirely in the normalization
             # base, not in the query
             pr = prev_raw.get(name)
-            if pr and pr > 0 and t / pr <= 1.10:
+            if raw_rule_armed and pr and pr > 0 and t / pr <= 1.10:
                 cal_only_flags[name] = [p, cur]
                 continue
             # the latency gate (see module docstring): a genuine
@@ -429,6 +445,7 @@ def main() -> None:
         {n for n in timings if "streaming" in QUERIES[n].tags},
         _changed_queries,
         prev_raw=prev_raw,
+        prev_cal_sec=base.get("cal_sec"),
     )
 
     # The driver snapshots only the LAST 2000 chars of stdout; full

@@ -27,7 +27,11 @@ import warnings
 
 from pyspark.sql import DataFrame
 
-_RELEASE_WARNED = False
+# Warn-once per DISTINCT degradation cause: a transient unpersist
+# failure must not spend the API-unreachable warning slot (or vice
+# versa) — each misses for a different reason and each deserves its
+# one visible report.
+_WARNED_CAUSES: set[str] = set()
 
 
 def checkpoint_rdd_handle(df: DataFrame):
@@ -55,26 +59,37 @@ def release_checkpoint(df: DataFrame) -> bool:
     a ``finally`` where a failed write is about to be recomputed from
     scratch by the stream's replay anyway.
 
-    Degradation is VISIBLE (one RuntimeWarning per process): on an API
-    without the internal handle a long-lived stream would otherwise
-    silently revert to cleaner-based accumulation, the exact behavior
-    this function exists to remove.
+    Degradation is VISIBLE (one RuntimeWarning per process per cause —
+    handle-unreachable and unpersist-failed are distinct causes, so a
+    transient unpersist hiccup cannot spend the API-capability
+    warning's slot): on an API without the internal handle a
+    long-lived stream would otherwise silently revert to cleaner-based
+    accumulation, the exact behavior this function exists to remove.
     """
     handle = checkpoint_rdd_handle(df)
-    if handle is not None:
-        try:
-            handle.unpersist(False)
-            return True
-        except Exception:
-            pass
-    global _RELEASE_WARNED
-    if not _RELEASE_WARNED:
-        _RELEASE_WARNED = True
-        warnings.warn(
+    if handle is None:
+        _warn_once(
+            "handle",
             "release_checkpoint: checkpointed-RDD handle not reachable "
             "on this Spark API; localCheckpoint blocks will accumulate "
             "until the JVM ContextCleaner reclaims them",
-            RuntimeWarning,
-            stacklevel=2,
         )
-    return False
+        return False
+    try:
+        handle.unpersist(False)
+        return True
+    except Exception as ex:
+        _warn_once(
+            "unpersist",
+            "release_checkpoint: unpersist failed "
+            f"({type(ex).__name__}); this frame's localCheckpoint "
+            "blocks are left to the JVM ContextCleaner",
+        )
+        return False
+
+
+def _warn_once(cause: str, message: str) -> None:
+    if cause in _WARNED_CAUSES:
+        return
+    _WARNED_CAUSES.add(cause)
+    warnings.warn(message, RuntimeWarning, stacklevel=3)

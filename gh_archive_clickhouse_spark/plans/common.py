@@ -332,12 +332,11 @@ def snapshot_result(df: DataFrame, key: str) -> DataFrame:
             pass
         RELEASED_RESULT_KEYS.add((app, key))
     # entries from stopped sessions hold dead references — prune them
-    # so the registry stays O(keys), not O(keys x sessions)
+    # (and their tombstones) so both stay O(keys), not O(keys x sessions)
     for k in [k for k in _RESULT_SNAPSHOTS if k[0] != app]:
         del _RESULT_SNAPSHOTS[k]
-    RELEASED_RESULT_KEYS.difference_update(
-        [k for k in RELEASED_RESULT_KEYS if k[0] != app]
-    )
+    for k in [k for k in RELEASED_RESULT_KEYS if k[0] != app]:
+        RELEASED_RESULT_KEYS.discard(k)
     _RESULT_SNAPSHOTS[(app, key)] = jrdd
     return out
 

@@ -68,6 +68,12 @@ _CHANGED = (
     # source mtimes backdated instead of future-dated (the same
     # advisor finding applied to the identical stamping site)
     "qs12_stream_budget_admission",
+    # their sinks execute the changed _compact_old_epochs too (the MV
+    # partials fold and the IVF-PQ index fold) — the pin invariant is
+    # "code executed by the builder changed", not "the changed branch
+    # is reached at fixture scale"
+    "qs7_incremental_mv",
+    "qs10_incremental_ivfpq",
 )
 
 # Canonical declaration order: used as the deterministic tie-break

@@ -35,6 +35,28 @@ def duck():
     con.close()
 
 
+def cached_rdd_ids(spark) -> set[int]:
+    """Ids of every RDD currently holding block-manager storage — the
+    storage-lifecycle tests' single way of observing localCheckpoint
+    blocks (test_epoch_fold and test_operators share it)."""
+    return {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
+def wait_rdds_gone(spark, ids: set[int], timeout_s: float = 10.0) -> bool:
+    """unpersist(blocking=False) removes blocks asynchronously — poll
+    until the given RDD ids have left the block manager."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if not (ids & cached_rdd_ids(spark)):
+            return True
+        time.sleep(0.1)
+    return not (ids & cached_rdd_ids(spark))
+
+
 def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
     """Driver-style canonical form: columns sorted by name, rows sorted
     by every column (stringified for a stable total order)."""

@@ -116,6 +116,48 @@ def test_real_raw_growth_is_not_exonerated_by_the_raw_rule():
     assert set(reg) == {"qa_small"} and cal_only == {}
 
 
+def test_raw_rule_disarms_when_environment_got_faster():
+    """The review scenario: a container uniformly 25% faster AND a
+    genuine +40% plan regression — raw time barely moves (the speedup
+    pays for the regression), but BOTH normalizations confirm the
+    growth. Flat raw only implies 'no regression' at constant
+    environment speed, so the rule must disarm (probe ratio < 0.9)
+    and let the latency gate alarm."""
+    reg, cal_only = flag_regressions(
+        {"qa": 2.1},                  # 2.0 * 1.4 * 0.75
+        {"qa": 2.0},                  # prev_norm at prev cal 1.0
+        {"qa": 20.0},                 # prev lat_norm at prev lat 0.1
+        0.75,                         # this run's probes: 25% faster
+        0.075,
+        set(),
+        (),
+        prev_raw={"qa": 2.0},         # raw ratio 1.05 <= 1.10
+        prev_cal_sec=1.0,             # 0.75 < 0.9 -> rule disarmed
+    )
+    assert set(reg) == {"qa"} and cal_only == {}
+
+
+def test_raw_rule_stays_armed_at_equal_probe_speed():
+    """The actual r10-driver phantom shape: the two runs' MEAN probes
+    were equal (0.345 both) — the phantom came from within-run drift
+    skewing individual normalized values. At probe ratio ~1 the rule
+    is armed and the flat-raw candidate is demoted even though both
+    normalizations 'confirm' the growth (they inherit the same skewed
+    base)."""
+    reg, cal_only = flag_regressions(
+        {"qa": 2.1},
+        {"qa": 1.0},                  # base norm skewed low by drift
+        {"qa": 10.0},                 # lat norm equally skewed
+        1.0,
+        0.1,
+        set(),
+        (),
+        prev_raw={"qa": 2.0},
+        prev_cal_sec=1.0,
+    )
+    assert reg == {} and set(cal_only) == {"qa"}
+
+
 def test_missing_prev_raw_falls_through_to_the_other_gates():
     """A base without a raw map (or a query absent from it) keeps the
     pre-existing behavior — the rule only ever demotes."""

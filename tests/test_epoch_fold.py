@@ -16,6 +16,8 @@ from pathlib import Path
 
 from pyspark.sql import functions as F
 
+from tests.conftest import cached_rdd_ids, wait_rdds_gone
+
 from gh_archive_clickhouse_spark.streaming.dedup_stream import (
     FOLD_MANIFEST,
     _compact_old_epochs,
@@ -261,24 +263,6 @@ def test_incremental_dedup_sink_refreshes_labels_on_major_fold(
     assert got <= expect
 
 
-def _cached_rdd_ids(spark):
-    return {
-        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    }
-
-
-def _wait_gone(spark, ids, timeout_s=10.0):
-    """unpersist(blocking=False) removes blocks asynchronously."""
-    import time
-
-    deadline = time.monotonic() + timeout_s
-    while time.monotonic() < deadline:
-        if not (ids & _cached_rdd_ids(spark)):
-            return True
-        time.sleep(0.1)
-    return not (ids & _cached_rdd_ids(spark))
-
-
 def test_major_fold_releases_its_checkpoint(spark, tmp_path):
     """The major rewrite's lineage-break localCheckpoint is dead the
     moment the overwrite commits; a long-lived ingest stream folds for
@@ -288,12 +272,12 @@ def test_major_fold_releases_its_checkpoint(spark, tmp_path):
     path = str(tmp_path / "t")
     for e in range(4):
         _write_epoch(spark, path, e, e * 100, e * 100 + 100)
-    before = _cached_rdd_ids(spark)
+    before = cached_rdd_ids(spark)
     kind = _compact_old_epochs(
         spark, path, SCHEMA, 4, ["doc_id"], keep_epochs=2
     )
     assert kind == "major"
-    assert _wait_gone(spark, _cached_rdd_ids(spark) - before)
+    assert wait_rdds_gone(spark, cached_rdd_ids(spark) - before)
     # and the fold's output is intact
     assert spark.read.schema(SCHEMA).parquet(path).count() == 400
 
@@ -328,7 +312,7 @@ def test_fold_cluster_labels_releases_its_snapshot(
     dedup_stream.fold_cluster_labels(spark, pairs_path, labels_path)
 
     assert [ok for _, ok in released] == [True]
-    assert _wait_gone(spark, {released[0][0]})
+    assert wait_rdds_gone(spark, {released[0][0]})
     got = {
         (r.doc_id, r.cluster_rep)
         for r in spark.read.parquet(labels_path).collect()

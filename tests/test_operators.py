@@ -13,7 +13,7 @@ from gh_archive_clickhouse_spark.operators.multimodal import (
 )
 from gh_archive_clickhouse_spark.operators.ttl import expire_older_than
 from gh_archive_clickhouse_spark.operators._util import ensure_parallelism
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, cached_rdd_ids, wait_rdds_gone
 
 
 def _docs(spark):
@@ -717,21 +717,15 @@ def test_snapshot_result_releases_previous_invocation(spark):
     the newest frame under each key stays fully readable."""
     from gh_archive_clickhouse_spark.plans.common import snapshot_result
 
-    def _cached_rdd_ids():
-        return {
-            i.id()
-            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        }
-
-    before = _cached_rdd_ids()
+    before = cached_rdd_ids(spark)
     a1 = snapshot_result(spark.range(100).selectExpr("id"), "op_a")
     b1 = snapshot_result(spark.range(50).selectExpr("id"), "op_b")
-    a1_ids = _cached_rdd_ids() - before
+    a1_ids = cached_rdd_ids(spark) - before
     assert len(a1_ids) == 2  # one checkpoint RDD per snapshot
     assert a1.count() == 100 and b1.count() == 50
 
     a2 = snapshot_result(spark.range(10).selectExpr("id"), "op_a")
-    after = _cached_rdd_ids()
+    after = cached_rdd_ids(spark)
     # exactly one of the two original RDDs (op_a's) was released and
     # one new one (a2's) took its place; op_b's frame is untouched
     assert len(a1_ids - after) == 1
@@ -752,29 +746,15 @@ def test_release_checkpoint_frees_blocks(spark):
     """checkpoints.release_checkpoint drops an eager localCheckpoint's
     block-manager storage deterministically — the primitive the
     streaming folds and snapshot_result build on."""
-    import time
-
     from gh_archive_clickhouse_spark.checkpoints import (
         checkpoint_rdd_handle,
         release_checkpoint,
     )
-
-    def _cached_rdd_ids():
-        return {
-            i.id()
-            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        }
-
     df = spark.range(1000).localCheckpoint(eager=True)
     rid = checkpoint_rdd_handle(df).id()
-    assert rid in _cached_rdd_ids()
+    assert rid in cached_rdd_ids(spark)
     assert release_checkpoint(df) is True
-    # unpersist(blocking=False): give the async removal a moment
-    for _ in range(100):
-        if rid not in _cached_rdd_ids():
-            break
-        time.sleep(0.1)
-    assert rid not in _cached_rdd_ids()
+    assert wait_rdds_gone(spark, {rid})
 
 
 def test_snapshot_result_registry_survives_handle_fetch_failure(
@@ -786,22 +766,14 @@ def test_snapshot_result_registry_survives_handle_fetch_failure(
     disabled for that key for the session's lifetime (the warning
     fires only once globally). The next healthy invocation still
     releases the ORIGINAL frame."""
-    import time
     import warnings
 
     from gh_archive_clickhouse_spark.plans import common
-
-    def _cached_rdd_ids():
-        return {
-            i.id()
-            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        }
-
-    before = _cached_rdd_ids()
+    before = cached_rdd_ids(spark)
     a1 = common.snapshot_result(
         spark.range(100).selectExpr("id"), "op_atomic"
     )
-    a1_ids = _cached_rdd_ids() - before
+    a1_ids = cached_rdd_ids(spark) - before
     assert len(a1_ids) == 1
 
     with monkeypatch.context() as m:
@@ -812,17 +784,13 @@ def test_snapshot_result_registry_survives_handle_fetch_failure(
                 spark.range(50).selectExpr("id"), "op_atomic"
             )
     # the failed update left a1's registration (and blocks) standing
-    assert a1_ids <= _cached_rdd_ids()
+    assert a1_ids <= cached_rdd_ids(spark)
     assert a1.count() == 100 and a2.count() == 50
 
     a3 = common.snapshot_result(
         spark.range(10).selectExpr("id"), "op_atomic"
     )
-    for _ in range(100):
-        if not (a1_ids & _cached_rdd_ids()):
-            break
-        time.sleep(0.1)
-    assert not (a1_ids & _cached_rdd_ids())  # a1 released after all
+    assert wait_rdds_gone(spark, a1_ids)  # a1 released after all
     assert a3.count() == 10
 
 
