@@ -199,6 +199,7 @@ def flag_regressions(
     changed: tuple[str, ...] | set[str],
     prev_raw: dict[str, float] | None = None,
     prev_cal_sec: float | None = None,
+    prev_lat_sec: float | None = None,
 ) -> tuple[dict[str, list], dict[str, list]]:
     """The round-over-round regression gate as a pure function (unit-
     tested in tests/test_bench_gate.py). Returns
@@ -217,9 +218,15 @@ def flag_regressions(
       a genuine plan regression does more work, and more work takes
       more raw time AT CONSTANT ENVIRONMENT SPEED. That caveat is the
       rule's arming condition: when the current environment is
-      materially FASTER than the base's (probe ratio < 0.9), flat raw
-      time could equally hide a genuine regression paid for by the
-      speedup, so the rule disarms and the latency gate decides;
+      materially FASTER than the base's under EITHER probe (scan OR
+      per-job latency ratio < 0.9 — small queries are job-count-
+      dominated, so a latency speedup can pay for extra jobs exactly
+      as a scan speedup pays for extra scan work), flat raw time
+      could hide a genuine regression, so the rule disarms and the
+      latency gate decides. Disarmed + flat raw + NO latency history
+      demotes rather than alarms: positive flat-raw evidence with no
+      probe to confirm the growth direction must not produce the very
+      phantom alarm the rule exists to kill;
     - a cal-flagged query either exoneration clears lands in
       ``cal_only_flags`` instead (report-file visibility, no alarm);
     - streaming-tagged and declared-changed queries never flag.
@@ -230,10 +237,12 @@ def flag_regressions(
     if not cal_sec or not prev_norm:
         return regressions_norm, cal_only_flags
     # the raw rule's arming condition (see docstring): disarmed when
-    # this run's environment is >10% faster than the base's, unknown
-    # base probe = armed (the plain rule)
+    # this run's environment is >10% faster than the base's under
+    # either probe; unknown base probes = armed (the plain rule)
     raw_rule_armed = not (
-        prev_cal_sec and prev_cal_sec > 0 and cal_sec < 0.9 * prev_cal_sec
+        (prev_cal_sec and prev_cal_sec > 0 and cal_sec < 0.9 * prev_cal_sec)
+        or (prev_lat_sec and prev_lat_sec > 0 and lat_sec
+            and lat_sec < 0.9 * prev_lat_sec)
     )
     for name, t in timings.items():
         if name in streaming or name in changed:
@@ -247,7 +256,8 @@ def flag_regressions(
             # means the "growth" lives entirely in the normalization
             # base, not in the query
             pr = prev_raw.get(name)
-            if raw_rule_armed and pr and pr > 0 and t / pr <= 1.10:
+            raw_flat = bool(pr and pr > 0 and t / pr <= 1.10)
+            if raw_rule_armed and raw_flat:
                 cal_only_flags[name] = [p, cur]
                 continue
             # the latency gate (see module docstring): a genuine
@@ -255,9 +265,13 @@ def flag_regressions(
             # normalization; a scheduler-contended environment
             # inflates small queries under cal only
             pl = prev_lat_norm.get(name)
-            if lat_sec and pl and pl > 0 and (
-                (t / lat_sec) / pl <= 1.25
-            ):
+            if lat_sec and pl and pl > 0:
+                if (t / lat_sec) / pl <= 1.25:
+                    cal_only_flags[name] = [p, cur]
+                    continue
+            elif raw_flat:
+                # disarmed raw rule + no latency history: flat raw is
+                # unconfirmed either way — visible, never alarmed
                 cal_only_flags[name] = [p, cur]
                 continue
             # keep the UNROUNDED prev: a sub-0.005 prev would round
@@ -285,12 +299,20 @@ def select_baseline(
     1. the on-disk report, when it matches ``sf`` and is NOT
        cal_noisy (freshest clean base — usually last round's run on
        this very machine);
-    2. the newest committed snapshot matching ``sf`` (a known,
-       reviewed artifact — even a noisy one beats an unknown noisy
-       run, and its noise is stamped via ``prev_noisy``);
-    3. the on-disk report even though noisy (better a stamped noisy
+    2. the newest committed CLEAN snapshot matching ``sf`` (a noisy
+       snapshot's per-query norms carry the drift skew that
+       manufactures phantoms, so a slightly older clean base beats a
+       fresher noisy one — cross-round environment shift is exactly
+       what normalization absorbs; within-run drift is what it
+       can't). "Clean" requires the snapshot to POSITIVELY declare
+       ``cal_noisy: false`` — legacy snapshots predating the field
+       (r8 and older) must not masquerade as clean;
+    3. the newest committed snapshot matching ``sf`` even though
+       noisy (a known, reviewed artifact beats an unknown noisy run;
+       its noise is stamped via ``prev_noisy``);
+    4. the on-disk report even though noisy (better a stamped noisy
        gate than none);
-    4. no base — the gate disables itself.
+    5. no base — the gate disables itself.
 
     Returns ``(base_report, provenance)`` where provenance is
     ``"bench_report.json"`` / ``"BENCH_LOCAL_r{N}.json"`` / None.
@@ -305,7 +327,11 @@ def select_baseline(
 
     if _usable(on_disk) and not on_disk.get("cal_noisy"):
         return on_disk, "bench_report.json"
-    for rnd, rep in sorted(snapshots, key=lambda x: -x[0]):
+    ordered = sorted(snapshots, key=lambda x: -x[0])
+    for rnd, rep in ordered:
+        if _usable(rep) and rep.get("cal_noisy") is False:
+            return rep, f"BENCH_LOCAL_r{rnd:02d}.json"
+    for rnd, rep in ordered:
         if _usable(rep):
             return rep, f"BENCH_LOCAL_r{rnd:02d}.json"
     if _usable(on_disk):
@@ -446,6 +472,7 @@ def main() -> None:
         _changed_queries,
         prev_raw=prev_raw,
         prev_cal_sec=base.get("cal_sec"),
+        prev_lat_sec=base.get("lat_sec"),
     )
 
     # The driver snapshots only the LAST 2000 chars of stdout; full

@@ -44,17 +44,24 @@ def cached_rdd_ids(spark) -> set[int]:
     }
 
 
-def wait_rdds_gone(spark, ids: set[int], timeout_s: float = 10.0) -> bool:
-    """unpersist(blocking=False) removes blocks asynchronously — poll
-    until the given RDD ids have left the block manager."""
+def wait_until(pred, timeout_s: float = 10.0) -> bool:
+    """Poll a predicate — the storage-lifecycle tests' answer to
+    unpersist(blocking=False) removing blocks asynchronously."""
     import time
 
     deadline = time.monotonic() + timeout_s
     while time.monotonic() < deadline:
-        if not (ids & cached_rdd_ids(spark)):
+        if pred():
             return True
         time.sleep(0.1)
-    return not (ids & cached_rdd_ids(spark))
+    return bool(pred())
+
+
+def wait_rdds_gone(spark, ids: set[int], timeout_s: float = 10.0) -> bool:
+    """Poll until the given RDD ids have left the block manager."""
+    return wait_until(
+        lambda: not (ids & cached_rdd_ids(spark)), timeout_s
+    )
 
 
 def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -158,6 +158,67 @@ def test_raw_rule_stays_armed_at_equal_probe_speed():
     assert reg == {} and set(cal_only) == {"qa"}
 
 
+def test_raw_rule_disarms_on_latency_speedup_too():
+    """The symmetric hazard (second review pass): small queries are
+    job-count-dominated, so a scheduler-latency speedup can pay for a
+    genuine regression's extra jobs, leaving raw flat while the scan
+    probe is unchanged. The arming condition must watch BOTH probes:
+    with the lat probe 2x faster the raw rule disarms, and the lat
+    gate — which sees the growth the speedup hid — alarms. (With both
+    probes flat the same numbers are raw-exonerated; flat-raw
+    candidacy then requires a drift-skewed base, which is exactly the
+    case the rule exists for.)"""
+    kw = dict(
+        streaming=set(),
+        changed=(),
+        prev_raw={"qa": 2.0},         # raw ratio 1.05: flat
+        prev_cal_sec=1.0,
+    )
+    # base prev_norm skewed low by within-run drift (p=1.0 while
+    # raw/cal = 2.0) — the candidate shape
+    reg, cal_only = flag_regressions(
+        {"qa": 2.1},
+        {"qa": 1.0},
+        {"qa": 100.0},                # self-consistent lat norm: 2.0/0.02
+        1.0,                          # scan probe unchanged -> no cal disarm
+        0.01,                         # latency probe 2x faster -> DISARM
+        prev_lat_sec=0.02,
+        **kw,
+    )
+    # lat-normalized growth: (2.1/0.01)/100 = 2.1 > 1.25 -> alarm
+    assert set(reg) == {"qa"} and cal_only == {}
+    # control: latency probe unchanged -> armed -> demoted
+    reg, cal_only = flag_regressions(
+        {"qa": 2.1},
+        {"qa": 1.0},
+        {"qa": 100.0},
+        1.0,
+        0.02,
+        prev_lat_sec=0.02,
+        **kw,
+    )
+    assert reg == {} and set(cal_only) == {"qa"}
+
+
+def test_disarmed_flat_raw_without_lat_history_demotes_not_alarms():
+    """Disarmed raw rule + flat raw + a base predating the latency
+    probe: positive flat-raw evidence with no probe to confirm the
+    growth direction must stay VISIBLE but never alarm — alarming
+    here would resurrect the phantom class the rule exists to kill."""
+    reg, cal_only = flag_regressions(
+        {"qa": 2.1},
+        {"qa": 1.0},
+        {},                           # no lat history (r8-era base)
+        0.75,                         # scan probe 25% faster -> disarmed
+        0.075,
+        set(),
+        (),
+        prev_raw={"qa": 2.0},         # raw ratio 1.05: flat
+        prev_cal_sec=1.0,
+    )
+    assert reg == {} and set(cal_only) == {"qa"}
+
+
 def test_missing_prev_raw_falls_through_to_the_other_gates():
     """A base without a raw map (or a query absent from it) keeps the
     pre-existing behavior — the rule only ever demotes."""
@@ -197,6 +258,23 @@ def test_noisy_on_disk_defers_to_newest_committed_snapshot():
     old = dict(_CLEAN)
     base, name = select_baseline(_NOISY, [(9, old), (10, _CLEAN)], 0.1)
     assert base is _CLEAN and name == "BENCH_LOCAL_r10.json"
+
+
+def test_clean_snapshot_outranks_fresher_noisy_snapshot():
+    """A noisy snapshot's per-query norms carry drift skew (the r11
+    lesson: three noisy runs in one session) — a positively-clean
+    older snapshot is the better base."""
+    base, name = select_baseline(None, [(10, _CLEAN), (11, _NOISY)], 0.1)
+    assert base is _CLEAN and name == "BENCH_LOCAL_r10.json"
+
+
+def test_legacy_snapshot_without_noise_field_is_not_clean():
+    """r8-era snapshots predate cal_noisy: absence of the field must
+    not read as a cleanliness claim — the newest snapshot wins on the
+    noisy tier instead."""
+    legacy = {k: v for k, v in _CLEAN.items() if k != "cal_noisy"}
+    base, name = select_baseline(None, [(8, legacy), (11, _NOISY)], 0.1)
+    assert base is _NOISY and name == "BENCH_LOCAL_r11.json"
 
 
 def test_sf_mismatched_candidates_are_rejected():

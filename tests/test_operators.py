@@ -725,10 +725,14 @@ def test_snapshot_result_releases_previous_invocation(spark):
     assert a1.count() == 100 and b1.count() == 50
 
     a2 = snapshot_result(spark.range(10).selectExpr("id"), "op_a")
-    after = cached_rdd_ids(spark)
-    # exactly one of the two original RDDs (op_a's) was released and
-    # one new one (a2's) took its place; op_b's frame is untouched
-    assert len(a1_ids - after) == 1
+    # exactly one of the two original RDDs (op_a's) is released (the
+    # unpersist is non-blocking — poll) and a2's took its place;
+    # op_b's frame is untouched
+    from tests.conftest import wait_until
+
+    assert wait_until(
+        lambda: len(a1_ids - cached_rdd_ids(spark)) == 1
+    )
     assert a2.count() == 10 and b1.count() == 50
     # the invalidation is recorded so an external caller's
     # "checkpoint block not found" on the OLD frame can be traced to
