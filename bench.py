@@ -90,6 +90,13 @@ analysis to the reader:
   demotion stays VISIBLE in ``cal_only_flags`` (stdout + report),
   and the raw-delta rule above keeps the opposite failure mode
   (flat-raw phantoms) out of the alarm list.
+* ``wave_sec`` — a THIRD probe (r11): one 64-task zero-input noop
+  job, the per-TASK dispatch cost neither sibling sees (the scan
+  probe is IO/CPU-bound; the latency probe dispatches one task per
+  job). The r11 qt35 triage isolated this class — a contended
+  container inflated per-task dispatch, multiplying through a
+  6-exchange/32-partition query while both other probes stayed
+  flat. Measurement-only until committed history carries it.
 
 Normalization form: mean-of-probes, not position-interpolated. Tested
 on the two calibrated r8 runs (driver ``bench_report.json`` vs solo
@@ -169,6 +176,40 @@ def _latency_probe(spark) -> float:
     _run()
     samples = [_run() for _ in range(5)]
     return sorted(samples)[2]
+
+
+def _wave_probe(spark) -> float:
+    """Per-TASK dispatch probe: one zero-input noop job of 64 trivial
+    tasks — the environment component neither sibling sees (the scan
+    probe is IO/CPU-bound, the latency probe dispatches ONE task per
+    job). The r11 qt35 triage isolated exactly this class: a
+    contended container inflated per-task dispatch, which a
+    6-exchange/32-partition query multiplies ~200x while both other
+    probes stayed flat. Median of 5, warm-up first; MUST NOT change
+    across rounds. Measurement-only for now — it joins the gate once
+    committed history carries it (the prev_* fallbacks make that
+    automatic for the lat probe's pattern)."""
+
+    def _run() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 64, 1, 64)
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    _run()
+    samples = [_run() for _ in range(5)]
+    return sorted(samples)[2]
+
+
+def _wave_probe_safe(spark) -> float:
+    try:
+        return _wave_probe(spark)
+    except Exception:
+        return 0.0
 
 
 def _latency_probe_safe(spark) -> float:
@@ -392,6 +433,7 @@ def main() -> None:
     # cal_first != cal_last rather than silently skewing half the map.
     cal_first = _calibrate_safe(spark, sf_dir)
     lat_first = _latency_probe_safe(spark)
+    wave_first = _wave_probe_safe(spark)
     timings: dict[str, float] = {}
     for name, q in QUERIES.items():
         best = float("inf")
@@ -411,11 +453,15 @@ def main() -> None:
         timings[name] = round(best, 3)
     cal_last = _calibrate_safe(spark, sf_dir)
     lat_last = _latency_probe_safe(spark)
+    wave_last = _wave_probe_safe(spark)
     cal_sec = (
         (cal_first + cal_last) / 2 if cal_first and cal_last else 0.0
     )
     lat_sec = (
         (lat_first + lat_last) / 2 if lat_first and lat_last else 0.0
+    )
+    wave_sec = (
+        (wave_first + wave_last) / 2 if wave_first and wave_last else 0.0
     )
     cal_drift = (
         round(max(cal_first, cal_last) / min(cal_first, cal_last), 3)
@@ -514,6 +560,7 @@ def main() -> None:
             "cal_last": round(cal_last, 3),
             "cal_sec": round(cal_sec, 3),
             "lat_sec": round(lat_sec, 3),
+            "wave_sec": round(wave_sec, 3),
             "queries": qmap,
             "sf": sf,
         }
@@ -569,6 +616,9 @@ def main() -> None:
                     "lat_first": round(lat_first, 4),
                     "lat_last": round(lat_last, 4),
                     "lat_sec": round(lat_sec, 4),
+                    "wave_first": round(wave_first, 4),
+                    "wave_last": round(wave_last, 4),
+                    "wave_sec": round(wave_sec, 4),
                     "cal_drift": cal_drift,
                     "cal_noisy": cal_drift > 1.25,
                     "regressions_norm": _worst_by_ratio(

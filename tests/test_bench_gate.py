@@ -335,6 +335,39 @@ def test_property_uniform_shift_never_flags(prev, env, cal, lat):
 @settings(max_examples=200, deadline=None)
 @given(
     prev=_norms,
+    skew=st.floats(min_value=0.05, max_value=1.0, allow_nan=False),
+    raw_ratio=st.floats(min_value=0.5, max_value=1.10, allow_nan=False),
+    env=st.floats(min_value=0.9, max_value=3.0, allow_nan=False),
+)
+def test_property_flat_raw_never_alarms_when_armed(
+    prev, skew, raw_ratio, env
+):
+    """For ANY drift-skewed base (prev_norm understated by `skew`),
+    any flat raw movement (<=10%), and any armed environment (probes
+    not >10% faster than the base's): the candidate may be demoted
+    but must NEVER land in regressions_norm — the phantom class is
+    structurally dead."""
+    name = next(iter(prev))
+    pr = prev[name]                      # base raw (cal was 1.0)
+    t = pr * raw_ratio                   # flat raw
+    reg, _ = flag_regressions(
+        {name: t},
+        {name: pr * skew},               # drift-understated norm
+        {name: pr * 10 * skew},
+        1.0 * env,                       # probes same or slower
+        0.1 * env,
+        set(),
+        (),
+        prev_raw={name: pr},
+        prev_cal_sec=1.0,
+        prev_lat_sec=0.1,
+    )
+    assert name not in reg
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    prev=_norms,
     growth=st.floats(min_value=1.3, max_value=20, allow_nan=False),
 )
 def test_property_real_growth_with_stable_probes_always_flags(
