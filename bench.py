@@ -652,6 +652,17 @@ def main() -> None:
                     }
                     if lat_sec
                     else {},
+                    # per-query wave normalization: recorded so a
+                    # future round can wire the dispatch probe into
+                    # the gate the way lat_norm was wired in r10 —
+                    # the gate's prev_* fallbacks make that
+                    # backward-compatible automatically
+                    "queries_wave_norm": {
+                        n: round(t / wave_sec, 3)
+                        for n, t in timings.items()
+                    }
+                    if wave_sec
+                    else {},
                 },
                 f,
                 indent=1,
