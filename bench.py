@@ -380,6 +380,55 @@ def select_baseline(
     return {}, None
 
 
+def base_noisiness(base: dict) -> bool | None:
+    """The ``prev_noisy`` provenance stamp for a selected base (pure,
+    unit-tested). Tri-state: True/False when the base positively
+    carries ``cal_noisy``; None when it predates the field (r8-era
+    snapshots) — unknown cleanliness must be stamped as unknown
+    (null), never reported as a clean (False) base. An empty base
+    (gate disabled) stamps False: nothing was compared, so there is
+    no noisy-base hazard to flag."""
+    flag = base.get("cal_noisy") if base else False
+    if isinstance(flag, bool):
+        return flag
+    return None
+
+
+def _committed_snapshot_names(repo_dir: str) -> list[str]:
+    """Candidate ``BENCH_LOCAL_r*.json`` snapshot FILENAMES, filtered
+    to git-TRACKED files when git is available. The selector's tiers
+    promise "committed solo runs" — a stray untracked file matching
+    the name pattern must not silently become the gate's base (that
+    would recreate, under a different filename, exactly the
+    untracked-baseline hazard ``select_baseline`` exists to close).
+    Falls back to the bare directory listing when git is unavailable
+    or errors (the gate still beats having no base at all — the
+    fallback's weaker provenance is the documented tier-3/4 story).
+    """
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["git", "-C", repo_dir, "ls-files", "BENCH_LOCAL_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if out.returncode == 0:
+            return [
+                ln.strip()
+                for ln in out.stdout.splitlines()
+                if ln.strip()
+            ]
+    except Exception:
+        pass
+    return [
+        f
+        for f in os.listdir(repo_dir)
+        if re.fullmatch(r"BENCH_LOCAL_r(\d+)\.json", f)
+    ]
+
+
 def _worst_by_ratio(
     flags: dict[str, list], nd: int, keep: int = 8
 ) -> dict[str, list]:
@@ -486,9 +535,9 @@ def main() -> None:
             on_disk_report = json.load(f)
     except (OSError, json.JSONDecodeError):
         on_disk_report = None
-    snapshots: list[tuple[int, dict]] = []
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    for fname in os.listdir(repo_dir):
+    snapshots: list[tuple[int, dict]] = []
+    for fname in _committed_snapshot_names(repo_dir):
         m_snap = re.fullmatch(r"BENCH_LOCAL_r(\d+)\.json", fname)
         if not m_snap:
             continue
@@ -501,7 +550,7 @@ def main() -> None:
     prev_norm = base.get("queries_norm") or {}
     prev_lat_norm = base.get("queries_lat_norm") or {}
     prev_raw = base.get("queries") or {}
-    prev_noisy = bool(base.get("cal_noisy"))
+    prev_noisy = base_noisiness(base)
     try:
         from gh_archive_clickhouse_spark.plans.registry import (
             _CHANGED as _changed_queries,
@@ -593,11 +642,13 @@ def main() -> None:
                 # which file the gate compared against — a flag is
                 # only as good as its base (the r9->r10 lesson)
                 payload["prev_base"] = base_name
-                if prev_noisy:
+                if prev_noisy is not False:
                     # the comparison BASE was itself a cal_noisy run
                     # (a contended driver run as baseline manufactures
-                    # phantom alarms) — stamp the provenance
-                    payload["prev_noisy"] = True
+                    # phantom alarms) or predates the cal_noisy field
+                    # (null = unknown cleanliness) — stamp either way;
+                    # only a POSITIVELY clean base goes unstamped
+                    payload["prev_noisy"] = prev_noisy
         if omitted:
             # sibling field, NOT a fake entry inside the timing map
             payload["queries_omitted"] = omitted

@@ -329,8 +329,14 @@ def snapshot_result(df: DataFrame, key: str) -> DataFrame:
         try:
             prev.unpersist(False)
         except Exception:
+            # The tombstone asserts "the old blocks WERE freed"; a
+            # failed unpersist leaves them live, so recording it would
+            # point a block-fetch diagnostic at a release that never
+            # happened. Leave no tombstone — the blocks outlive the
+            # contract window and the ContextCleaner reclaims them.
             pass
-        RELEASED_RESULT_KEYS.add((app, key))
+        else:
+            RELEASED_RESULT_KEYS.add((app, key))
     # entries from stopped sessions hold dead references — prune them
     # (and their tombstones) so both stay O(keys), not O(keys x sessions)
     for k in [k for k in _RESULT_SNAPSHOTS if k[0] != app]:

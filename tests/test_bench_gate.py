@@ -296,6 +296,61 @@ def test_absent_everything_disables_the_gate():
     assert select_baseline(None, [], 0.1) == ({}, None)
 
 
+# ---- provenance stamping + snapshot discovery --------------------
+
+
+from bench import _committed_snapshot_names, base_noisiness
+
+
+def test_base_noisiness_is_tri_state():
+    """A legacy base without cal_noisy must stamp UNKNOWN (None),
+    never clean (False) — the advisor's r11 finding: the docstring
+    promises noisy-tier bases are stamped, and an
+    unknown-cleanliness base reported as clean breaks that promise."""
+    legacy = {k: v for k, v in _CLEAN.items() if k != "cal_noisy"}
+    assert base_noisiness(_CLEAN) is False
+    assert base_noisiness(_NOISY) is True
+    assert base_noisiness(legacy) is None
+    # non-bool junk in the field is also unknown, not clean
+    assert base_noisiness({**_CLEAN, "cal_noisy": "yes"}) is None
+    # no base selected -> nothing compared -> no hazard to stamp
+    assert base_noisiness({}) is False
+
+
+def test_untracked_snapshot_files_are_not_candidates(tmp_path):
+    """The advisor's r11 finding: main() globbed ANY
+    BENCH_LOCAL_r*.json in the repo dir, so an untracked local file
+    silently became the gate's base — recreating the
+    untracked-baseline hazard under a different filename. Discovery
+    must filter through git ls-files when git is available."""
+    import subprocess
+
+    subprocess.run(
+        ["git", "init", "-q", str(tmp_path)], check=True, timeout=30
+    )
+    tracked = tmp_path / "BENCH_LOCAL_r10.json"
+    tracked.write_text("{}")
+    subprocess.run(
+        ["git", "-C", str(tmp_path), "add", "BENCH_LOCAL_r10.json"],
+        check=True,
+        timeout=30,
+    )
+    untracked = tmp_path / "BENCH_LOCAL_r11.json"
+    untracked.write_text("{}")
+    names = _committed_snapshot_names(str(tmp_path))
+    assert names == ["BENCH_LOCAL_r10.json"]
+
+
+def test_snapshot_discovery_falls_back_without_git(tmp_path):
+    """Outside a git repo (or when git errors) the bare listing is
+    the documented fallback — a weaker-provenance gate still beats
+    no gate."""
+    (tmp_path / "BENCH_LOCAL_r09.json").write_text("{}")
+    (tmp_path / "not_a_snapshot.json").write_text("{}")
+    names = _committed_snapshot_names(str(tmp_path))
+    assert names == ["BENCH_LOCAL_r09.json"]
+
+
 # ---- randomized properties --------------------------------------
 
 

@@ -798,6 +798,32 @@ def test_snapshot_result_registry_survives_handle_fetch_failure(
     assert a3.count() == 10
 
 
+def test_snapshot_result_no_tombstone_when_release_fails(spark):
+    """A tombstone asserts "the old blocks WERE freed" (advisor r11):
+    when the previous handle's unpersist RAISES, the blocks are still
+    live, so recording the key in RELEASED_RESULT_KEYS would point a
+    later block-fetch diagnostic at a release that never happened.
+    The failed release must leave no tombstone; a subsequent healthy
+    re-invocation records it as usual."""
+    from gh_archive_clickhouse_spark.plans import common
+
+    class _Raising:
+        def unpersist(self, blocking):
+            raise RuntimeError("jvm unreachable")
+
+    app = spark.sparkContext.applicationId
+    key = "op_tombstone"
+    common._RESULT_SNAPSHOTS[(app, key)] = _Raising()
+    common.RELEASED_RESULT_KEYS.discard((app, key))
+    a1 = common.snapshot_result(spark.range(5).selectExpr("id"), key)
+    assert (app, key) not in common.RELEASED_RESULT_KEYS
+    assert a1.count() == 5
+    # the healthy successor releases a1 and records it truthfully
+    a2 = common.snapshot_result(spark.range(3).selectExpr("id"), key)
+    assert (app, key) in common.RELEASED_RESULT_KEYS
+    assert a2.count() == 3
+
+
 def test_kmeans_fit_matches_numpy_reference(spark):
     """kmeans_fit == a literal numpy Lloyd implementation with the
     same determinism rules (id<k init, cosine argmax with lowest-id
