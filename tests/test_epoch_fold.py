@@ -320,6 +320,92 @@ def test_fold_cluster_labels_releases_its_snapshot(
     assert got == {(1, 1), (2, 1), (3, 1)}
 
 
+def test_storage_stays_flat_across_many_folds(spark, tmp_path):
+    """The long-lived-service property (the reference runs for months:
+    cmd/gh-archived/main.go:214-281): driving the FULL dedup sink
+    through many micro-batches spanning several major folds and label
+    refreshes leaves a FLAT block-manager storage envelope — r11's
+    release tests pin ONE fold's equality; a per-fold leak of even one
+    checkpoint would still pass those and sink a resident stream.
+
+    Two-part envelope: (a) in flight, extra storage above baseline is
+    bounded by CC's cleaner-lagged lazy materializes (measured ~4-5
+    RDDs per refresh, transient — adjudicated self-limiting in r11),
+    never cumulative in fold count; (b) after each major fold, one
+    GC nudge returns storage EXACTLY to baseline — a genuine leak
+    (blocks pinned by a live reference, the pre-r10 result-snapshot
+    class) survives GC and fails here deterministically."""
+    import gc
+
+    from tests.conftest import wait_until
+    from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        incremental_dedup_sink,
+    )
+
+    base = tmp_path / "flat"
+    sink = incremental_dedup_sink(
+        str(base / "sigs"),
+        str(base / "pairs"),
+        str(base / "labels"),
+        keep_epochs=2,
+    )
+
+    def batch(epoch):
+        rows = [
+            (
+                epoch * 2 + j,
+                " ".join(f"tok{k}q{epoch}" for k in range(6)),
+            )
+            for j in (0, 1)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def extra_now():
+        return len(cached_rdd_ids(spark) - baseline)
+
+    def reclaimed():
+        # CC's lazy materializes are session-scoped localCheckpoints
+        # whose frames are dropped at fold return: a python GC plus a
+        # JVM GC hands them to the ContextCleaner. Anything still
+        # held after that is a real leak.
+        for _ in range(10):
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            if wait_until(lambda: extra_now() == 0, timeout_s=3):
+                return True
+        return extra_now() == 0
+
+    baseline = cached_rdd_ids(spark)
+    majors = 0
+    for epoch in range(10):
+        kinds = sink(batch(epoch), epoch)
+        # in-flight cap: transient cleaner lag, never fold-cumulative
+        # (measured ceiling 10 across 11 folds; 16 = gross-blowup trip)
+        assert extra_now() <= 16, f"storage blowup at epoch {epoch}"
+        if kinds["pairs"] == "major":
+            majors += 1
+            assert reclaimed(), (
+                f"storage above baseline survives GC after major fold "
+                f"#{majors} (epoch {epoch}) — a pinned checkpoint leak"
+            )
+    assert majors >= 3, f"only {majors} major folds in 10 epochs"
+    # the stream's output is intact after all that folding: every doc
+    # labeled with its pair-partner min (pairs are (2i, 2i+1) cliques)
+    from gh_archive_clickhouse_spark.streaming.dedup_stream import (
+        LABELS_SCHEMA,
+    )
+
+    got = {
+        (r.doc_id, r.cluster_rep)
+        for r in spark.read.schema(LABELS_SCHEMA)
+        .parquet(str(base / "labels"))
+        .collect()
+    }
+    assert got, "labels table empty after the final major fold"
+    for doc_id, rep in got:
+        assert rep == (doc_id // 2) * 2
+
+
 def test_fold_manifest_commit_is_crash_atomic(spark, tmp_path):
     """The manifest commits via write-to-temp + os.replace: after a
     major fold no temp file remains and the manifest is complete
