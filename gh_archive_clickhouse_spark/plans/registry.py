@@ -54,26 +54,13 @@ WINDOW = 50
 # older code, i.e. are effectively no rows — so these pin to the front
 # of the window until a driver row from _CHANGED_ROUND or later lands
 # for them, at which point the pin expires per query automatically).
-_CHANGED_ROUND = 11
+_CHANGED_ROUND = 12
 _CHANGED = (
-    # streaming fold/label-refresh localCheckpoints now released
-    # explicitly after the overwrite commits (checkpoints.py) — the
-    # r10-deferred storage-lifecycle item; qs4/qs13 are the canonical
-    # incremental-LSH / dedup-survivors streams over that code
-    "qs4_stream_incremental_lsh",
-    "qs13_stream_dedup_survivors",
-    # same release change (fold_cluster_labels runs inside the
-    # builder) + source mtimes now backdated instead of future-dated
-    "qs15_stream_preprocess_pipeline",
-    # source mtimes backdated instead of future-dated (the same
-    # advisor finding applied to the identical stamping site)
-    "qs12_stream_budget_admission",
-    # their sinks execute the changed _compact_old_epochs too (the MV
-    # partials fold and the IVF-PQ index fold) — the pin invariant is
-    # "code executed by the builder changed", not "the changed branch
-    # is reached at fixture scale"
-    "qs7_incremental_mv",
-    "qs10_incremental_ivfpq",
+    # snapshot_result (plans/common.py) now records its
+    # RELEASED_RESULT_KEYS tombstone only when the previous handle's
+    # unpersist actually succeeded (advisor r11) — qx42 is the one
+    # builder that executes snapshot_result
+    "qx42_preprocess_pipeline",
 )
 
 # Canonical declaration order: used as the deterministic tie-break
