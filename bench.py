@@ -96,7 +96,12 @@ analysis to the reader:
   job). The r11 qt35 triage isolated this class — a contended
   container inflated per-task dispatch, multiplying through a
   6-exchange/32-partition query while both other probes stayed
-  flat. Measurement-only until committed history carries it.
+  flat. Wired into the gate in r12 (BENCH_LOCAL_r11 is the first
+  committed base carrying ``queries_wave_norm``): a candidate whose
+  wave-normalized time stayed flat is demoted to
+  ``cal_only_flags``, and a wave speedup >10% disarms the raw rule
+  exactly like its siblings. Legacy bases without wave history fall
+  back to the r11 behavior automatically.
 
 Normalization form: mean-of-probes, not position-interpolated. Tested
 on the two calibrated r8 runs (driver ``bench_report.json`` vs solo
@@ -241,6 +246,9 @@ def flag_regressions(
     prev_raw: dict[str, float] | None = None,
     prev_cal_sec: float | None = None,
     prev_lat_sec: float | None = None,
+    prev_wave_norm: dict[str, float] | None = None,
+    wave_sec: float = 0.0,
+    prev_wave_sec: float | None = None,
 ) -> tuple[dict[str, list], dict[str, list]]:
     """The round-over-round regression gate as a pure function (unit-
     tested in tests/test_bench_gate.py). Returns
@@ -268,22 +276,37 @@ def flag_regressions(
       demotes rather than alarms: positive flat-raw evidence with no
       probe to confirm the growth direction must not produce the very
       phantom alarm the rule exists to kill;
-    - a cal-flagged query either exoneration clears lands in
+    - WAVE GATE (r12 — the qt35 mechanism from the r11 triage): a
+      contended container can inflate per-TASK dispatch, which a
+      multi-exchange/32-partition query multiplies ~200x while the
+      scan probe (IO/CPU-bound) and the 1-task latency probe (one
+      dispatch per job) both stay flat — the one environment class
+      the other two probes cannot exonerate. The 64-task wave probe
+      inflates by the same per-task factor, so when both runs carry a
+      wave normalization and the candidate's wave-normalized time
+      grew <=25%, it is demoted to ``cal_only_flags``. Same
+      documented tradeoff as the latency gate: a genuine regression
+      coinciding with a real dispatch-cost rise is demoted, visibly;
+    - a cal-flagged query any exoneration clears lands in
       ``cal_only_flags`` instead (report-file visibility, no alarm);
     - streaming-tagged and declared-changed queries never flag.
     """
     regressions_norm: dict[str, list] = {}
     cal_only_flags: dict[str, list] = {}
     prev_raw = prev_raw or {}
+    prev_wave_norm = prev_wave_norm or {}
     if not cal_sec or not prev_norm:
         return regressions_norm, cal_only_flags
     # the raw rule's arming condition (see docstring): disarmed when
     # this run's environment is >10% faster than the base's under
-    # either probe; unknown base probes = armed (the plain rule)
+    # any probe (scan, per-job latency, or per-task dispatch);
+    # unknown base probes = armed (the plain rule)
     raw_rule_armed = not (
         (prev_cal_sec and prev_cal_sec > 0 and cal_sec < 0.9 * prev_cal_sec)
         or (prev_lat_sec and prev_lat_sec > 0 and lat_sec
             and lat_sec < 0.9 * prev_lat_sec)
+        or (prev_wave_sec and prev_wave_sec > 0 and wave_sec
+            and wave_sec < 0.9 * prev_wave_sec)
     )
     for name, t in timings.items():
         if name in streaming or name in changed:
@@ -306,12 +329,21 @@ def flag_regressions(
             # normalization; a scheduler-contended environment
             # inflates small queries under cal only
             pl = prev_lat_norm.get(name)
-            if lat_sec and pl and pl > 0:
-                if (t / lat_sec) / pl <= 1.25:
-                    cal_only_flags[name] = [p, cur]
-                    continue
-            elif raw_flat:
-                # disarmed raw rule + no latency history: flat raw is
+            has_lat = bool(lat_sec and pl and pl > 0)
+            if has_lat and (t / lat_sec) / pl <= 1.25:
+                cal_only_flags[name] = [p, cur]
+                continue
+            # the wave gate (see docstring): per-task dispatch
+            # inflation moves the 64-task probe by the same factor it
+            # moves a many-exchange query — flat wave-normalized time
+            # exonerates what neither sibling probe can see
+            pw = prev_wave_norm.get(name)
+            has_wave = bool(wave_sec and pw and pw > 0)
+            if has_wave and (t / wave_sec) / pw <= 1.25:
+                cal_only_flags[name] = [p, cur]
+                continue
+            if not (has_lat or has_wave) and raw_flat:
+                # disarmed raw rule + no probe history: flat raw is
                 # unconfirmed either way — visible, never alarmed
                 cal_only_flags[name] = [p, cur]
                 continue
@@ -568,6 +600,9 @@ def main() -> None:
         prev_raw=prev_raw,
         prev_cal_sec=base.get("cal_sec"),
         prev_lat_sec=base.get("lat_sec"),
+        prev_wave_norm=base.get("queries_wave_norm") or {},
+        wave_sec=wave_sec,
+        prev_wave_sec=base.get("wave_sec"),
     )
 
     # The driver snapshots only the LAST 2000 chars of stdout; full

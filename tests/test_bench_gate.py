@@ -228,6 +228,99 @@ def test_missing_prev_raw_falls_through_to_the_other_gates():
     assert set(reg) == {"qa_small"}
 
 
+# ---- wave (per-task dispatch) gate, r12 --------------------------
+
+
+def test_dispatch_inflation_is_exonerated_by_the_wave_gate():
+    """The qt35 mechanism (r11 triage): per-task dispatch inflation
+    multiplies through a many-exchange/many-partition query while the
+    scan probe (no dispatch sensitivity) and the 1-task lat probe
+    (one dispatch per job) both stay flat — previously this shape
+    ALARMED (grew under cal AND lat). With the 64-task wave probe
+    inflated by the same per-task factor, the wave-normalized time is
+    flat and the candidate is demoted."""
+    reg, cal_only = flag_regressions(
+        {"qt": 1.6},                  # raw +60% from dispatch alone
+        {"qt": 1.0},                  # prev_norm at cal=1.0
+        {"qt": 10.0},                 # prev_lat_norm at lat=0.1
+        1.0,                          # scan probe flat
+        0.1,                          # lat probe flat (1 dispatch/job)
+        set(),
+        (),
+        prev_raw={"qt": 1.0},         # raw grew 60% -> not raw-flat
+        prev_cal_sec=1.0,
+        prev_lat_sec=0.1,
+        prev_wave_norm={"qt": 25.0},  # prev wave_sec 0.04
+        wave_sec=0.064,               # dispatch probe inflated 60% too
+        prev_wave_sec=0.04,
+    )
+    assert reg == {} and set(cal_only) == {"qt"}
+
+
+def test_genuine_regression_alarms_through_all_three_gates():
+    """2x the work with every probe flat grows under cal, lat AND
+    wave normalization — the wave gate must not swallow it."""
+    reg, cal_only = flag_regressions(
+        {"qt": 2.0},
+        {"qt": 1.0},
+        {"qt": 10.0},
+        1.0,
+        0.1,
+        set(),
+        (),
+        prev_raw={"qt": 1.0},
+        prev_cal_sec=1.0,
+        prev_lat_sec=0.1,
+        prev_wave_norm={"qt": 25.0},
+        wave_sec=0.04,                # wave probe flat
+        prev_wave_sec=0.04,
+    )
+    assert set(reg) == {"qt"} and cal_only == {}
+
+
+def test_missing_wave_history_falls_back_to_the_r11_behavior():
+    """A base predating queries_wave_norm (r10 and older): the gate
+    decides on cal+lat exactly as before the wave wiring."""
+    reg, cal_only = flag_regressions(
+        {"qt": 2.0},
+        {"qt": 1.0},
+        {"qt": 10.0},
+        1.0,
+        0.1,
+        set(),
+        (),
+        prev_raw={"qt": 1.0},
+        prev_cal_sec=1.0,
+        prev_lat_sec=0.1,
+        wave_sec=0.08,                # current run measures wave...
+        prev_wave_sec=None,           # ...but the base has none
+    )
+    assert set(reg) == {"qt"} and cal_only == {}
+
+
+def test_wave_speedup_disarms_the_raw_rule():
+    """Symmetric to the cal/lat disarm channels: a >10% faster
+    dispatch environment can pay for a genuine regression's extra
+    tasks, leaving raw flat — the raw rule must disarm and the wave
+    gate (which sees the growth) alarms."""
+    reg, cal_only = flag_regressions(
+        {"qt": 2.1},
+        {"qt": 1.0},                  # drift-skewed base norm
+        {},                           # no lat history
+        1.0,                          # scan probe flat -> no cal disarm
+        0.0,
+        prev_raw={"qt": 2.0},         # raw ratio 1.05: flat
+        prev_cal_sec=1.0,
+        streaming=set(),
+        changed=(),
+        prev_wave_norm={"qt": 25.0},  # prev raw 2.0 / wave_sec 0.08
+        wave_sec=0.04,                # dispatch 2x faster -> DISARM
+        prev_wave_sec=0.08,
+    )
+    # wave-normalized growth: (2.1/0.04)/25 = 2.1 > 1.25 -> alarm
+    assert set(reg) == {"qt"} and cal_only == {}
+
+
 # ---- baseline selection ------------------------------------------
 
 
