@@ -297,16 +297,22 @@ def flag_regressions(
     prev_wave_norm = prev_wave_norm or {}
     if not cal_sec or not prev_norm:
         return regressions_norm, cal_only_flags
+    # the environment probes as (this run, base run, base per-query
+    # norms): the scan probe anchors the primary gate; the per-job
+    # latency and per-task dispatch probes each drive an exoneration
+    # channel below and a raw-rule disarm channel here
+    probes = (
+        (cal_sec, prev_cal_sec, None),
+        (lat_sec, prev_lat_sec, prev_lat_norm),
+        (wave_sec, prev_wave_sec, prev_wave_norm),
+    )
     # the raw rule's arming condition (see docstring): disarmed when
     # this run's environment is >10% faster than the base's under
     # any probe (scan, per-job latency, or per-task dispatch);
     # unknown base probes = armed (the plain rule)
-    raw_rule_armed = not (
-        (prev_cal_sec and prev_cal_sec > 0 and cal_sec < 0.9 * prev_cal_sec)
-        or (prev_lat_sec and prev_lat_sec > 0 and lat_sec
-            and lat_sec < 0.9 * prev_lat_sec)
-        or (prev_wave_sec and prev_wave_sec > 0 and wave_sec
-            and wave_sec < 0.9 * prev_wave_sec)
+    raw_rule_armed = not any(
+        prev and prev > 0 and cur_probe and cur_probe < 0.9 * prev
+        for cur_probe, prev, _ in probes
     )
     for name, t in timings.items():
         if name in streaming or name in changed:
@@ -328,21 +334,25 @@ def flag_regressions(
             # regression also grows under per-job-latency
             # normalization; a scheduler-contended environment
             # inflates small queries under cal only
-            pl = prev_lat_norm.get(name)
-            has_lat = bool(lat_sec and pl and pl > 0)
-            if has_lat and (t / lat_sec) / pl <= 1.25:
+            # the latency/wave gates (see docstring): a genuine
+            # regression does more work and grows under EVERY
+            # normalization; an environment shift in per-job latency
+            # or per-task dispatch grows only under the probes blind
+            # to it — ONE flat secondary normalization exonerates
+            exonerated = False
+            confirmed = 0
+            for probe_sec, _, prev_map in probes[1:]:
+                pn = (prev_map or {}).get(name)
+                if not (probe_sec and pn and pn > 0):
+                    continue  # no history under this probe
+                if (t / probe_sec) / pn <= 1.25:
+                    exonerated = True
+                    break
+                confirmed += 1
+            if exonerated:
                 cal_only_flags[name] = [p, cur]
                 continue
-            # the wave gate (see docstring): per-task dispatch
-            # inflation moves the 64-task probe by the same factor it
-            # moves a many-exchange query — flat wave-normalized time
-            # exonerates what neither sibling probe can see
-            pw = prev_wave_norm.get(name)
-            has_wave = bool(wave_sec and pw and pw > 0)
-            if has_wave and (t / wave_sec) / pw <= 1.25:
-                cal_only_flags[name] = [p, cur]
-                continue
-            if not (has_lat or has_wave) and raw_flat:
+            if confirmed == 0 and raw_flat:
                 # disarmed raw rule + no probe history: flat raw is
                 # unconfirmed either way — visible, never alarmed
                 cal_only_flags[name] = [p, cur]
@@ -428,29 +438,38 @@ def base_noisiness(base: dict) -> bool | None:
 
 def _committed_snapshot_names(repo_dir: str) -> list[str]:
     """Candidate ``BENCH_LOCAL_r*.json`` snapshot FILENAMES, filtered
-    to git-TRACKED files when git is available. The selector's tiers
-    promise "committed solo runs" — a stray untracked file matching
-    the name pattern must not silently become the gate's base (that
-    would recreate, under a different filename, exactly the
+    to files COMMITTED at HEAD when git is available (``ls-tree``,
+    not ``ls-files`` — the index would admit a staged-but-uncommitted
+    file, review pass). The selector's tiers promise "committed solo
+    runs" — a stray untracked or merely-staged file matching the name
+    pattern must not silently become the gate's base (that would
+    recreate, under a different filename, exactly the
     untracked-baseline hazard ``select_baseline`` exists to close).
     Falls back to the bare directory listing when git is unavailable
     or errors (the gate still beats having no base at all — the
     fallback's weaker provenance is the documented tier-3/4 story).
+    Note the CONTENT still comes from the working tree: a locally
+    edited committed snapshot is read as edited — provenance
+    filtering is by name, which is the hazard observed in practice.
     """
     try:
         import subprocess
 
         out = subprocess.run(
-            ["git", "-C", repo_dir, "ls-files", "BENCH_LOCAL_r*.json"],
+            ["git", "-C", repo_dir, "ls-tree", "--name-only", "HEAD"],
             capture_output=True,
             text=True,
             timeout=10,
         )
         if out.returncode == 0:
+            # ls-tree path arguments are literal, not globs — filter
+            # the top-level listing by the snapshot name pattern here
             return [
                 ln.strip()
                 for ln in out.stdout.splitlines()
-                if ln.strip()
+                if re.fullmatch(
+                    r"BENCH_LOCAL_r(\d+)\.json", ln.strip()
+                )
             ]
     except Exception:
         pass

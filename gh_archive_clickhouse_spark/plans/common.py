@@ -287,9 +287,12 @@ def snapshot_result(df: DataFrame, key: str) -> DataFrame:
     action on that frame fails at block-fetch time). Callers that need
     two results of the same query live at once must collect the first
     before re-invoking — which every harness (bench, driver, tests)
-    already does. Invalidated (app, key) pairs are recorded in
-    :data:`RELEASED_RESULT_KEYS` so such a failure can be traced to
-    this contract.
+    already does. An (app, key) pair in :data:`RELEASED_RESULT_KEYS`
+    records that the MOST RECENT re-invocation under that key
+    released its predecessor's blocks deterministically, so such a
+    failure can be traced to this contract; a failed release leaves
+    no tombstone (and clears a stale one) — those blocks stay live
+    until the ContextCleaner reclaims them.
     """
     out = df.localCheckpoint(eager=True)
     # sparkContext and the internal-plan handle are both absent on
@@ -332,9 +335,12 @@ def snapshot_result(df: DataFrame, key: str) -> DataFrame:
             # The tombstone asserts "the old blocks WERE freed"; a
             # failed unpersist leaves them live, so recording it would
             # point a block-fetch diagnostic at a release that never
-            # happened. Leave no tombstone — the blocks outlive the
-            # contract window and the ContextCleaner reclaims them.
-            pass
+            # happened. Leave no tombstone — and DISCARD any stale one
+            # an earlier successful release left under this key, or
+            # the set would still read "released" for the generation
+            # whose release never ran (the blocks outlive the contract
+            # window until the ContextCleaner reclaims them).
+            RELEASED_RESULT_KEYS.discard((app, key))
         else:
             RELEASED_RESULT_KEYS.add((app, key))
     # entries from stopped sessions hold dead references — prune them

@@ -56,11 +56,15 @@ WINDOW = 50
 # for them, at which point the pin expires per query automatically).
 _CHANGED_ROUND = 12
 _CHANGED = (
-    # snapshot_result (plans/common.py) now records its
-    # RELEASED_RESULT_KEYS tombstone only when the previous handle's
-    # unpersist actually succeeded (advisor r11) — qx42 is the one
-    # builder that executes snapshot_result
+    # snapshot_result (plans/common.py) now keeps its
+    # RELEASED_RESULT_KEYS tombstone truthful (recorded only when the
+    # previous handle's unpersist succeeded; stale tombstones
+    # discarded on a failed release — advisor r11 + review pass).
+    # Pin invariant is "code EXECUTED by the builder changed":
+    # qx42 and qs15 are the two builders that return through
+    # snapshot_result (ext_queries.py, streaming_queries.py)
     "qx42_preprocess_pipeline",
+    "qs15_stream_preprocess_pipeline",
 )
 
 # Canonical declaration order: used as the deterministic tie-break

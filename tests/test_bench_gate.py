@@ -410,28 +410,34 @@ def test_base_noisiness_is_tri_state():
     assert base_noisiness({}) is False
 
 
-def test_untracked_snapshot_files_are_not_candidates(tmp_path):
-    """The advisor's r11 finding: main() globbed ANY
-    BENCH_LOCAL_r*.json in the repo dir, so an untracked local file
-    silently became the gate's base — recreating the
-    untracked-baseline hazard under a different filename. Discovery
-    must filter through git ls-files when git is available."""
+def test_uncommitted_snapshot_files_are_not_candidates(tmp_path):
+    """The advisor's r11 finding, tightened by the review pass:
+    main() globbed ANY BENCH_LOCAL_r*.json in the repo dir, so an
+    untracked local file silently became the gate's base — and the
+    index (ls-files) would still admit a staged-but-uncommitted one.
+    Discovery must list what is COMMITTED at HEAD."""
     import subprocess
 
-    subprocess.run(
-        ["git", "init", "-q", str(tmp_path)], check=True, timeout=30
-    )
-    tracked = tmp_path / "BENCH_LOCAL_r10.json"
-    tracked.write_text("{}")
-    subprocess.run(
-        ["git", "-C", str(tmp_path), "add", "BENCH_LOCAL_r10.json"],
-        check=True,
-        timeout=30,
-    )
+    def git(*args):
+        subprocess.run(
+            ["git", "-C", str(tmp_path), "-c", "user.email=t@t",
+             "-c", "user.name=t", *args],
+            check=True,
+            timeout=30,
+        )
+
+    git("init", "-q")
+    committed = tmp_path / "BENCH_LOCAL_r09.json"
+    committed.write_text("{}")
+    git("add", "BENCH_LOCAL_r09.json")
+    git("commit", "-qm", "snapshot")
+    staged = tmp_path / "BENCH_LOCAL_r10.json"
+    staged.write_text("{}")
+    git("add", "BENCH_LOCAL_r10.json")  # staged, never committed
     untracked = tmp_path / "BENCH_LOCAL_r11.json"
     untracked.write_text("{}")
     names = _committed_snapshot_names(str(tmp_path))
-    assert names == ["BENCH_LOCAL_r10.json"]
+    assert names == ["BENCH_LOCAL_r09.json"]
 
 
 def test_snapshot_discovery_falls_back_without_git(tmp_path):

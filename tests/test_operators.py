@@ -822,6 +822,13 @@ def test_snapshot_result_no_tombstone_when_release_fails(spark):
     a2 = common.snapshot_result(spark.range(3).selectExpr("id"), key)
     assert (app, key) in common.RELEASED_RESULT_KEYS
     assert a2.count() == 3
+    # a LATER failed release must also clear the stale tombstone the
+    # successful one left (review pass): the set records the MOST
+    # RECENT invalidation, and that one never ran
+    common._RESULT_SNAPSHOTS[(app, key)] = _Raising()
+    a3 = common.snapshot_result(spark.range(2).selectExpr("id"), key)
+    assert (app, key) not in common.RELEASED_RESULT_KEYS
+    assert a3.count() == 2
 
 
 def test_kmeans_fit_matches_numpy_reference(spark):
