@@ -1,0 +1,131 @@
+"""Replicate a fixture scale factor N× into key-offset universes.
+
+The per-round oracle gate tops out at sf0.1 (`TESTDATA.md`); the sf1
+verification sweeps (SURVEY.md "Round-12 sf1 ORACLE sweep") need a 10×
+corpus that preserves every schema and referential relationship while
+NOT inflating planted near-duplicate density quadratically. Strategy,
+matching the sweep described in SURVEY.md:
+
+- `region`/`nation` (dims) are copied once — universes share them,
+  exactly as 1000 executors share broadcast dims at 100 TB.
+- Every fact/extension table is concatenated N times with each key
+  domain offset by ``universe * stride`` where the stride is computed
+  once per key DOMAIN (customer keys offset identically in `customer`
+  and `orders`, order keys in `orders` and `lineitem`, …) so joins
+  stay closed within a universe.
+- `documents.text` gets a per-universe suffix token (universe 0 stays
+  byte-identical to the source) so cross-universe copies are not exact
+  duplicates — otherwise every doc gains 9 planted twins and pair
+  density grows 100×, the r11 soak artifact this generator fixes.
+  `n_chars` is recomputed to stay consistent with the suffixed text.
+- `embeddings.embedding` is ROLLED by the universe index (cyclic shift
+  of the float vector) — cheap, deterministic, norm-preserving, and it
+  decorrelates cosine structure across universes.
+
+Both engines (Spark and the DuckDB oracle) read the same written
+parquet, so none of these choices can affect parity — they only shape
+the data distribution the sweep runs on.
+
+Usage:
+    python scripts/make_sf_replica.py --src /root/testdata/sf0.1 \
+        --dst /tmp/sf1 --copies 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pandas as pd
+
+# key domains: domain -> [(table, column), ...]; stride computed per
+# domain over the union of its columns, so every referencing table
+# offsets the same key identically.
+KEY_DOMAINS = {
+    "custkey": [("customer", "c_custkey"), ("orders", "o_custkey")],
+    "orderkey": [("orders", "o_orderkey"), ("lineitem", "l_orderkey")],
+    "partkey": [("part", "p_partkey"), ("lineitem", "l_partkey")],
+    "suppkey": [("supplier", "s_suppkey"), ("lineitem", "l_suppkey")],
+    "event_id": [("events", "event_id")],
+    "user_id": [("events", "user_id")],
+    "doc_id": [("documents", "doc_id")],
+    "vec_id": [("embeddings", "vec_id")],
+}
+
+SHARED_DIMS = ("region", "nation")
+REPLICATED = (
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _strides(tables: dict[str, pd.DataFrame]) -> dict[str, int]:
+    out = {}
+    for domain, cols in KEY_DOMAINS.items():
+        hi = max(int(tables[t][c].max()) for t, c in cols)
+        # next power of ten above the max key: offsets stay readable
+        # in failure output and can never collide across universes.
+        stride = 10 ** len(str(hi))
+        out[domain] = stride
+    return out
+
+
+def _offset_universe(
+    name: str, pdf: pd.DataFrame, u: int, strides: dict[str, int]
+) -> pd.DataFrame:
+    out = pdf.copy(deep=False)
+    for domain, cols in KEY_DOMAINS.items():
+        for t, c in cols:
+            if t == name:
+                out[c] = out[c] + u * strides[domain]
+    if u > 0 and name == "documents":
+        suffix = f" uvx{u}tag"
+        out["text"] = out["text"] + suffix
+        out["n_chars"] = out["text"].str.len().astype("int64")
+    if u > 0 and name == "embeddings":
+        mat = np.stack(out["embedding"].to_numpy())
+        # keep float32: a float64 roundtrip would silently widen the
+        # parquet schema to list<double> and change stored values
+        rolled = np.roll(mat, u, axis=1).astype(np.float32)
+        out["embedding"] = list(rolled)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", required=True)
+    ap.add_argument("--copies", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.dst, exist_ok=True)
+
+    tables = {
+        t: pd.read_parquet(os.path.join(args.src, f"{t}.parquet"))
+        for t in SHARED_DIMS + REPLICATED
+    }
+    strides = _strides(tables)
+    for t in SHARED_DIMS:
+        tables[t].to_parquet(
+            os.path.join(args.dst, f"{t}.parquet"), index=False
+        )
+        print(f"{t}: shared dim, {len(tables[t])} rows")
+    for t in REPLICATED:
+        parts = [
+            _offset_universe(t, tables[t], u, strides)
+            for u in range(args.copies)
+        ]
+        full = pd.concat(parts, ignore_index=True)
+        full.to_parquet(os.path.join(args.dst, f"{t}.parquet"), index=False)
+        print(f"{t}: {len(tables[t])} -> {len(full)} rows")
+    print("strides:", strides)
+
+
+if __name__ == "__main__":
+    main()
