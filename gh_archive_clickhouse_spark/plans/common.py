@@ -288,11 +288,13 @@ def snapshot_result(df: DataFrame, key: str) -> DataFrame:
     two results of the same query live at once must collect the first
     before re-invoking — which every harness (bench, driver, tests)
     already does. An (app, key) pair in :data:`RELEASED_RESULT_KEYS`
-    records that the MOST RECENT re-invocation under that key
+    records that AT LEAST ONE past re-invocation under that key
     released its predecessor's blocks deterministically, so such a
-    failure can be traced to this contract; a failed release leaves
-    no tombstone (and clears a stale one) — those blocks stay live
-    until the ContextCleaner reclaims them.
+    failure can be traced to this contract; a failed release adds no
+    tombstone (those blocks stay live until the ContextCleaner
+    reclaims them) and leaves an earlier generation's tombstone
+    standing — that release really happened, and a caller still
+    holding THAT generation's frame is exactly who needs the trace.
     """
     out = df.localCheckpoint(eager=True)
     # sparkContext and the internal-plan handle are both absent on
@@ -333,14 +335,20 @@ def snapshot_result(df: DataFrame, key: str) -> DataFrame:
             prev.unpersist(False)
         except Exception:
             # The tombstone asserts "the old blocks WERE freed"; a
-            # failed unpersist leaves them live, so recording it would
-            # point a block-fetch diagnostic at a release that never
-            # happened. Leave no tombstone — and DISCARD any stale one
-            # an earlier successful release left under this key, or
-            # the set would still read "released" for the generation
-            # whose release never ran (the blocks outlive the contract
-            # window until the ContextCleaner reclaims them).
-            RELEASED_RESULT_KEYS.discard((app, key))
+            # failed unpersist leaves THIS generation's blocks live,
+            # so it must not ADD one. But it must not discard an
+            # earlier generation's tombstone either: that release
+            # really ran, and the caller who can still hit a
+            # block-fetch failure is precisely one holding that older
+            # frame — erasing the record would misroute the one
+            # diagnostic the set exists for, while this generation's
+            # (live, un-released) blocks can't produce a fetch
+            # failure that would consult it. One keyed bit can't
+            # carry per-generation truth; "some past release ran" is
+            # the reading that stays truthful in both directions
+            # (review pass over the r12 discard, which overcorrected
+            # the advisor-r11 add-on-failure bug).
+            pass
         else:
             RELEASED_RESULT_KEYS.add((app, key))
     # entries from stopped sessions hold dead references — prune them

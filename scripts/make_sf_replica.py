@@ -13,14 +13,26 @@ matching the sweep described in SURVEY.md:
   once per key DOMAIN (customer keys offset identically in `customer`
   and `orders`, order keys in `orders` and `lineitem`, …) so joins
   stay closed within a universe.
-- `documents.text` gets a per-universe suffix token (universe 0 stays
-  byte-identical to the source) so cross-universe copies are not exact
-  duplicates — otherwise every doc gains 9 planted twins and pair
-  density grows 100×, the r11 soak artifact this generator fixes.
-  `n_chars` is recomputed to stay consistent with the suffixed text.
+- `documents.text` is re-tokenized per universe: every non-whitespace
+  token gets a universe tag appended (universe 0 stays byte-identical
+  to the source). A per-token BIJECTION makes the token/word-shingle
+  sets of different universes DISJOINT — cross-universe word-shingle
+  Jaccard is exactly 0, so no dedup pass (MinHash banding, SimHash,
+  containment, passage, ExactSubstr, CC chaining) can pair copies
+  across universes — while within a universe every pairwise shingle
+  Jaccard is IDENTICAL to the source's (a bijection on tokens is a
+  bijection on shingles). Pair density is therefore exactly linear in
+  copies. A mere per-DOC suffix (the first r12 attempt) only blocks
+  EXACT duplicates: a suffixed copy keeps ~0.97 shingle Jaccard with
+  its original, so every doc gained C(copies,2) cross-universe
+  near-dup twins and the planted-pair structure stayed quadratic —
+  the review finding that forced this design. `n_chars` is recomputed
+  to stay consistent with the tagged text.
 - `embeddings.embedding` is ROLLED by the universe index (cyclic shift
   of the float vector) — cheap, deterministic, norm-preserving, and it
-  decorrelates cosine structure across universes.
+  decorrelates cosine structure across universes. Rolling is cyclic
+  with period = embedding dim, so ``--copies`` above the dim would
+  silently reintroduce byte-identical vectors; the generator refuses.
 
 Both engines (Spark and the DuckDB oracle) read the same written
 parquet, so none of these choices can affect parity — they only shape
@@ -35,9 +47,12 @@ from __future__ import annotations
 
 import argparse
 import os
+import re
 
 import numpy as np
 import pandas as pd
+
+_TOKEN = re.compile(r"\S+")
 
 # key domains: domain -> [(table, column), ...]; stride computed per
 # domain over the union of its columns, so every referencing table
@@ -86,11 +101,19 @@ def _offset_universe(
             if t == name:
                 out[c] = out[c] + u * strides[domain]
     if u > 0 and name == "documents":
-        suffix = f" uvx{u}tag"
-        out["text"] = out["text"] + suffix
+        tag = f"~u{u}"  # ASCII non-word char: char/byte-length safe
+        out["text"] = out["text"].map(
+            lambda t: _TOKEN.sub(lambda m: m.group(0) + tag, t)
+        )
         out["n_chars"] = out["text"].str.len().astype("int64")
     if u > 0 and name == "embeddings":
         mat = np.stack(out["embedding"].to_numpy())
+        if u >= mat.shape[1]:
+            raise SystemExit(
+                f"--copies {u + 1} >= embedding dim {mat.shape[1]}: "
+                "np.roll is cyclic, universe dim would duplicate "
+                "universe 0's vectors exactly"
+            )
         # keep float32: a float64 roundtrip would silently widen the
         # parquet schema to list<double> and change stored values
         rolled = np.roll(mat, u, axis=1).astype(np.float32)

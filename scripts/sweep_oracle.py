@@ -84,8 +84,12 @@ def main() -> int:
     if sel == "all":
         names = [n for n, q in QUERIES.items() if q.oracle is not None]
     elif sel == "window":
+        from gh_archive_clickhouse_spark.plans.registry import WINDOW
+
         names = [
-            n for n, q in list(QUERIES.items())[:50] if q.oracle is not None
+            n
+            for n, q in list(QUERIES.items())[:WINDOW]
+            if q.oracle is not None
         ]
     elif sel == "streaming":
         names = [
@@ -105,6 +109,9 @@ def main() -> int:
         unknown = [n for n in names if n not in QUERIES]
         if unknown:
             raise SystemExit(f"unknown queries: {unknown}")
+    if not names:
+        # a typo'd family selector must not read as a green sweep
+        raise SystemExit(f"selector {sel!r} matched no oracle queries")
 
     results: dict[str, dict] = {}
     fails = 0

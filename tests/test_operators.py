@@ -822,12 +822,15 @@ def test_snapshot_result_no_tombstone_when_release_fails(spark):
     a2 = common.snapshot_result(spark.range(3).selectExpr("id"), key)
     assert (app, key) in common.RELEASED_RESULT_KEYS
     assert a2.count() == 3
-    # a LATER failed release must also clear the stale tombstone the
-    # successful one left (review pass): the set records the MOST
-    # RECENT invalidation, and that one never ran
+    # a LATER failed release must LEAVE the earlier generation's
+    # tombstone standing (second review pass): that release really
+    # ran, and a caller still holding that older frame — the only
+    # caller who can hit a block-fetch failure here, since the failed
+    # release leaves the newer generation's blocks live — is exactly
+    # who the trace exists for
     common._RESULT_SNAPSHOTS[(app, key)] = _Raising()
     a3 = common.snapshot_result(spark.range(2).selectExpr("id"), key)
-    assert (app, key) not in common.RELEASED_RESULT_KEYS
+    assert (app, key) in common.RELEASED_RESULT_KEYS
     assert a3.count() == 2
 
 

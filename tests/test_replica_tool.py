@@ -101,16 +101,40 @@ def test_joins_closed_within_universe(replica):
     assert li["l_suppkey"].isin(set(supp["s_suppkey"])).all()
 
 
-def test_no_cross_universe_exact_duplicates(replica):
-    """The r11 soak artifact this tool fixes: replicated docs must NOT
-    be exact duplicates of their universe-0 originals (pair density
-    would grow quadratically in copies), and rolled embeddings must
-    differ from the originals while keeping their norms."""
+def test_universes_are_shingle_disjoint_and_jaccard_faithful(replica):
+    """The faithfulness contract (review finding over the first r12
+    generator): a per-DOC suffix only blocks EXACT duplicates — a
+    suffixed copy keeps ~0.97 word-shingle Jaccard with its original,
+    so every doc gained C(copies,2) cross-universe near-dup twins and
+    planted-pair density stayed quadratic in copies. The per-TOKEN
+    bijection must make universes token-DISJOINT (cross-universe
+    Jaccard exactly 0 — no banding/verify threshold can pair them)
+    while preserving every within-universe pairwise Jaccard exactly
+    (a bijection on tokens is a bijection on shingles)."""
     docs = pd.read_parquet(os.path.join(replica, "documents.parquet"))
     n = len(docs) // 2
-    u0, u1 = docs.iloc[:n], docs.iloc[n:]
-    assert not u0["text"].isin(set(u1["text"])).any()
+    u0, u1 = docs.iloc[:n], docs.iloc[n:].reset_index(drop=True)
+    tok0 = set().union(*(t.split() for t in u0["text"]))
+    tok1 = set().union(*(t.split() for t in u1["text"]))
+    assert not (tok0 & tok1), "universes share tokens -> near-dup twins"
     assert (u1["n_chars"] == u1["text"].str.len()).all()
+
+    def shingles(text: str, k: int = 3) -> set[tuple[str, ...]]:
+        w = text.split()
+        return {tuple(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    def jac(a: set, b: set) -> float:
+        return len(a & b) / len(a | b) if (a | b) else 0.0
+
+    # within-universe pair structure is IDENTICAL to the source's
+    import itertools
+
+    sample = range(0, min(len(u0), 40))
+    for i, j in itertools.combinations(sample, 2):
+        j0 = jac(shingles(u0["text"].iloc[i]), shingles(u0["text"].iloc[j]))
+        j1 = jac(shingles(u1["text"].iloc[i]), shingles(u1["text"].iloc[j]))
+        assert j0 == j1, (i, j, j0, j1)
+
     emb = pd.read_parquet(os.path.join(replica, "embeddings.parquet"))
     m = len(emb) // 2
     a = np.stack(emb["embedding"].iloc[:m].to_numpy())
@@ -121,3 +145,28 @@ def test_no_cross_universe_exact_duplicates(replica):
     )
     # keys unique across the whole replica
     assert emb["vec_id"].is_unique and docs["doc_id"].is_unique
+
+
+def test_copies_beyond_roll_period_refused(tmp_path):
+    """np.roll is cyclic with period = embedding dim: universe `dim`
+    would be byte-identical to universe 0 (exact planted twins — the
+    quadratic-density artifact again). The generator must refuse
+    rather than silently produce it."""
+    emb = pd.read_parquet(os.path.join(SRC, "embeddings.parquet"))
+    dim = len(emb["embedding"].iloc[0])
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "make_sf_replica.py"),
+            "--src",
+            SRC,
+            "--dst",
+            str(tmp_path),
+            "--copies",
+            str(dim + 1),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode != 0
+    assert "cyclic" in proc.stderr
