@@ -146,6 +146,11 @@ def main() -> int:
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"summary": summary, "results": results}, f, indent=1)
+    # explicit teardown: a streaming query's leftover non-daemon
+    # machinery can keep the JVM (and a CPU's worth of spin) alive
+    # after main() returns — observed on the first sf0.1 run
+    con.close()
+    spark.stop()
     return 1 if fails else 0
 
 
