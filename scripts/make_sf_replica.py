@@ -14,20 +14,28 @@ matching the sweep described in SURVEY.md:
   and `orders`, order keys in `orders` and `lineitem`, …) so joins
   stay closed within a universe.
 - `documents.text` is re-tokenized per universe: every non-whitespace
-  token gets a universe tag appended (universe 0 stays byte-identical
-  to the source). A per-token BIJECTION makes the token/word-shingle
-  sets of different universes DISJOINT — cross-universe word-shingle
-  Jaccard is exactly 0, so no dedup pass (MinHash banding, SimHash,
-  containment, passage, ExactSubstr, CC chaining) can pair copies
-  across universes — while within a universe every pairwise shingle
-  Jaccard is IDENTICAL to the source's (a bijection on tokens is a
-  bijection on shingles). Pair density is therefore exactly linear in
-  copies. A mere per-DOC suffix (the first r12 attempt) only blocks
-  EXACT duplicates: a suffixed copy keeps ~0.97 shingle Jaccard with
-  its original, so every doc gained C(copies,2) cross-universe
-  near-dup twins and the planted-pair structure stayed quadratic —
-  the review finding that forced this design. `n_chars` is recomputed
-  to stay consistent with the tagged text.
+  token gets `~UUHH` appended, where UU is the zero-padded universe
+  index and HH two hex chars of md5(token) (universe 0 stays
+  byte-identical to the source). This per-token BIJECTION (fixed
+  suffix length, so equal tagged tokens imply equal originals) makes
+  the token/word-shingle sets of different universes DISJOINT — the
+  UU digits differ, so cross-universe word-shingle Jaccard is exactly
+  0 and no dedup pass (MinHash banding, SimHash, containment,
+  passage, ExactSubstr, CC chaining) can pair copies across universes
+  — while within a universe every pairwise word-shingle Jaccard is
+  IDENTICAL to the source's (a bijection on tokens is a bijection on
+  shingles). Pair density is therefore exactly linear in copies.
+  Two earlier designs failed review and are worth recording: a
+  per-DOC suffix only blocks EXACT duplicates (a suffixed copy keeps
+  ~0.97 shingle Jaccard with its original — every doc gained
+  C(copies,2) cross-universe near-dup twins, quadratic pair
+  structure), and a UNIFORM per-token tag fixed the word-shingle side
+  but injected the same char-grams into every token of a universe,
+  inflating CHAR-gram Jaccard between unrelated short docs above
+  near-dup thresholds (qx20 blew up from ~9k to 22.7M pairs at sf1).
+  The HH component ties the suffix to the token, so shared char-grams
+  track shared tokens and the char-gram pair structure scales too.
+  `n_chars` is recomputed to stay consistent with the tagged text.
 - `embeddings.embedding` is ROLLED by the universe index (cyclic shift
   of the float vector) — cheap, deterministic, norm-preserving, and it
   decorrelates cosine structure across universes. Rolling is cyclic
@@ -101,10 +109,24 @@ def _offset_universe(
             if t == name:
                 out[c] = out[c] + u * strides[domain]
     if u > 0 and name == "documents":
-        tag = f"~u{u}"  # ASCII non-word char: char/byte-length safe
-        out["text"] = out["text"].map(
-            lambda t: _TOKEN.sub(lambda m: m.group(0) + tag, t)
-        )
+        if u > 99:
+            raise SystemExit(
+                "--copies > 100: the ~UUHH tag pads the universe "
+                "index to two digits; widen the pad to go further"
+            )
+        import hashlib
+
+        hh: dict[str, str] = {}  # md5 prefix per DISTINCT token
+
+        def _tag(m: re.Match) -> str:
+            tok = m.group(0)
+            h = hh.get(tok)
+            if h is None:
+                h = hashlib.md5(tok.encode()).hexdigest()[:2]
+                hh[tok] = h
+            return f"{tok}~{u:02d}{h}"
+
+        out["text"] = out["text"].map(lambda t: _TOKEN.sub(_tag, t))
         out["n_chars"] = out["text"].str.len().astype("int64")
     if u > 0 and name == "embeddings":
         mat = np.stack(out["embedding"].to_numpy())
