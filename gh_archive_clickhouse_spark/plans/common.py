@@ -52,20 +52,29 @@ def dec_sum(col: Column | str, scale: int = 2) -> Column:
     return F.round(F.sum(c.cast("decimal(18,6)")), scale).cast("double")
 
 
-def dec_avg(col: Column | str, scale: int = 6) -> Column:
-    """Order-exact average: exact decimal sum → one double division.
+def dec_avg(col: Column | str) -> Column:
+    """Order- AND engine-exact average: exact decimal sum → one double
+    division, UNROUNDED.
 
-    ``avg(double)`` re-aggregates partial sums, so near-boundary
-    averages (sum/count landing on the half-ulp of the rounding scale,
-    e.g. 1391.13/32 = 43.4728125) flip between engines. Here both
-    engines divide the SAME double by the same count.
+    ``avg(double)`` re-aggregates partial sums, so the quotient's last
+    bits depend on partition count/AQE; the exact decimal sum fixes
+    that. The former ``round(quotient, 6)`` then UNDID the guarantee:
+    the r12 sf1 oracle sweep caught qe4 flipping 43.472812 vs
+    43.472813 — when the quotient sits within an ULP of the rounding
+    boundary (13911.30/320 = 43.4728125), Spark rounds the double's
+    exact binary expansion via BigDecimal HALF_UP while DuckDB rounds
+    through floating ``q*1e6``, and they disagree. The UNROUNDED
+    quotient has no such step: identical exact sum → identical
+    correctly-rounded double cast → identical IEEE division, so the
+    result is bit-deterministic across engines, partitionings, and
+    scales. (DECIMAL rounding as in :func:`dec_sum` stays safe — it
+    is exact arithmetic with matching HALF_UP semantics in both
+    engines; only rounding a DOUBLE is hazardous.)
     SQL mirror:
-    ``round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x), s)``.
+    ``CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x)``.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(
-        F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c), scale
-    )
+    return F.sum(c.cast("decimal(18,6)")).cast("double") / F.count(c)
 
 
 def micros_long(col: Column | str) -> Column:

@@ -379,8 +379,8 @@ QUERIES = [
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_s,
                event_type,
                count(*) AS n,
-               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                     / count(value), 6) AS avg_value,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(value) AS avg_value,
                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
                  AS sum_value
         FROM events GROUP BY 1, 2
@@ -450,8 +450,8 @@ QUERIES = [
                count(*) AS n,
                CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
                  AS sum_value,
-               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                     / count(value), 6) AS avg_value
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(value) AS avg_value
         FROM events
         GROUP BY k_mod
         """,

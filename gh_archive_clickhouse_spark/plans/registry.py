@@ -65,6 +65,13 @@ _CHANGED = (
     # snapshot_result (ext_queries.py, streaming_queries.py)
     "qx42_preprocess_pipeline",
     "qs15_stream_preprocess_pipeline",
+    # dec_avg dropped its double-rounding after the r12 sf1 oracle
+    # sweep caught qe4 flipping on a rounding knife-edge (engines'
+    # double-round implementations disagree within an ULP of the .5
+    # boundary; the unrounded exact-sum quotient is bit-deterministic)
+    # — qe4 and qe12 are its two call sites.
+    "qe4_hourly_type_series",
+    "qe12_variant_projection",
 )
 
 # Canonical declaration order: used as the deterministic tie-break
