@@ -140,12 +140,17 @@ def us_round(total_us: Column, scale: int) -> Column:
     return F.round(total_us / F.lit(1_000_000), scale).cast("double")
 
 
-def us_avg(total_us: Column, n: Column, scale: int = 6) -> Column:
-    """micro-unit DECIMAL total → rounded double average (one double
-    division, same as dec_avg's contract)."""
-    return F.round(
-        (total_us / F.lit(1_000_000)).cast("double") / n, scale
-    )
+def us_avg(total_us: Column, n: Column) -> Column:
+    """micro-unit DECIMAL total → UNROUNDED double average (one double
+    division, same contract as :func:`dec_avg` and fixed for the same
+    r12 reason: money quotients can land exactly on a decimal
+    rounding boundary, where the engines' double-round
+    implementations disagree within an ULP — the exact-division →
+    double-cast → IEEE-division chain is bit-deterministic, rounding
+    it was the one divergent step). ``total_us / 1e6`` is exact
+    decimal division (≤6-decimal inputs), so the cast sees the same
+    rational the oracle's ``CAST(sum(decimal) AS DOUBLE)`` does."""
+    return (total_us / F.lit(1_000_000)).cast("double") / n
 
 
 @dataclass(frozen=True)

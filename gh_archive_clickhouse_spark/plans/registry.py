@@ -72,6 +72,14 @@ _CHANGED = (
     # — qe4 and qe12 are its two call sites.
     "qe4_hourly_type_series",
     "qe12_variant_projection",
+    # ... and the same cleanup applied to every remaining MONEY-
+    # quotient round (low-decimal inputs are the only ones whose true
+    # quotients can land exactly on a rounding boundary): us_avg
+    # (qt1's three averages) and the inline ratio rounds in qt21/
+    # qt23/qt24. Identity-rounds of exact sums and float-derived
+    # rounds (cosine/z-score — boundary-landing has measure zero)
+    # are documented safe and unchanged.
+    "qt1_pricing_summary",
 )
 
 # Canonical declaration order: used as the deterministic tie-break

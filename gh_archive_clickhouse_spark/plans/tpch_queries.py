@@ -401,12 +401,12 @@ QUERIES = [
                     AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
                CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
                     AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
-               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-                     / count(l_quantity), 6) AS avg_qty,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-                     / count(l_extendedprice), 6) AS avg_price,
-               round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
-                     / count(l_discount), 6) AS avg_disc,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(l_quantity) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(l_extendedprice) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(l_discount) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
