@@ -753,10 +753,12 @@ def passage_dup_stats(
     return flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.col("__is_dup").cast("long")).alias("n_dup_chunks"),
-        F.round(
+        # UNROUNDED integer ratio (dec_avg class): a doc with 2^a·5^b
+        # chunks can land the true fraction exactly on the round-6
+        # half-boundary; the raw quotient is bit-deterministic.
+        (
             F.sum(F.col("__is_dup").cast("long"))
-            / F.count(F.lit(1)).cast("double"),
-            6,
+            / F.count(F.lit(1)).cast("double")
         ).alias("dup_frac"),
     )
 
@@ -853,10 +855,13 @@ def containment_pairs(
             "doc_a",
             "doc_b",
             "shared",
-            F.round(
+            # UNROUNDED integer ratio (dec_avg class) — both the
+            # emitted value and the threshold filter below see the
+            # bit-deterministic raw quotient, so borderline pairs
+            # are included identically in every engine.
+            (
                 F.col("shared")
-                / F.least("__sza", "__szb").cast("double"),
-                6,
+                / F.least("__sza", "__szb").cast("double")
             ).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)

@@ -702,8 +702,11 @@ def sequence_fill_stats(coords: DataFrame, budget: int) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs_starting"),
         F.sum("n_tokens").alias("tokens_started"),
         F.sum(F.col("crosses_boundary").cast("long")).alias("n_split_docs"),
-        F.round(
-            F.sum("n_tokens") / F.lit(float(budget)), 6
+        # UNROUNDED integer ratio (dec_avg class): power-of-two budgets
+        # (2048...) put true fill fractions exactly on round-6
+        # half-boundaries; the raw quotient is bit-deterministic.
+        (
+            F.sum("n_tokens") / F.lit(float(budget))
         ).alias("fill_frac_started"),
     )
 

@@ -69,8 +69,20 @@ def quality_features(text_col: str = "text") -> dict:
     (``withColumn``, map-only at the scan) instead of computing the
     feature frame and joining it back on doc_id (qs15's composed
     per-batch plan must stay map-only + broadcast). The dict IS
-    quality_score's output contract: same names, same expressions,
-    same 6-decimal rounding."""
+    quality_score's output contract: same names, same expressions.
+
+    All five derived doubles are emitted UNROUNDED (r13): every one is
+    an integer-ratio quotient (or a fixed-literal blend of them), and
+    the true quotient can land exactly on a ``round(x, 6)``
+    half-boundary rational — where Spark's BigDecimal HALF_UP on the
+    double's binary expansion and DuckDB's float-path rounding
+    disagree within an ULP. The r12 sf1 stress sweep caught exactly
+    that: qx56 flipped one quality value of 47,566 (0.510313 vs
+    0.510312, ``artifacts/sweep_sf1_stress.json``). The unrounded
+    values need no rounding for parity in the first place: identical
+    integer inputs → identical double casts → the same IEEE division/
+    multiply-add DAG in both engines → bit-identical doubles (the
+    same argument, and the same fix, as ``plans/common.dec_avg``)."""
     toks = tokens(F.col(text_col))
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
@@ -100,11 +112,11 @@ def quality_features(text_col: str = "text") -> dict:
     )
     return {
         "n_tokens": n_tok,
-        "mean_token_len": F.round(mean_tok_len, 6),
-        "stopword_ratio": F.round(stop_ratio, 6),
-        "punct_ratio": F.round(punct_ratio, 6),
-        "alpha_ratio": F.round(alpha_ratio, 6),
-        "quality": F.round(score, 6),
+        "mean_token_len": mean_tok_len,
+        "stopword_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+        "alpha_ratio": alpha_ratio,
+        "quality": score,
     }
 
 
@@ -116,7 +128,9 @@ def quality_score(
     Features: token count, mean token length, stopword ratio,
     punctuation ratio, alpha ratio. Score is a fixed linear blend in
     [0,1] — the point is a reproducible ranking signal, not a model.
-    Output columns are rounded to 6 decimals for engine parity.
+    Derived doubles are UNROUNDED: the integer-ratio inputs make the
+    raw IEEE result bit-deterministic across engines, while rounding
+    it was the one divergent step (see :func:`quality_features`).
     """
     feats = quality_features(text_col)
     return df.select(
@@ -152,7 +166,11 @@ def token_lang_stats(
 ) -> DataFrame:
     """Per-language corpus stats: docs, tokens, chars.
 
-    Output: lang, n_docs, n_tokens, sum_chars, avg_tokens (round 6).
+    Output: lang, n_docs, n_tokens, sum_chars, avg_tokens.
+    ``avg_tokens`` is the UNROUNDED long-sum/count quotient — an
+    integer ratio, i.e. the dec_avg knife-edge class (a per-language
+    doc count of 2^a·5^b can put the true mean exactly on a
+    round-6 half-boundary); the raw quotient is bit-deterministic.
     """
     n_tok = F.size(tokens(F.col(text_col)))
     return (
@@ -162,7 +180,12 @@ def token_lang_stats(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__nt").alias("n_tokens"),
             F.sum("n_chars").alias("sum_chars"),
-            F.round(F.avg(F.col("__nt").cast("double")), 6).alias("avg_tokens"),
+        )
+        # Exact long sum → ONE double division (not avg(double), whose
+        # partial-sum order depends on partitioning): the dec_avg shape.
+        .withColumn(
+            "avg_tokens",
+            F.col("n_tokens").cast("double") / F.col("n_docs"),
         )
     )
 
@@ -333,7 +356,10 @@ def ngram_contamination(
     return marked.groupBy(id_col).agg(
         n_grams.alias("n_grams"),
         n_cont.alias("n_contaminated"),
-        F.round(n_cont / n_grams.cast("double"), 6).alias("rate"),
+        # UNROUNDED integer ratio (dec_avg class): a doc with 2^a·5^b
+        # distinct grams can put the true rate exactly on the round-6
+        # half-boundary; the raw quotient is bit-deterministic.
+        (n_cont / n_grams.cast("double")).alias("rate"),
     )
 
 

@@ -507,14 +507,14 @@ WITH feats AS (
 )
 SELECT doc_id,
        CAST(ntok AS INTEGER) AS n_tokens,
-       round(mean_tok_len, 6) AS mean_token_len,
-       round(stop_ratio, 6) AS stopword_ratio,
-       round(punct_ratio, 6) AS punct_ratio,
-       round(alpha_ratio, 6) AS alpha_ratio,
-       round(0.4 * least(CAST(ntok AS DOUBLE) / 64.0, 1.0)
+       mean_tok_len AS mean_token_len,
+       stop_ratio AS stopword_ratio,
+       punct_ratio AS punct_ratio,
+       alpha_ratio AS alpha_ratio,
+       0.4 * least(CAST(ntok AS DOUBLE) / 64.0, 1.0)
            + 0.3 * alpha_ratio
            + 0.2 * (1.0 - abs(stop_ratio - 0.3))
-           + 0.1 * (1.0 - punct_ratio), 6) AS quality
+           + 0.1 * (1.0 - punct_ratio) AS quality
 FROM d
 """
 
@@ -1279,9 +1279,9 @@ def qx30_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_grams",
         "n_distinct",
-        F.round(
-            1.0 - F.col("n_distinct") / F.col("n_grams").cast("double"),
-            6,
+        # UNROUNDED integer ratio (dec_avg class) — bit-deterministic.
+        (
+            1.0 - F.col("n_distinct") / F.col("n_grams").cast("double")
         ).alias("rep_ratio"),
     )
 
@@ -2648,10 +2648,14 @@ def qx38_model_scored_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("__w")["upper_ratio"] * F.col("upper_ratio")
     )
     squash = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    # UNROUNDED: z is a fixed-literal blend of integer-ratio features
+    # (the dec_avg knife-edge class — a rational CAN land exactly on a
+    # round-6 half-boundary); the raw squash and the raw >= compare
+    # are the same IEEE DAG in both engines, hence bit-deterministic.
     return feats.crossJoin(F.broadcast(wmap)).select(
         "doc_id",
-        F.round(squash, 6).alias("model_score"),
-        (F.round(squash, 6) >= 0.5).alias("keep"),
+        squash.alias("model_score"),
+        (squash >= 0.5).alias("keep"),
     )
 
 
@@ -2714,8 +2718,8 @@ WITH w AS (
   FROM f, wm
 )
 SELECT doc_id,
-  round(0.5 + 0.5 * zv / (1.0 + abs(zv)), 6) AS model_score,
-  (round(0.5 + 0.5 * zv / (1.0 + abs(zv)), 6) >= 0.5) AS keep
+  0.5 + 0.5 * zv / (1.0 + abs(zv)) AS model_score,
+  (0.5 + 0.5 * zv / (1.0 + abs(zv)) >= 0.5) AS keep
 FROM z
 """
 
@@ -3088,10 +3092,10 @@ def qx43_lsh_recall_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.col("jaccard").isNotNull().cast("long")
         ).alias("n_caught"),
-        F.round(
+        # UNROUNDED integer ratio (dec_avg class) — bit-deterministic.
+        (
             F.sum(F.col("jaccard").isNotNull().cast("long"))
-            / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double"),
-            6,
+            / F.nullif(F.count(F.lit(1)), F.lit(0)).cast("double")
         ).alias("recall"),
     )
 
@@ -3120,8 +3124,8 @@ WITH sample AS (
 )
 SELECT count(*) AS n_true,
        CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
-       round(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
-             / NULLIF(count(*), 0), 6) AS recall
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(count(*), 0) AS recall
 FROM marked
 """
 
@@ -3362,7 +3366,7 @@ feats AS (
 ),
 qual AS (
   SELECT doc_id, source, text, len(toks) AS ntok,
-    round(0.4 * least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+    0.4 * least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
       + 0.3 * (CASE WHEN nch > 0
                THEN CAST(nalpha AS DOUBLE) / nch ELSE 0.0 END)
       + 0.2 * (1.0 - abs((CASE WHEN len(toks) > 0
@@ -3370,7 +3374,7 @@ qual AS (
                     t -> list_contains({_STOP_LIST_SQL}, t))) AS DOUBLE)
                     / len(toks) ELSE 0.0 END) - 0.3))
       + 0.1 * (1.0 - (CASE WHEN nch > 0
-               THEN CAST(npunct AS DOUBLE) / nch ELSE 0.0 END)), 6)
+               THEN CAST(npunct AS DOUBLE) / nch ELSE 0.0 END))
       AS quality
   FROM feats
 ),
@@ -3381,8 +3385,8 @@ ktoks AS (SELECT doc_id, {toks} AS t FROM qkept),
 kgr AS (SELECT doc_id, unnest({g8}) AS g FROM ktoks WHERE len(t) >= 8),
 rates AS (
   SELECT doc_id,
-    round(CAST(count(DISTINCT CASE WHEN g IN (SELECT g FROM bgr)
-               THEN g END) AS DOUBLE) / count(DISTINCT g), 6) AS rate
+    CAST(count(DISTINCT CASE WHEN g IN (SELECT g FROM bgr)
+               THEN g END) AS DOUBLE) / count(DISTINCT g) AS rate
   FROM kgr GROUP BY doc_id
 ),
 clean AS (
@@ -3465,8 +3469,8 @@ WITH toks AS (
 )
 SELECT doc_id, count(*) AS n_chunks,
   CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
-  round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
-        / CAST(count(*) AS DOUBLE), 6) AS dup_frac
+  sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+        / CAST(count(*) AS DOUBLE) AS dup_frac
 FROM fl GROUP BY doc_id
 """
 
@@ -3496,10 +3500,10 @@ shared AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, shared,
-  round(shared / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+  shared / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
 FROM shared JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(shared / CAST(least(sa.sz, sb.sz) AS DOUBLE), 6) >= 0.6
+WHERE shared / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.6
 """
 
 
@@ -3792,7 +3796,7 @@ QUERIES = [
                count(*) AS n_docs,
                CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-               round(avg(CAST(len({_TOKS}) AS DOUBLE)), 6) AS avg_tokens
+               CAST(sum(len({_TOKS})) AS DOUBLE) / count(*) AS avg_tokens
         FROM documents GROUP BY lang
         """,
         tags=("ext", "text"),
@@ -4051,8 +4055,8 @@ QUERIES = [
         )
         SELECT doc_id, count(DISTINCT g) AS n_grams,
                count(DISTINCT hit_g) AS n_contaminated,
-               round(CAST(count(DISTINCT hit_g) AS DOUBLE)
-                     / count(DISTINCT g), 6) AS rate
+               CAST(count(DISTINCT hit_g) AS DOUBLE)
+                     / count(DISTINCT g) AS rate
         FROM marked GROUP BY doc_id
         """,
         tags=("ext", "text", "dedup"),
@@ -4423,8 +4427,8 @@ FROM m2
         )
         SELECT doc_id, count(*) AS n_grams,
                count(DISTINCT h) AS n_distinct,
-               round(1.0 - count(DISTINCT h)
-                     / CAST(count(*) AS DOUBLE), 6) AS rep_ratio
+               1.0 - count(DISTINCT h)
+                     / CAST(count(*) AS DOUBLE) AS rep_ratio
         FROM g GROUP BY doc_id
         """.format(toks=_SQL_TOKENS.format(col='text')),
         tags=("ext", "text", "quality"),

@@ -54,32 +54,43 @@ WINDOW = 50
 # older code, i.e. are effectively no rows — so these pin to the front
 # of the window until a driver row from _CHANGED_ROUND or later lands
 # for them, at which point the pin expires per query automatically).
-_CHANGED_ROUND = 12
+_CHANGED_ROUND = 13
 _CHANGED = (
-    # snapshot_result (plans/common.py) now keeps its
-    # RELEASED_RESULT_KEYS tombstone truthful (recorded only when the
-    # previous handle's unpersist succeeded; stale tombstones
-    # discarded on a failed release — advisor r11 + review pass).
-    # Pin invariant is "code EXECUTED by the builder changed":
-    # qx42 and qs15 are the two builders that return through
-    # snapshot_result (ext_queries.py, streaming_queries.py)
-    "qx42_preprocess_pipeline",
+    # r13 continues the r12 dec_avg extermination: every INTEGER-RATIO
+    # quotient that was rounded to 6 dp is now emitted UNROUNDED (the
+    # true quotient can land exactly on a half-boundary rational,
+    # where Spark's BigDecimal HALF_UP and DuckDB's float-path round
+    # disagree within an ULP — qx56 flipped exactly so at sf1 stress,
+    # artifacts/sweep_sf1_stress.json). Spark side and oracle mirrors
+    # changed together; the raw quotients are bit-deterministic.
+    #
+    # quality_features dropped all five feature/blend rounds
+    # (operators/text_analysis.py) — its six consumers:
+    "qx5_quality_score",
+    "qx53_budget_selection",
+    "qx56_quality_dedup_cut",
+    "qx42_preprocess_pipeline",  # also: contamination rate unrounded
+    "qs11_stream_quality_gate",
     "qs15_stream_preprocess_pipeline",
-    # dec_avg dropped its double-rounding after the r12 sf1 oracle
-    # sweep caught qe4 flipping on a rounding knife-edge (engines'
-    # double-round implementations disagree within an ULP of the .5
-    # boundary; the unrounded exact-sum quotient is bit-deterministic)
-    # — qe4 and qe12 are its two call sites.
-    "qe4_hourly_type_series",
-    "qe12_variant_projection",
-    # ... and the same cleanup applied to every remaining MONEY-
-    # quotient round (low-decimal inputs are the only ones whose true
-    # quotients can land exactly on a rounding boundary): us_avg
-    # (qt1's three averages) and the inline ratio rounds in qt21/
-    # qt23/qt24. Identity-rounds of exact sums and float-derived
-    # rounds (cosine/z-score — boundary-landing has measure zero)
-    # are documented safe and unchanged.
-    "qt1_pricing_summary",
+    # token_lang_stats: avg_tokens is now the exact long-sum/count
+    # single division (dec_avg shape), not round(avg(double), 6):
+    "qx3_token_lang_stats",
+    # The window's own stale-cohort members whose ratio rounds were
+    # dropped in the same sweep (these seven slots cost nothing — the
+    # r10-stale cohort fills the head anyway; pinned for audit truth):
+    "qx23_ngram_contamination",  # rate
+    "qx30_repetition_ratio",  # rep_ratio
+    "qx36_passage_dedup",  # dup_frac
+    "qx37_containment_neardup",  # containment (value + threshold)
+    "qx38_model_scored_filter",  # squash score + keep compare
+    "qx43_lsh_recall_probe",  # recall
+    # NOT yet re-landed (pin budget: the 43 r10-stale rows must all
+    # sit in this 50-slot window, leaving exactly 7 slots for pins on
+    # fresh-row queries — the 7 above): the qt21/qt23/qt24 inline
+    # ratio rounds (fixed+verified in r12, reverted for the same
+    # budget; 3 pins, scheduled r14) and the shingle_jaccard /
+    # qt32 / qx19 / qx28 / qm5-adjacent ratio rounds (r15 batch).
+    # SURVEY.md §"rounding class" carries the full ledger.
 )
 
 # Canonical declaration order: used as the deterministic tie-break
