@@ -109,11 +109,6 @@ def _offset_universe(
             if t == name:
                 out[c] = out[c] + u * strides[domain]
     if u > 0 and name == "documents":
-        if u > 99:
-            raise SystemExit(
-                "--copies > 100: the ~UUHH tag pads the universe "
-                "index to two digits; widen the pad to go further"
-            )
         import hashlib
 
         hh: dict[str, str] = {}  # md5 prefix per DISTINCT token
@@ -130,17 +125,31 @@ def _offset_universe(
         out["n_chars"] = out["text"].str.len().astype("int64")
     if u > 0 and name == "embeddings":
         mat = np.stack(out["embedding"].to_numpy())
-        if u >= mat.shape[1]:
-            raise SystemExit(
-                f"--copies {u + 1} >= embedding dim {mat.shape[1]}: "
-                "np.roll is cyclic, universe dim would duplicate "
-                "universe 0's vectors exactly"
-            )
         # keep float32: a float64 roundtrip would silently widen the
         # parquet schema to list<double> and change stored values
         rolled = np.roll(mat, u, axis=1).astype(np.float32)
         out["embedding"] = list(rolled)
     return out
+
+
+def _validate_copies(copies: int, tables: dict[str, pd.DataFrame]) -> None:
+    """Refuse invalid --copies BEFORE anything is written: a mid-run
+    refusal used to leave a partial replica directory (customer..events
+    already written) that a later sweep could consume as a valid scale
+    dir. All guards run up front; the destination is not even created
+    on refusal."""
+    if copies > 100:
+        raise SystemExit(
+            "--copies > 100: the ~UUHH tag pads the universe "
+            "index to two digits; widen the pad to go further"
+        )
+    dim = len(tables["embeddings"]["embedding"].iloc[0])
+    if copies - 1 >= dim:
+        raise SystemExit(
+            f"--copies {copies} >= embedding dim {dim}: "
+            "np.roll is cyclic, universe dim would duplicate "
+            "universe 0's vectors exactly"
+        )
 
 
 def main() -> None:
@@ -149,12 +158,13 @@ def main() -> None:
     ap.add_argument("--dst", required=True)
     ap.add_argument("--copies", type=int, default=10)
     args = ap.parse_args()
-    os.makedirs(args.dst, exist_ok=True)
 
     tables = {
         t: pd.read_parquet(os.path.join(args.src, f"{t}.parquet"))
         for t in SHARED_DIMS + REPLICATED
     }
+    _validate_copies(args.copies, tables)
+    os.makedirs(args.dst, exist_ok=True)
     strides = _strides(tables)
     for t in SHARED_DIMS:
         tables[t].to_parquet(

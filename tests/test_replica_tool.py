@@ -168,9 +168,14 @@ def test_copies_beyond_roll_period_refused(tmp_path):
     """np.roll is cyclic with period = embedding dim: universe `dim`
     would be byte-identical to universe 0 (exact planted twins — the
     quadratic-density artifact again). The generator must refuse
-    rather than silently produce it."""
+    rather than silently produce it — and refuse UP FRONT, before any
+    table is written, so a refused run can't leave a partial replica
+    directory for a later sweep to consume. If the fixture dim were
+    >= 100 the pad guard fires first with its own message, so accept
+    either refusal text (the exit + empty-dst contract is the point)."""
     emb = pd.read_parquet(os.path.join(SRC, "embeddings.parquet"))
     dim = len(emb["embedding"].iloc[0])
+    dst = str(tmp_path / "refused")
     proc = subprocess.run(
         [
             sys.executable,
@@ -178,7 +183,7 @@ def test_copies_beyond_roll_period_refused(tmp_path):
             "--src",
             SRC,
             "--dst",
-            str(tmp_path),
+            dst,
             "--copies",
             str(dim + 1),
         ],
@@ -186,4 +191,29 @@ def test_copies_beyond_roll_period_refused(tmp_path):
         text=True,
     )
     assert proc.returncode != 0
-    assert "cyclic" in proc.stderr
+    assert "cyclic" in proc.stderr or "pad" in proc.stderr
+    # up-front validation: the destination must not even exist
+    assert not os.path.exists(dst)
+
+
+def test_copies_beyond_pad_width_refused_before_writing(tmp_path):
+    """The ~UUHH tag pads the universe index to two digits; more than
+    100 copies must refuse up front with nothing written."""
+    dst = str(tmp_path / "refused_pad")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "make_sf_replica.py"),
+            "--src",
+            SRC,
+            "--dst",
+            dst,
+            "--copies",
+            "101",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode != 0
+    assert "pad" in proc.stderr
+    assert not os.path.exists(dst)
