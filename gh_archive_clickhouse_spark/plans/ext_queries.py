@@ -391,7 +391,7 @@ def qx19_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.cast("int").alias("n_ws_tokens"),
         n_bpe.cast("int").alias("n_bpe_tokens"),
         F.when(
-            n_ws > 0, F.round(n_bpe.cast("double") / n_ws, 6)
+            n_ws > 0, n_bpe.cast("double") / n_ws
         ).alias("bpe_per_ws"),
     )
 
@@ -1188,18 +1188,17 @@ def qx28_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "lang",
             "n",
-            F.round(F.col("n") / F.col("n_total").cast("double"), 6).alias(
+            (F.col("n") / F.col("n_total").cast("double")).alias(
                 "share"
             ),
             # weight to flatten sources: target per-source share is
             # 1/n_sources of the corpus; weight = target / actual.
-            F.round(
+            (
                 F.col("n_total")
                 / (
                     F.col("n_sources").cast("double")
                     * F.col("n_source")
-                ),
-                6,
+                )
             ).alias("source_weight"),
         )
     )
@@ -3968,8 +3967,8 @@ QUERIES = [
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
                     AS INTEGER) AS n_bpe_tokens,
                CASE WHEN len({_TOKS}) > 0 THEN
-                 round(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
-                       AS DOUBLE) / len({_TOKS}), 6)
+                 CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                       AS DOUBLE) / len({_TOKS})
                END AS bpe_per_ws
         FROM documents
         """,
@@ -4384,8 +4383,8 @@ FROM m2
           FROM documents
         )
         SELECT per.source, per.lang, per.n,
-               round(per.n / CAST(n_total AS DOUBLE), 6) AS share,
-               round(n_total / (CAST(n_sources AS DOUBLE) * n_source), 6)
+               per.n / CAST(n_total AS DOUBLE) AS share,
+               n_total / (CAST(n_sources AS DOUBLE) * n_source)
                  AS source_weight
         FROM per JOIN per_source USING (source) CROSS JOIN totals
         """,

@@ -54,42 +54,36 @@ WINDOW = 50
 # older code, i.e. are effectively no rows — so these pin to the front
 # of the window until a driver row from _CHANGED_ROUND or later lands
 # for them, at which point the pin expires per query automatically).
-_CHANGED_ROUND = 13
+_CHANGED_ROUND = 14
 _CHANGED = (
-    # r13 continues the r12 dec_avg extermination: every INTEGER-RATIO
-    # quotient that was rounded to 6 dp is now emitted UNROUNDED (the
-    # true quotient can land exactly on a half-boundary rational,
-    # where Spark's BigDecimal HALF_UP and DuckDB's float-path round
-    # disagree within an ULP — qx56 flipped exactly so at sf1 stress,
-    # artifacts/sweep_sf1_stress.json). Spark side and oracle mirrors
-    # changed together; the raw quotients are bit-deterministic.
+    # r14 lands TWO shelved rounding-class patches in one window —
+    # artifacts/r14_qt_trio_verified.patch AND
+    # artifacts/r16_tail_verified.patch — because the freshness map
+    # makes them free: qt21/qt23/qt24/qt32 are r11-stale (the stalest
+    # cohort that must occupy the window anyway) and qx19/qx28 are
+    # r12-stale (at the MAX_STALE floor, due for refresh regardless).
+    # With all six pinned, the computed head still holds every one of
+    # the 47 r11-stale rows (verified: head staleness {11:47, 12:3})
+    # and the simulated r15 jaccard landing (8 consumer pins, 5 of
+    # them r13-fresh) still fits with zero floor violations.
     #
-    # quality_features dropped all five feature/blend rounds
-    # (operators/text_analysis.py) — its six consumers:
-    "qx5_quality_score",
-    "qx53_budget_selection",
-    "qx56_quality_dedup_cut",
-    "qx42_preprocess_pipeline",  # also: contamination rate unrounded
-    "qs11_stream_quality_gate",
-    "qs15_stream_preprocess_pipeline",
-    # token_lang_stats: avg_tokens is now the exact long-sum/count
-    # single division (dec_avg shape), not round(avg(double), 6):
-    "qx3_token_lang_stats",
-    # The window's own stale-cohort members whose ratio rounds were
-    # dropped in the same sweep (these seven slots cost nothing — the
-    # r10-stale cohort fills the head anyway; pinned for audit truth):
-    "qx23_ngram_contamination",  # rate
-    "qx30_repetition_ratio",  # rep_ratio
-    "qx36_passage_dedup",  # dup_frac
-    "qx37_containment_neardup",  # containment (value + threshold)
-    "qx38_model_scored_filter",  # squash score + keep compare
-    "qx43_lsh_recall_probe",  # recall
-    # NOT yet re-landed (pin budget: the 43 r10-stale rows must all
-    # sit in this 50-slot window, leaving exactly 7 slots for pins on
-    # fresh-row queries — the 7 above): the qt21/qt23/qt24 inline
-    # ratio rounds (fixed+verified in r12, reverted for the same
-    # budget; 3 pins, scheduled r14) and the shingle_jaccard /
-    # qt32 / qx19 / qx28 / qm5-adjacent ratio rounds (r15 batch).
+    # The change itself: the same integer-ratio round() drop as
+    # r12/r13 (half-boundary rationals (2j+1)/(2^7*5^t), t>=1 make
+    # Spark HALF_UP and DuckDB float-path rounding diverge by an ULP
+    # — the class that flipped qe4/qx56). Spark builders and oracle
+    # SQL mirrors changed together; raw IEEE quotients are
+    # bit-deterministic in both engines.
+    "qt21_market_share",  # mkt_share: decimal-sum / decimal-sum
+    "qt23_promo_revenue",  # promo_revenue_pct: 100*dsum/dsum
+    "qt24_small_qty_revenue",  # avg_yearly: dsum/7 (parity-safe; uniformity)
+    "qt32_cheapest_supplier",  # unit_cost: genuine regime-(a) boundary
+    "qx19_bpe_token_stats",  # bpe_per_ws (unreachable at fixture card.)
+    "qx28_mixture_weights",  # share + source_weight (uniformity)
+    # STILL SHELVED (r15, the final batch): shingle_jaccard — THE
+    # shared LSH verification formula (artifacts/
+    # r15_jaccard_verified.patch, 8 consumer pins: qx9/qx20/qx57 are
+    # r12-stale = free; qx26/qx31/qx42/qx43/qx56 are r13-fresh and
+    # need 5 of r15's ~9 free slots — arithmetic pre-verified above).
     # SURVEY.md §"rounding class" carries the full ledger.
 )
 

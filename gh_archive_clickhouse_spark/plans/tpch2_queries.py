@@ -160,7 +160,7 @@ def qt21_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy(
             F.year(F.col("o_orderdate")).cast("int").alias("o_year")
         )
-        .agg(F.round(num / den, 6).alias("mkt_share"))
+        .agg((num / den).alias("mkt_share"))
     )
 
 
@@ -207,7 +207,7 @@ def qt23_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("double")
     den = F.sum(_rev().cast("decimal(18,6)")).cast("double")
     return joined.agg(
-        F.round(F.lit(100.0) * num / den, 6).alias("promo_revenue_pct")
+        (F.lit(100.0) * num / den).alias("promo_revenue_pct")
     )
 
 
@@ -234,7 +234,7 @@ def qt24_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast(
         "double"
     )
-    return small.agg(F.round(total / 7.0, 2).alias("avg_yearly"))
+    return small.agg((total / 7.0).alias("avg_yearly"))
 
 
 def qt25_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,9 +514,8 @@ QUERIES = [
         qt21_market_share,
         f"""
         SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               round(
-                 {_SQL_DSUM.format(x=f"CASE WHEN n1.n_name = 'NATION_5' THEN {_SQL_REV} ELSE 0.0 END")}
-                 / {_SQL_DSUM.format(x=_SQL_REV)}, 6) AS mkt_share
+               {_SQL_DSUM.format(x=f"CASE WHEN n1.n_name = 'NATION_5' THEN {_SQL_REV} ELSE 0.0 END")}
+                 / {_SQL_DSUM.format(x=_SQL_REV)} AS mkt_share
         FROM lineitem
         JOIN part     ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -557,9 +556,9 @@ QUERIES = [
         "TPC-H Q14 shape: promo revenue percentage in one month",
         qt23_promo_revenue,
         f"""
-        SELECT round(100.0 *
+        SELECT 100.0 *
                  {_SQL_DSUM.format(x=f"CASE WHEN p_type = 'PROMO' THEN {_SQL_REV} ELSE 0.0 END")}
-                 / {_SQL_DSUM.format(x=_SQL_REV)}, 6) AS promo_revenue_pct
+                 / {_SQL_DSUM.format(x=_SQL_REV)} AS promo_revenue_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1997-03-01'
           AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -571,7 +570,7 @@ QUERIES = [
         "TPC-H Q17 shape: small-quantity revenue via correlated avg",
         qt24_small_qty_revenue,
         f"""
-        SELECT round({_SQL_DSUM.format(x='l_extendedprice')} / 7.0, 2)
+        SELECT {_SQL_DSUM.format(x='l_extendedprice')} / 7.0
                AS avg_yearly
         FROM lineitem
         JOIN part ON l_partkey = p_partkey

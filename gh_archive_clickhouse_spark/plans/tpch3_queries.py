@@ -46,8 +46,8 @@ def qt32_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     offers = li.filter(F.col("l_quantity") > 0).groupBy(
         "l_partkey", "l_suppkey"
     ).agg(
-        F.round(
-            F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
+        F.min(
+            F.col("l_extendedprice") / F.col("l_quantity")
         ).alias("unit_cost")
     )
     best = offers.groupBy(
@@ -196,7 +196,7 @@ QUERIES = [
         """
 WITH offers AS (
   SELECT l_partkey, l_suppkey,
-         round(min(l_extendedprice / l_quantity), 6) AS unit_cost
+         min(l_extendedprice / l_quantity) AS unit_cost
   FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2
 ), best AS (
   SELECT l_partkey, min(unit_cost) AS best_cost FROM offers GROUP BY 1

@@ -132,16 +132,28 @@ def _offset_universe(
     return out
 
 
+def _validate_pad(copies: int) -> None:
+    """The one guard that needs no table data — checked right after
+    argparse so a bad --copies refuses before paying the full source
+    parquet load (the data-dependent embedding-dim check stays in
+    :func:`_validate_copies`)."""
+    if copies > 100:
+        raise SystemExit(
+            "--copies > 100: the ~UUHH tag pads the universe "
+            "index to two digits; widen the pad to go further"
+        )
+
+
 def _validate_copies(copies: int, tables: dict[str, pd.DataFrame]) -> None:
     """Refuse invalid --copies BEFORE anything is written: a mid-run
     refusal used to leave a partial replica directory (customer..events
     already written) that a later sweep could consume as a valid scale
     dir. All guards run up front; the destination is not even created
     on refusal."""
-    if copies > 100:
+    if tables["embeddings"].empty:
         raise SystemExit(
-            "--copies > 100: the ~UUHH tag pads the universe "
-            "index to two digits; widen the pad to go further"
+            "embeddings fixture is empty: cannot determine the "
+            "embedding dim the cyclic-roll guard needs"
         )
     dim = len(tables["embeddings"]["embedding"].iloc[0])
     if copies - 1 >= dim:
@@ -159,6 +171,7 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=10)
     args = ap.parse_args()
 
+    _validate_pad(args.copies)
     tables = {
         t: pd.read_parquet(os.path.join(args.src, f"{t}.parquet"))
         for t in SHARED_DIMS + REPLICATED

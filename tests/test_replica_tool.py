@@ -196,6 +196,42 @@ def test_copies_beyond_roll_period_refused(tmp_path):
     assert not os.path.exists(dst)
 
 
+def test_empty_embeddings_fixture_refused_clearly(tmp_path):
+    """An empty embeddings fixture must refuse with the explicit
+    message, not a bare IndexError from the dim lookup — the up-front
+    validation contract includes failing legibly (ADVICE r13)."""
+    src = tmp_path / "src_empty"
+    src.mkdir()
+    for t in TABLES:
+        if t == "embeddings":
+            pd.read_parquet(os.path.join(SRC, "embeddings.parquet")).iloc[
+                :0
+            ].to_parquet(src / "embeddings.parquet", index=False)
+        else:
+            os.symlink(
+                os.path.join(SRC, f"{t}.parquet"), src / f"{t}.parquet"
+            )
+    dst = str(tmp_path / "refused_empty")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "make_sf_replica.py"),
+            "--src",
+            str(src),
+            "--dst",
+            dst,
+            "--copies",
+            "2",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode != 0
+    assert "empty" in proc.stderr
+    assert "IndexError" not in proc.stderr
+    assert not os.path.exists(dst)
+
+
 def test_copies_beyond_pad_width_refused_before_writing(tmp_path):
     """The ~UUHH tag pads the universe index to two digits; more than
     100 copies must refuse up front with nothing written."""
