@@ -110,6 +110,156 @@ def test_avg_tokens_is_exact_sum_single_division(spark):
     assert r.avg_tokens == 3201 / 3200
 
 
+def test_tpch_ratio_boundary_fixture_dir(spark, duck, tmp_path):
+    """r14 extension: the landed qt21/qt23/qt24/qt32 round-drops get
+    the same permanent tripwire as the quality columns — a crafted
+    mini scale-dir whose revenue sums make every ratio land exactly ON
+    a boundary rational (or a non-terminating decimal for /7), checked
+    bit-exactly against Python IEEE division AND DuckDB running the
+    committed oracle SQL on the identical parquet. Reintroducing any
+    round() on these columns fails the equality immediately."""
+    import duckdb
+
+    from gh_archive_clickhouse_spark.plans.registry import QUERIES
+
+    d = tmp_path / "sf_edge"
+    d.mkdir()
+    ts = pd.Timestamp
+
+    def w(name, df, int32=()):
+        for c in int32:
+            df[c] = df[c].astype("int32")
+        for c in df.columns:
+            # fixtures store timestamp[us]; pandas defaults to [ns],
+            # which read() would surface as bigint under nanosAsLong
+            if str(df[c].dtype).startswith("datetime64"):
+                df[c] = df[c].astype("datetime64[us]")
+        df.to_parquet(d / f"{name}.parquet", index=False)
+
+    w("region", pd.DataFrame(
+        {"r_regionkey": [1], "r_name": ["ASIA"]}), ["r_regionkey"])
+    w("nation", pd.DataFrame(
+        {"n_nationkey": [5, 6], "n_name": ["NATION_5", "NATION_6"],
+         "n_regionkey": [1, 1]}), ["n_nationkey", "n_regionkey"])
+    w("part", pd.DataFrame(
+        {"p_partkey": [1, 2, 3, 4],
+         "p_name": ["p1", "p2", "p3", "p4"],
+         "p_brand": ["Brand#9", "Brand#9", "Brand#1", "Brand#9"],
+         "p_type": ["PROMO", "STANDARD", "STANDARD", "PROMO"],
+         "p_size": [1, 1, 1, 1],
+         "p_retailprice": [1.0, 1.0, 1.0, 1.0]}), ["p_size"])
+    w("supplier", pd.DataFrame(
+        {"s_suppkey": [5, 6], "s_name": ["s5", "s6"],
+         "s_nationkey": [5, 6], "s_acctbal": [10.0, 20.0]}),
+      ["s_nationkey"])
+    w("customer", pd.DataFrame(
+        {"c_custkey": [1], "c_name": ["c1"], "c_nationkey": [5],
+         "c_acctbal": [0.0], "c_mktsegment": ["SEG"]}), ["c_nationkey"])
+    w("orders", pd.DataFrame(
+        {"o_orderkey": [1], "o_custkey": [1], "o_orderstatus": ["O"],
+         "o_totalprice": [0.0], "o_orderdate": [ts("1996-06-01")],
+         "o_orderpriority": ["P"]}))
+    # one lineitem block per query, isolated by orderkey (qt21 joins
+    # orders), shipdate (qt23's window), brand (qt24) and p_type
+    # (qt32); revenue sums are engineered to the boundary rationals.
+    li = pd.DataFrame(
+        [
+            # qt21: NATION_5 rev 1 vs total 3200 -> mkt_share 1/3200
+            (1, 1, 5, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts("1996-06-01")),
+            (1, 1, 6, 2, 1.0, 3199.0, 0.0, 0.0, "N", "O", ts("1996-06-01")),
+            # qt23: promo 1 of 320000 -> (100*1)/320000 = 1/3200
+            (2, 1, 5, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts("1997-03-15")),
+            (2, 2, 5, 2, 1.0, 319999.0, 0.0, 0.0, "N", "O", ts("1997-03-15")),
+            # qt24: Brand#1 qtys 1/99 -> avg 50, only the qty-1 row is
+            # small; total 1 -> avg_yearly = 1/7 (non-terminating)
+            (3, 3, 5, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts("1995-01-01")),
+            (3, 3, 5, 2, 99.0, 500.0, 0.0, 0.0, "N", "O", ts("1995-01-01")),
+            # qt32: 0.01/32 = 0.0003125 boundary (regime-(a) shape)
+            (4, 4, 5, 1, 32.0, 0.01, 0.0, 0.0, "N", "O", ts("1995-01-01")),
+        ],
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    w("lineitem", li, ["l_linenumber"])
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "part", "supplier", "customer",
+              "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * "
+            f"FROM read_parquet('{d}/{t}.parquet')"
+        )
+
+    expected = {
+        "qt21_market_share": ("mkt_share", 1.0 / 3200.0),
+        "qt23_promo_revenue": ("promo_revenue_pct", 100.0 * 1.0 / 320000.0),
+        "qt24_small_qty_revenue": ("avg_yearly", 1.0 / 7.0),
+    }
+    for name, (col, want) in expected.items():
+        q = QUERIES[name]
+        got = q.builder(spark, str(d)).toPandas()
+        assert list(got[col]) == [want], name  # bit-exact vs Python
+        oracle = con.execute(q.oracle).fetchdf()
+        assert list(oracle[col]) == [want], name  # DuckDB identical bits
+
+    q32 = QUERIES["qt32_cheapest_supplier"]
+    got = q32.builder(spark, str(d)).toPandas().set_index("p_partkey")
+    assert got.loc[4, "unit_cost"] == 0.01 / 32.0
+    oracle = con.execute(q32.oracle).fetchdf().set_index("p_partkey")
+    assert oracle.loc[4, "unit_cost"] == 0.01 / 32.0
+    assert list(got["unit_cost"]) == list(oracle["unit_cost"])
+    con.close()
+
+
+def test_doc_ratio_boundary_fixtures(spark, tmp_path):
+    """r14 extension, documents side: qx19.bpe_per_ws and
+    qx28.share/source_weight emit raw IEEE quotients — pinned on
+    fixtures whose counts produce 3201/3200 (boundary) and 1/3200 /
+    1600/3199 (boundary / non-terminating)."""
+    import duckdb
+
+    from gh_archive_clickhouse_spark.plans.registry import QUERIES
+
+    d = tmp_path / "sf_docs"
+    d.mkdir()
+    # doc 0: 3199 'zz' + one 'zz9' => 3200 ws tokens, 3201 bpe tokens
+    text = " ".join(["zz"] * 3199 + ["zz9"])
+    docs = pd.DataFrame({
+        "doc_id": range(3200),
+        "text": [text] + ["a"] * 3199,
+        "lang": ["en"] * 3200,
+        "source": ["B"] + ["A"] * 3199,
+    })
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(d / "documents.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * "
+        f"FROM read_parquet('{d}/documents.parquet')"
+    )
+
+    q19 = QUERIES["qx19_bpe_token_stats"]
+    got = q19.builder(spark, str(d)).toPandas().set_index("doc_id")
+    assert got.loc[0, "n_ws_tokens"] == 3200
+    assert got.loc[0, "n_bpe_tokens"] == 3201
+    assert got.loc[0, "bpe_per_ws"] == 3201.0 / 3200.0
+    oracle = con.execute(q19.oracle).fetchdf().set_index("doc_id")
+    assert oracle.loc[0, "bpe_per_ws"] == 3201.0 / 3200.0
+
+    q28 = QUERIES["qx28_mixture_weights"]
+    got = q28.builder(spark, str(d)).toPandas().set_index("source")
+    assert got.loc["B", "share"] == 1.0 / 3200.0  # boundary rational
+    assert got.loc["A", "share"] == 3199.0 / 3200.0
+    assert got.loc["B", "source_weight"] == 3200.0 / (2.0 * 1.0)
+    assert got.loc["A", "source_weight"] == 3200.0 / (2.0 * 3199.0)
+    oracle = con.execute(q28.oracle).fetchdf().set_index("source")
+    for c in ("share", "source_weight"):
+        assert oracle.loc["B", c] == got.loc["B", c], c
+        assert oracle.loc["A", c] == got.loc["A", c], c
+    con.close()
+
+
 def test_contamination_rate_boundary_rational(spark):
     """rate = n_contaminated/n_grams emitted raw: a doc with 3200
     distinct 2-grams and an odd contaminated count sits exactly on the
