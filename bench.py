@@ -646,7 +646,9 @@ def main() -> None:
         ),
         3,
     )
-    def _render(qmap: dict[str, float], omitted: int = 0) -> str:
+    def _render(
+        qmap: dict[str, float], omitted: int = 0, flag_keep: int = 8
+    ) -> str:
         payload = {
             "metric": "total_query_wall_sec",
             "value": total,
@@ -681,17 +683,17 @@ def main() -> None:
             # top-8 cut drops is counted, never silently truncated
             # (the queries_omitted convention below).
             payload["regressions_norm"] = _worst_by_ratio(
-                regressions_norm, 2
+                regressions_norm, 2, keep=flag_keep
             )
             payload["cal_only_flags"] = _worst_by_ratio(
-                cal_only_flags, 2
+                cal_only_flags, 2, keep=flag_keep
             )
             for fname, full in (
                 ("regressions_omitted", regressions_norm),
                 ("cal_only_omitted", cal_only_flags),
             ):
-                if len(full) > 8:
-                    payload[fname] = len(full) - 8
+                if len(full) > flag_keep:
+                    payload[fname] = len(full) - flag_keep
             if regressions_norm or cal_only_flags:
                 # which file the gate compared against — a flag is
                 # only as good as its base (the r9->r10 lesson)
@@ -781,8 +783,21 @@ def main() -> None:
     # 2 dp, then keep only the slowest queries (totals above are
     # computed from the FULL set either way) with an explicit count of
     # what was dropped — never silently truncate mid-JSON.
+    flag_keep = 8
     if len(line) > 1900:
         line = _render({k: round(v, 2) for k, v in short.items()})
+    if len(line) > 1900 and (regressions_norm or cal_only_flags):
+        # Two 8-entry flag maps cost ~600 chars — at 141 queries that
+        # budget evicted 60 per-query timings from the r13 driver
+        # snapshot. Per-query raw history has more adjudication value
+        # than flag entries 5-8 (the report file carries the full
+        # maps either way), so shrink the flag maps to their worst 4
+        # (+ explicit omitted counts) BEFORE dropping any timings.
+        flag_keep = 4
+        line = _render(
+            {k: round(v, 2) for k, v in short.items()},
+            flag_keep=flag_keep,
+        )
     n_keep = len(short)
     while len(line) > 1900 and n_keep > 10:
         n_keep = max(10, n_keep - 10)
@@ -792,7 +807,9 @@ def main() -> None:
                 :n_keep
             ]
         }
-        line = _render(slowest, omitted=len(short) - n_keep)
+        line = _render(
+            slowest, omitted=len(short) - n_keep, flag_keep=flag_keep
+        )
     print(line)
 
 

@@ -454,8 +454,17 @@ def kmeans_fit(
       - deterministic init: the k vectors with id < k;
       - assignment ties break on lowest cluster id (ivf_assign);
       - means accumulate in DECIMAL(38,20) — exact, order-independent
-        addition — then round to 6 decimals, so centroid floats never
-        depend on partial-aggregation order.
+        addition — then round to 6 decimals. This round is
+        LOAD-BEARING for engine parity, not just display (measured
+        r14): the unscaled sum exceeds 2^53, so a DECIMAL(38,20) →
+        double cast is double-rounded in engines that convert via
+        int128→double→/1e20 (DuckDB) while Spark's BigDecimal
+        .doubleValue() rounds once — the quotients then differ by
+        ULPs (observed: -0.0001658712681091857 vs ...497 at sf0.01)
+        and only the 6-dp round re-synchronizes them. Same class as
+        the cosine ordering rounds; do NOT drop it in a knife-edge
+        sweep (the hazardous class is integer-ratio quotients whose
+        inputs ARE bit-identical — see SURVEY's rounding ledger).
     Centroids are materialized per round via
     ``plans.common.materialize`` (lazy localCheckpoint by default, a
     written table per round under SPARK_GRAFT_MATERIALIZE_DIR) so a

@@ -79,6 +79,14 @@ _CHANGED = (
     "qt32_cheapest_supplier",  # unit_cost: genuine regime-(a) boundary
     "qx19_bpe_token_stats",  # bpe_per_ws (unreachable at fixture card.)
     "qx28_mixture_weights",  # share + source_weight (uniformity)
+    # NOT landed, now PERMANENTLY: the ledger's "optional" qx25
+    # centroid-mean round was attempted this round and the unrounded
+    # form MISMATCHED at sf0.01 (c_val ULP divergence) — the
+    # DECIMAL(38,20)->double cast is itself double-rounded in DuckDB
+    # when the unscaled sum exceeds 2^53, so the engines' quotient
+    # inputs differ by ULPs and the 6-dp round is load-bearing parity
+    # machinery (float-derived class), not a knife-edge hazard.
+    # Reverted; reclassified in SURVEY's audited-safe ledger.
     # STILL SHELVED (r15, the final batch): shingle_jaccard — THE
     # shared LSH verification formula (artifacts/
     # r15_jaccard_verified.patch, 8 consumer pins: qx9/qx20/qx57 are
