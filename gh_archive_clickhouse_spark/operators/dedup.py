@@ -938,15 +938,25 @@ def long_gram_overlap_pairs(
 
 
 def shingle_jaccard(a_col: str = "sha_", b_col: str = "shb_") -> Column:
-    """Exact Jaccard of two distinct-shingle array columns, 6-dp
-    rounded, 0.0 on an empty union — THE verification formula every
-    LSH pipeline (and the recall probe measuring it) must share, so
-    the convention lives in exactly one place that the oracles mirror.
+    """Exact Jaccard of two distinct-shingle array columns as the
+    raw IEEE quotient, 0.0 on an empty union — THE verification
+    formula every LSH pipeline (and the recall probe measuring it)
+    must share, so the convention lives in exactly one place that the
+    oracles mirror.
+
+    Deliberately UNROUNDED (r15, the final rounding-class landing):
+    shingle-union denominators (640, 3200, ...) produce regime-(a)
+    half-boundary rationals (2j+1)/(2^7*5^t) where a 6-dp round makes
+    Spark's HALF_UP and DuckDB's float-path rounding diverge by an
+    ULP — the class that flipped qe4/qx56. int/int double quotients
+    are bit-deterministic in both engines (both operands exact in
+    double well past any shingle-set cardinality), so no
+    re-synchronizing round is needed or safe here.
     """
     ninter = F.size(F.array_intersect(a_col, b_col))
     nunion = F.size(a_col) + F.size(b_col) - ninter
     return F.when(
-        nunion > 0, F.round(ninter.cast("double") / nunion, 6)
+        nunion > 0, ninter.cast("double") / nunion
     ).otherwise(F.lit(0.0))
 
 

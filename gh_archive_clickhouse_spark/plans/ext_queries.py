@@ -589,10 +589,10 @@ WITH shl AS (
    AND l.doc_id < r.doc_id
 )
 SELECT doc_a, doc_b,
-       round(CAST(len(list_filter(a.shs, s -> list_contains(b.shs, s))) AS DOUBLE)
+       CAST(len(list_filter(a.shs, s -> list_contains(b.shs, s))) AS DOUBLE)
              / (len(a.shs) + len(b.shs)
-                - len(list_filter(a.shs, s -> list_contains(b.shs, s)))),
-             6) AS jaccard
+                - len(list_filter(a.shs, s -> list_contains(b.shs, s))))
+             AS jaccard
 FROM pairs
 JOIN sigs a ON a.doc_id = doc_a
 JOIN sigs b ON b.doc_id = doc_b
@@ -790,17 +790,17 @@ WITH shl AS (
    AND l.doc_id < r.doc_id
 )
 SELECT doc_a, doc_b,
-       round(CAST(len(list_filter(a.shs, s -> list_contains(b.shs, s))) AS DOUBLE)
+       CAST(len(list_filter(a.shs, s -> list_contains(b.shs, s))) AS DOUBLE)
              / (len(a.shs) + len(b.shs)
-                - len(list_filter(a.shs, s -> list_contains(b.shs, s)))),
-             6) AS jaccard
+                - len(list_filter(a.shs, s -> list_contains(b.shs, s))))
+             AS jaccard
 FROM pairs
 JOIN shl a ON a.doc_id = doc_a
 JOIN shl b ON b.doc_id = doc_b
-WHERE round(CAST(len(list_filter(a.shs, s -> list_contains(b.shs, s))) AS DOUBLE)
+WHERE CAST(len(list_filter(a.shs, s -> list_contains(b.shs, s))) AS DOUBLE)
             / (len(a.shs) + len(b.shs)
-               - len(list_filter(a.shs, s -> list_contains(b.shs, s)))),
-            6) >= 0.7
+               - len(list_filter(a.shs, s -> list_contains(b.shs, s))))
+            >= 0.7
 """
 
 

@@ -54,45 +54,41 @@ WINDOW = 50
 # older code, i.e. are effectively no rows — so these pin to the front
 # of the window until a driver row from _CHANGED_ROUND or later lands
 # for them, at which point the pin expires per query automatically).
-_CHANGED_ROUND = 14
+_CHANGED_ROUND = 15
 _CHANGED = (
-    # r14 lands TWO shelved rounding-class patches in one window —
-    # artifacts/r14_qt_trio_verified.patch AND
-    # artifacts/r16_tail_verified.patch — because the freshness map
-    # makes them free: qt21/qt23/qt24/qt32 are r11-stale (the stalest
-    # cohort that must occupy the window anyway) and qx19/qx28 are
-    # r12-stale (at the MAX_STALE floor, due for refresh regardless).
-    # With all six pinned, the computed head still holds every one of
-    # the 47 r11-stale rows (verified: head staleness {11:47, 12:3})
-    # and the simulated r15 jaccard landing (8 consumer pins, 5 of
-    # them r13-fresh) still fits with zero floor violations.
-    #
-    # The change itself: the same integer-ratio round() drop as
-    # r12/r13 (half-boundary rationals (2j+1)/(2^7*5^t), t>=1 make
-    # Spark HALF_UP and DuckDB float-path rounding diverge by an ULP
-    # — the class that flipped qe4/qx56). Spark builders and oracle
-    # SQL mirrors changed together; raw IEEE quotients are
-    # bit-deterministic in both engines.
-    "qt21_market_share",  # mkt_share: decimal-sum / decimal-sum
-    "qt23_promo_revenue",  # promo_revenue_pct: 100*dsum/dsum
-    "qt24_small_qty_revenue",  # avg_yearly: dsum/7 (parity-safe; uniformity)
-    "qt32_cheapest_supplier",  # unit_cost: genuine regime-(a) boundary
-    "qx19_bpe_token_stats",  # bpe_per_ws (unreachable at fixture card.)
-    "qx28_mixture_weights",  # share + source_weight (uniformity)
-    # NOT landed, now PERMANENTLY: the ledger's "optional" qx25
-    # centroid-mean round was attempted this round and the unrounded
-    # form MISMATCHED at sf0.01 (c_val ULP divergence) — the
-    # DECIMAL(38,20)->double cast is itself double-rounded in DuckDB
-    # when the unscaled sum exceeds 2^53, so the engines' quotient
-    # inputs differ by ULPs and the 6-dp round is load-bearing parity
-    # machinery (float-derived class), not a knife-edge hazard.
-    # Reverted; reclassified in SURVEY's audited-safe ledger.
-    # STILL SHELVED (r15, the final batch): shingle_jaccard — THE
-    # shared LSH verification formula (artifacts/
-    # r15_jaccard_verified.patch, 8 consumer pins: qx9/qx20/qx57 are
-    # r12-stale = free; qx26/qx31/qx42/qx43/qx56 are r13-fresh and
-    # need 5 of r15's ~9 free slots — arithmetic pre-verified above).
-    # SURVEY.md §"rounding class" carries the full ledger.
+    # r15 lands the LAST rounding-class patch (artifacts/
+    # r15_jaccard_verified.patch): shingle_jaccard — THE shared LSH
+    # verification formula (operators/dedup.py) — drops its 6-dp
+    # round, Spark builder and both oracle SQL mirrors together.
+    # Shingle-union denominators (640, 3200, ...) are regime-(a)
+    # half-boundary rationals (2j+1)/(2^7*5^t), t>=1 — the class
+    # that flipped qe4/qx56 — while int/int double quotients are
+    # bit-deterministic in both engines. Window arithmetic was
+    # pre-verified by tests/test_registry_rotation.py::
+    # test_r15_jaccard_landing_window_fits: qx9/qx20/qx57 are
+    # r12-stale (free), qx26/qx31/qx42/qx43/qx56 are r13-fresh and
+    # fit r15's free slots with zero staleness-floor violations.
+    # All 8 consumers of the shared formula pin:
+    "qx9_lsh_candidates",
+    "qx20_chargram_jaccard",
+    "qx26_dedup_clusters",
+    "qx31_dedup_survivors",
+    "qx42_preprocess_pipeline",
+    "qx43_lsh_recall_probe",
+    "qx56_quality_dedup_cut",
+    "qx57_split_leakage_cut",
+    # With this landing the rounding class is CLOSED: every remaining
+    # F.round site in the tree is in SURVEY's audited-safe ledger
+    # (fixed-point re-synchronizers over float-derived inputs, e.g.
+    # qx25's centroid mean where DuckDB's DECIMAL(38,20)->DOUBLE cast
+    # double-rounds past 2^53 unscaled — measured, load-bearing).
+    # Scale scoping (r15, per ADVICE): qt21/qt23/qt24's unrounded
+    # decimal-sum->double quotients are bit-identical ONLY while the
+    # unscaled sums stay below 2^53 (qt23 crosses ~sf2.4, qt21 ~sf6);
+    # the verified envelope is sf<=2 and
+    # tests/test_knife_edge.py::test_decimal_sum_2_53_bound_at_max_
+    # verified_sf enforces the bound. qt32/qx19/qx28 are pure
+    # integer-ratio quotients — bit-deterministic at any scale.
 )
 
 # Canonical declaration order: used as the deterministic tie-break

@@ -275,3 +275,155 @@ def test_contamination_rate_boundary_rational(spark):
     (r,) = ngram_contamination(corpus, bench, n=2).collect()
     assert r.n_grams == 3200 and r.n_contaminated == 1
     assert r.rate == 1 / 3200  # the boundary rational, bit-exact
+
+
+def test_shingle_jaccard_boundary_rational(spark, duck):
+    """r15 terminal extension — shingle_jaccard, THE shared LSH
+    verification formula (8 consumers: qx9/qx20/qx26/qx31/qx42/qx43/
+    qx56/qx57), emits the raw IEEE int/int quotient. Engineered
+    shingle unions of 640 = 2^7*5 and 3200 = 2^7*5^2 with odd
+    intersections land exactly ON round-6 half-boundary rationals
+    (1/640 = 0.0015625, 3/640, 1/3200): the emitted double must equal
+    Python's own IEEE division bit-for-bit, and DuckDB running the
+    committed oracle fragment shape (list_filter/list_contains) on the
+    identical arrays must emit the identical bits. Reintroducing any
+    round() on this column fails immediately (round(1/640, 6) !=
+    1/640), closing the class tripwire on its last fixed site."""
+    from gh_archive_clickhouse_spark.operators.dedup import shingle_jaccard
+
+    def arrays(n_a, n_b, n_inter, tag):
+        shared = [f"c{tag}_{i}" for i in range(n_inter)]
+        a = shared + [f"a{tag}_{i}" for i in range(n_a - n_inter)]
+        b = shared + [f"b{tag}_{i}" for i in range(n_b - n_inter)]
+        return a, b
+
+    cases = [
+        (1, *arrays(320, 321, 1, 1), 1 / 640),   # boundary: 1/640
+        (2, *arrays(340, 303, 3, 2), 3 / 640),   # boundary: 3/640
+        (3, *arrays(1600, 1601, 1, 3), 1 / 3200),  # boundary: 1/3200
+        (4, [], [], 0.0),                        # empty union -> 0.0
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, a, b, _ in cases],
+        "pair_id long, sha_ array<string>, shb_ array<string>",
+    )
+    got = {
+        r.pair_id: r.jaccard
+        for r in df.select(
+            "pair_id", shingle_jaccard().alias("jaccard")
+        ).collect()
+    }
+    for pair_id, a, b, want in cases:
+        assert got[pair_id] == want, pair_id  # bit-exact vs Python
+
+    con = duck.cursor()
+    con.register(
+        "__edge_pairs",
+        pd.DataFrame(
+            [(i, a, b) for i, a, b, _ in cases],
+            columns=["pair_id", "sha_", "shb_"],
+        ),
+    )
+    want_db = {
+        int(pid): v
+        for pid, v in con.execute(
+            """
+            SELECT pair_id,
+                   CASE WHEN len(sha_) + len(shb_)
+                             - len(list_filter(sha_,
+                                   s -> list_contains(shb_, s))) > 0
+                        THEN CAST(len(list_filter(sha_,
+                                   s -> list_contains(shb_, s))) AS DOUBLE)
+                             / (len(sha_) + len(shb_)
+                                - len(list_filter(sha_,
+                                      s -> list_contains(shb_, s))))
+                        ELSE 0.0 END AS jaccard
+            FROM __edge_pairs
+            """
+        ).fetchall()
+    }
+    for pair_id, _, _, want in cases:
+        assert want_db[pair_id] == want, pair_id  # DuckDB identical bits
+        assert want_db[pair_id] == got[pair_id], pair_id
+
+
+def test_decimal_sum_2_53_bound_at_max_verified_sf(spark):
+    """Scale scoping for the qt21/qt23/qt24 unrounded decimal-sum ->
+    double quotients (r15, per ADVICE): the raw quotient is
+    bit-identical across engines ONLY while each DECIMAL(18,6) sum's
+    UNSCALED value stays below 2^53 — past it, DuckDB's
+    int128 -> double -> /1e6 cast double-rounds while Spark's
+    BigDecimal cast rounds once, and the quotient inputs diverge by
+    ULPs (the measured qx25 mechanism). sf1/sf2 replicas concatenate
+    key-offset copies of sf0.1 with money columns verbatim, so sums
+    scale EXACTLY linearly in SF: measuring at sf0.1 pins the
+    envelope. Asserts (a) every ratio-feeding dsum stays below the
+    bound through sf2, the maximum oracle-verified scale, and (b) the
+    documented crossover SFs (qt23 first, ~sf2.4; qt21 ~sf6) so
+    SURVEY's ledger numbers stay tied to measurement."""
+    import os
+
+    import pytest
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):  # pragma: no cover - env guard
+        pytest.skip("sf0.1 fixtures not present")
+
+    from gh_archive_clickhouse_spark.plans.common import read
+
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,6)"
+    )
+    li = read(spark, sf01, "lineitem")
+    # qt23 denominator: one-month window, part join is fkey 1:1
+    (d23,) = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .agg(F.sum(rev).cast("double").alias("d"))
+        .collect()
+    )
+    # qt21 denominator: the builder's exact join cuts (PROMO parts,
+    # ASIA customers, two-year orders), summed across years — each
+    # per-year group den is strictly smaller than this total
+    part = read(spark, sf01, "part").filter(F.col("p_type") == "PROMO")
+    nation = read(spark, sf01, "nation")
+    region = read(spark, sf01, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        read(spark, sf01, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    o = read(spark, sf01, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+    )
+    # the quotient's den is the per-year GROUP sum — bound the largest
+    (d21,) = (
+        li.join(part.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("y"))
+        .agg(F.sum(rev).cast("double").alias("d"))
+        .agg(F.max("d").alias("d"))
+        .collect()
+    )
+    bound = float(2**53) / 1e6  # max dsum value with exact unscaled
+    max_verified_sf = 2.0  # the sf2 replica sweep (r14)
+    for name, dsum_sf01 in (("qt23", d23.d), ("qt21", d21.d)):
+        at_env = dsum_sf01 * (max_verified_sf / 0.1)
+        assert at_env < bound, (
+            f"{name}: dsum {at_env:.3e} at sf{max_verified_sf} exceeds "
+            f"2^53 unscaled ({bound:.3e}) — the unrounded quotient is "
+            f"no longer engine-deterministic inside the verified "
+            f"envelope; reinstate a re-synchronizer or shrink the "
+            f"envelope claim in SURVEY/registry"
+        )
+    # crossover pins (ledger numbers): qt23 crosses first, near sf2.4;
+    # qt21's largest per-year group den crosses past sf4 (~sf5.9)
+    cross23 = bound / (d23.d / 0.1)
+    cross21 = bound / (d21.d / 0.1)
+    assert 2.0 < cross23 < 3.0, cross23
+    assert cross21 > 4.0, cross21
