@@ -70,8 +70,11 @@ def qt19_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def qt20_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: revenue between two trading nations per year.
 
-    The nation pair filter collapses supplier/customer to tiny
-    broadcast sides; lineitem⋈orders is the only fact-fact shuffle.
+    The nation-pair cut shrinks supplier/customer to a constant
+    FRACTION — still proportional to SF, so the joins are left to AQE
+    (the qe14 rule: no forced broadcast of frames whose cardinality
+    scales with the facts; broadcast at small SF, SMJ at warehouse
+    scale). lineitem⋈orders is the only unavoidable fact-fact shuffle.
     """
     n1, n2 = "NATION_1", "NATION_2"
     nation = read(spark, sf_dir, "nation")
@@ -97,9 +100,9 @@ def qt20_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = read(spark, sf_dir, "orders")
     joined = (
-        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .filter(
             ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
             | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
@@ -119,14 +122,25 @@ def qt21_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: one nation's market share inside a region, per
     year — conditional aggregation over a 7-table star join.
 
-    All dims broadcast; the share division runs on order-exact decimal
-    sums so the ratio is engine-deterministic.
+    Fixed-cardinality dims (nation/region) and the type-filtered part
+    broadcast by hint; supplier and the region's customer-key set
+    scale with SF, so those joins are left to AQE (the qe14 rule —
+    a region's customer set is not broadcastable at warehouse SF).
+    The share division runs on order-exact decimal sums so the ratio
+    is engine-deterministic — bit-identical to the oracle while the
+    unscaled sums stay below 2^53 (enforced through the sf≤2 verified
+    envelope by tests/test_knife_edge.py; qt21's largest per-year
+    denominator crosses near sf5.9).
     """
     nation = read(spark, sf_dir, "nation")
     region = read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     part = read(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     sup = read(spark, sf_dir, "supplier").join(
-        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_nation"))),
+        F.broadcast(
+            nation.select(
+                "n_nationkey", F.col("n_name").alias("supp_nation")
+            )
+        ),
         F.col("s_nationkey") == F.col("n_nationkey"),
     )
     cust_nation = (
@@ -144,11 +158,9 @@ def qt21_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read(spark, sf_dir, "lineitem")
     joined = (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey")
-        )
+        .join(cust_nation, F.col("o_custkey") == F.col("c_custkey"))
     )
     num = F.sum(
         F.when(F.col("supp_nation") == "NATION_5", _rev())
@@ -166,7 +178,9 @@ def qt21_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def qt22_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
-    quarter. Broadcast customer⋈nation; TakeOrderedAndProject top-20.
+    quarter. nation broadcasts by hint; the full customer table scales
+    with SF so its join is left to AQE (the qe14 rule);
+    TakeOrderedAndProject top-20.
     """
     c = read(spark, sf_dir, "customer")
     nation = read(spark, sf_dir, "nation")
@@ -177,7 +191,7 @@ def qt22_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     joined = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     )
     agg = joined.groupBy(
@@ -189,8 +203,16 @@ def qt22_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def qt23_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: promo revenue share in one month — broadcast
-    part join + conditional aggregation, single-row output.
+    """TPC-H Q14 shape: promo revenue share in one month — part join
+    + conditional aggregation, single-row output.
+
+    part here is UNFILTERED (the p_type test is the aggregation's
+    CASE), so its cardinality scales with SF like any fact — the join
+    is left to AQE per the qe14 rule (broadcast at small SF, SMJ at
+    warehouse scale). The quotient is bit-identical to the oracle
+    while the unscaled DECIMAL(18,6) sums stay below 2^53 (crosses
+    near sf2.4 — enforced through the sf≤2 verified envelope by
+    tests/test_knife_edge.py).
     """
     part = read(spark, sf_dir, "part")
     li = read(spark, sf_dir, "lineitem").filter(
@@ -198,7 +220,7 @@ def qt23_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1997-04-01"))
     )
     joined = li.join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        part, F.col("l_partkey") == F.col("p_partkey")
     )
     num = F.sum(
         F.when(F.col("p_type") == "PROMO", _rev())
@@ -242,8 +264,10 @@ def qt25_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold — HAVING-style two-level aggregation feeding a semi join.
 
     The per-order quantity sum is exact (integral doubles); the heavy
-    groupBy runs once and its survivors (few) broadcast back against
-    orders.
+    groupBy runs once and its survivor set — a small FRACTION but
+    still proportional to SF — joins back against orders with the
+    strategy left to AQE (the qe14 rule), as is the full customer
+    join.
     """
     li = read(spark, sf_dir, "lineitem")
     big = (
@@ -254,8 +278,8 @@ def qt25_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read(spark, sf_dir, "orders")
     c = read(spark, sf_dir, "customer")
     joined = (
-        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("__ok"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(big, F.col("o_orderkey") == F.col("__ok"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
     )
     out = joined.select(
         "c_name",
@@ -272,14 +296,16 @@ def qt25_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def qt26_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions
-    over part⋈lineitem. The OR-of-ANDs stays a single broadcast-join
-    filter; Catalyst extracts the common l_partkey equi-key so this is
-    a hash join, not a nested loop.
+    over part⋈lineitem. Catalyst extracts the common l_partkey
+    equi-key from the OR-of-ANDs so this is a hash join, not a nested
+    loop; part is unfiltered before the join (the disjunction needs
+    its columns), so the join strategy is left to AQE per the qe14
+    rule.
     """
     part = read(spark, sf_dir, "part")
     li = read(spark, sf_dir, "lineitem")
     joined = li.join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        part, F.col("l_partkey") == F.col("p_partkey")
     )
     cond = (
         (

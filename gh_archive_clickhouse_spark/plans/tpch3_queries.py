@@ -32,8 +32,10 @@ def qt32_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the per-(part, supplier) offer table aggregates
     map-side on uniform keys; the correlated min is a second tiny
-    aggregate joined back on partkey (never a per-row subquery); dims
-    broadcast. orderBy+limit = TakeOrderedAndProject.
+    aggregate joined back on partkey (never a per-row subquery).
+    nation and the type-filtered part broadcast by hint; supplier
+    scales with SF so its join is left to AQE (the qe14 rule).
+    orderBy+limit = TakeOrderedAndProject.
     """
     li = read(spark, sf_dir, "lineitem")
     part = read(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -63,7 +65,7 @@ def qt32_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", "l_suppkey", "unit_cost")
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
         .join(
             F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
         )
@@ -86,9 +88,10 @@ def qt33_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     year) with a LIKE part filter. amount = revenue − imputed supply
     cost (0.6·retailprice·qty, ≤3-decimal — exact in DECIMAL).
 
-    Scale shape: one fact scan; part/supplier/nation broadcast;
-    orders⋈lineitem is the bucketed fact-fact pair; single hash
-    aggregate on (nation, year).
+    Scale shape: one fact scan; the LIKE-filtered part and nation
+    broadcast by hint, supplier's join is left to AQE (the qe14
+    rule); orders⋈lineitem is the bucketed fact-fact pair; single
+    hash aggregate on (nation, year).
     """
     li = read(spark, sf_dir, "lineitem")
     part = read(spark, sf_dir, "part").filter(
@@ -102,7 +105,7 @@ def qt33_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -127,8 +130,10 @@ def qt34_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_nationkey") < 5
     )
     value = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # the supplier-group key set is a constant fraction of supplier —
+    # proportional to SF, so the join is left to AQE (the qe14 rule)
     scoped = li.join(
-        F.broadcast(supp.select("s_suppkey")),
+        supp.select("s_suppkey"),
         li.l_suppkey == F.col("s_suppkey"),
     )
     per_part = scoped.groupBy("l_partkey").agg(

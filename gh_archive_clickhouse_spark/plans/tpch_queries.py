@@ -70,9 +70,13 @@ def qt1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def qt2_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join. Dims (region/nation/supplier/
-    customer at fixture SF) broadcast; the only wide shuffles are
-    fact-fact (orders⋈lineitem) and the final tiny agg."""
+    """TPC-H Q5 shape: 6-way star join. Fixed-cardinality dims
+    (region/nation) broadcast by hint; customer/supplier — whose
+    cardinality scales with the facts (SURVEY §4.3: no forced
+    broadcast of unbounded frames, the qe14 rule) — are left to
+    AQE, which picks broadcast at small SF and SMJ once a region's
+    customer set outgrows the executors. The only unavoidable wide
+    shuffle is fact-fact (orders⋈lineitem) and the final tiny agg."""
     region = read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = read(spark, sf_dir, "nation")
     customer = read(spark, sf_dir, "customer")
@@ -85,12 +89,8 @@ def qt2_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
-        )
-        .join(
-            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
-        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         # Q5 requires customer and supplier in the SAME nation.
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(
@@ -139,8 +139,10 @@ def qt5_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read(spark, sf_dir, "orders")
     customer = read(spark, sf_dir, "customer")
     nation = read(spark, sf_dir, "nation")
+    # customer scales with the facts — join strategy left to AQE
+    # (the qe14 rule); nation is fixed-cardinality and hints safely.
     joined = orders.join(
-        F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        customer, F.col("o_custkey") == F.col("c_custkey")
     ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
     return (
         joined.rollup("n_name", "o_orderpriority")
@@ -246,8 +248,10 @@ def qt9_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def qt12_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join → top-10 by
-    aggregated revenue. customer filter broadcasts; lineitem (the big
-    side) is never re-shuffled before the join; the final top-10 is a
+    aggregated revenue. The filtered orders⋈customer side scales with
+    SF, so its join strategy is left to AQE (broadcast at small SF,
+    SMJ at warehouse scale — the qe14 rule); lineitem (the big side)
+    is never re-shuffled before the join; the final top-10 is a
     TakeOrderedAndProject."""
     c = read(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -260,7 +264,7 @@ def qt12_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = li.join(
-        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        o.join(c, o.o_custkey == c.c_custkey),
         li.l_orderkey == o.o_orderkey,
     )
     agg = joined.groupBy(

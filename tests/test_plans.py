@@ -25,7 +25,11 @@ def _plan(spark, name: str) -> str:
 
 
 def test_qt2_star_join_all_broadcast(spark):
-    """Q5 shape: every dim join must broadcast — no shuffle joins."""
+    """Q5 shape: every dim join must plan as a broadcast JOIN TYPE at
+    fixture scale — nation/region by hint, customer/supplier by the
+    planner's own size stats (r15: the hint was removed from frames
+    whose cardinality scales with the facts, per the qe14 rule, so
+    this asserts the chosen join type, not a forced hint)."""
     plan = _plan(spark, "qt2_regional_revenue")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
@@ -120,8 +124,10 @@ def test_qt19_all_predicates_pushed(spark):
     ],
 )
 def test_tpch2_dims_broadcast(spark, name):
-    """Second battery: dim joins broadcast; nothing degenerates to a
-    cartesian/nested-loop."""
+    """Second battery: dim joins plan as broadcast at fixture scale
+    (fixed dims by hint, SF-scaling frames by the planner's size
+    stats — r15 removed their forced hints per the qe14 rule);
+    nothing degenerates to a cartesian/nested-loop."""
     plan = _plan(spark, name)
     assert "BroadcastHashJoin" in plan, plan[:1500]
     assert "CartesianProduct" not in plan
