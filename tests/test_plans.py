@@ -491,3 +491,42 @@ def test_arrow_kernels_work_from_foreign_cwd():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "ROWS" in out.stdout, out.stdout
+
+
+def test_unhinted_frames_carry_no_forced_broadcast(spark):
+    """r15 enforcement of the qe14 rule on the TPC-H batteries: with
+    spark.sql.autoBroadcastJoinThreshold=-1 the planner can ONLY
+    produce a BroadcastHashJoin from an explicit hint (hints override
+    the threshold), so a plan with zero broadcast joins under -1
+    PROVES no forced broadcast survives anywhere in the query — the
+    property that matters at warehouse SF, where a hinted
+    customer/supplier/unfiltered-part frame would OOM the executors
+    while unhinted AQE degrades to SMJ. The fixed-cardinality
+    nation/region hints and one-row scalar crossJoin broadcasts are
+    deliberately still present in most of these queries, so the
+    assertion is scoped to the frames the r15 change unhinted: the
+    join key columns of customer/supplier/big-part sides must not sit
+    under a BroadcastExchange. Simplest robust form: these five
+    queries join ONLY fact-scaling frames besides nation/region, so
+    we assert their nation/region-free siblings plan with no
+    broadcast at all under -1."""
+    # queries whose EVERY join side is a fact-scaling frame (no
+    # nation/region/scalar broadcast in the plan at all)
+    pure = ["qt3_semi_join", "qt12_shipping_priority",
+            "qt25_large_volume_customers", "qt26_disjunctive_revenue",
+            "qt34_important_parts"]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in pure:
+            df = QUERIES[name].builder(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            # qt34's one-row scalar threshold legitimately broadcasts
+            # (IdentityBroadcastMode on an aggregate output); equi-join
+            # sides must not.
+            if name == "qt34_important_parts":
+                assert "BroadcastHashJoin" not in plan, plan[:1500]
+            else:
+                assert "BroadcastExchange" not in plan, (name, plan[:1500])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
