@@ -195,7 +195,13 @@ def qx9_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    docs_c = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    # UNHINTED semi-join (r15, the qe14 rule): the candidate-id set
+    # scales with the corpus's near-dup count — a vanishing FRACTION
+    # but not a bounded SIZE, so a forced broadcast OOMs the executors
+    # exactly when the corpus is dirty enough for dedup to matter.
+    # AQE broadcasts it at fixture scale (runtime size under the
+    # threshold) and degrades to a shuffled semi-join at warehouse SF.
+    docs_c = docs.join(cand_ids, "doc_id", "left_semi")
     sh = shingle_sets(docs_c, "text", "doc_id", 3)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sha_"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("shb_"))
@@ -421,7 +427,9 @@ def qx20_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    docs_c = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    # Unhinted semi-join — cand_ids scales with the corpus (qe14
+    # rule, same as qx9); AQE picks broadcast only while it's small.
+    docs_c = docs.join(cand_ids, "doc_id", "left_semi")
     sh = shingle_sets(docs_c, "text", "doc_id", 4, kind="char")
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("__sh").alias("sha_"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("__sh").alias("shb_"))
@@ -1607,7 +1615,9 @@ def qx57_split_leakage_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("id_b").alias("doc_id")))
         .distinct()
     )
-    docs_c = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    # Unhinted semi-join — cand_ids scales with the corpus (qe14
+    # rule, same as qx9); AQE picks broadcast only while it's small.
+    docs_c = docs.join(cand_ids, "doc_id", "left_semi")
     sh = shingle_sets(docs_c, "text", "doc_id", 3)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sha_"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("shb_"))

@@ -530,3 +530,27 @@ def test_unhinted_frames_carry_no_forced_broadcast(spark):
                 assert "BroadcastExchange" not in plan, (name, plan[:1500])
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dedup_verify_semi_joins_carry_no_forced_broadcast(spark):
+    """r15 extension of the qe14 rule to the LSH verify stage: the
+    candidate-id semi-join in qx9/qx20/qx57 must NOT force-broadcast
+    cand_ids — candidates scale with the corpus's near-dup count, so
+    a hint OOMs exactly on the corpora dedup exists for. Under
+    autoBroadcastJoinThreshold=-1 any BroadcastExchange in the plan
+    can only come from a hint, so zero broadcasts proves the hint is
+    gone (these three queries have no nation/region or scalar
+    broadcasts to exempt)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in (
+            "qx9_lsh_candidates",
+            "qx20_chargram_jaccard",
+            "qx57_split_leakage_cut",
+        ):
+            df = QUERIES[name].builder(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in plan, (name, plan[:1500])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
