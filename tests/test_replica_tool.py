@@ -129,13 +129,17 @@ def test_universes_are_shingle_disjoint_and_jaccard_faithful(replica):
     def jac(a: set, b: set) -> float:
         return len(a & b) / len(a | b) if (a | b) else 0.0
 
-    # within-universe WORD-shingle pair structure is IDENTICAL to the
-    # source's, and CHAR-gram structure is preserved to a bounded
-    # deviation with NO pair crossing the near-dup threshold (the
-    # uniform-tag design reviewed out in r12 passed the word property
-    # but pushed unrelated short docs' char-gram Jaccard above 0.7 —
-    # qx20 blew up from ~9k to 22.7M pairs at sf1; measured deviation
-    # for the hash tag: max 0.18, zero flips)
+    # The character relabeling is a bijection on chars, hence on char
+    # k-grams and on tokens/word shingles: within-universe pairwise
+    # Jaccard must be EXACTLY the source's at BOTH granularities, and
+    # the disjoint per-universe alphabets make every cross-universe
+    # similarity EXACTLY zero — including a doc vs its own copy (the
+    # property every suffix-tag design measurably failed on the char
+    # side: the uniform tag pushed unrelated docs above 0.7 — qx20
+    # ~9k -> 22.7M pairs at sf1; ~UUHH inflated aggregate structure
+    # 8x — 21,796 -> 1,701,977 candidates at 10x; a partitioned
+    # 62^4-space hash suffix still amplified common-token shared-gram
+    # mass — 919,620 at 10x, 8,375,287 at 20x).
     import itertools
 
     sample = range(0, min(len(u0), 40))
@@ -149,8 +153,23 @@ def test_universes_are_shingle_disjoint_and_jaccard_faithful(replica):
         c1 = jac(
             chargrams(u1["text"].iloc[i]), chargrams(u1["text"].iloc[j])
         )
-        assert abs(c1 - c0) <= 0.25, (i, j, c0, c1)
-        assert (c0 >= 0.7) == (c1 >= 0.7), (i, j, c0, c1)
+        assert c0 == c1, (i, j, c0, c1)
+        # cross-universe UNRELATED docs: exactly zero shared grams
+        cx = jac(
+            chargrams(u0["text"].iloc[i]), chargrams(u1["text"].iloc[j])
+        )
+        assert cx == 0.0, (i, j, cx)
+    # a doc and its own cross-universe copy: exactly zero at both
+    # granularities — no planted twins at ANY threshold
+    for i in sample:
+        assert (
+            jac(chargrams(u0["text"].iloc[i]), chargrams(u1["text"].iloc[i]))
+            == 0.0
+        ), i
+        assert (
+            jac(shingles(u0["text"].iloc[i]), shingles(u1["text"].iloc[i]))
+            == 0.0
+        ), i
 
     emb = pd.read_parquet(os.path.join(replica, "embeddings.parquet"))
     m = len(emb) // 2
@@ -233,8 +252,9 @@ def test_empty_embeddings_fixture_refused_clearly(tmp_path):
 
 
 def test_copies_beyond_pad_width_refused_before_writing(tmp_path):
-    """The ~UUHH tag pads the universe index to two digits; more than
-    100 copies must refuse up front with nothing written."""
+    """The per-universe alphabet pad reserves 100 disjoint 0x80-wide
+    codepoint blocks; more than 100 copies must refuse up front with
+    nothing written."""
     dst = str(tmp_path / "refused_pad")
     proc = subprocess.run(
         [
