@@ -896,3 +896,66 @@ def test_shingle_jaccard_equals_python_division(spark, sizes):
         union = na + nb + ns
         want = ns / union if union > 0 else 0.0
         assert got[i] == want, (i, na, nb, ns)  # bit-exact
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=200,
+    ),
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        max_size=200,
+    ),
+    st.integers(min_value=1, max_value=99),
+    st.integers(min_value=1, max_value=99),
+)
+def test_replica_relabeling_is_a_similarity_isometry(ta, tb, u, v):
+    """Property form of the r15 replica-instrument contract
+    (scripts/make_sf_replica._relabel_table): for ANY two ASCII texts
+    and ANY two universes, relabeling (1) preserves length, (2) is
+    invertible (injective), (3) preserves char-4-gram and
+    word-shingle Jaccard EXACTLY within a universe, and (4) shares no
+    non-space character — hence no token and no gram containing one —
+    across distinct universes. These four facts are what make
+    replica-based dedup scaling measurements measure the engine, not
+    the instrument."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "make_sf_replica",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "make_sf_replica.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    tab_u, tab_v = mod._relabel_table(u), mod._relabel_table(v)
+    ra, rb = ta.translate(tab_u), tb.translate(tab_u)
+    assert len(ra) == len(ta)
+    inv = {w: c for c, w in tab_u.items()}
+    assert ra.translate(inv) == ta  # injective round-trip
+
+    def grams(t, k=4):
+        return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+    def shingles(t, k=3):
+        w = t.split()
+        return {tuple(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    def jac(a, b):
+        return len(a & b) / len(a | b) if (a | b) else 0.0
+
+    assert jac(grams(ra), grams(rb)) == jac(grams(ta), grams(tb))
+    assert jac(shingles(ra), shingles(rb)) == jac(
+        shingles(ta), shingles(tb)
+    )
+    if u != v:
+        rav = ta.translate(tab_v)
+        shared = {c for c in ra if c != " "} & {c for c in rav if c != " "}
+        assert not shared
