@@ -552,25 +552,36 @@ def connected_components(
     election that every dedup pipeline needs (pairs (a,b),(b,c) must
     collapse to ONE surviving doc, not two independent drops).
 
-    Algorithm: every node starts labeled with itself; each round is
-    (1) PROPAGATE — take the min label over self and neighbors, then
-    (2) POINTER-JUMP — replace each label with its label's label
-    (label(u) is always the id of a node in u's component, so the
-    lookup is a 1:1 self-join on the label table). The jump doubles
-    the effective propagation distance per round, so convergence takes
-    O(log diameter) rounds instead of O(diameter) — ``max_iters=20``
-    covers diameters up to ~2^20, far beyond any near-dup graph. Both
-    steps only ever DECREASE labels (label(v) <= v for all v), so "a
-    full round changed nothing" certifies a propagation fixed point,
-    i.e. labels uniform per component.
+    Algorithm: every node starts labeled with itself; each round
+    FUSES (1) PROPAGATE — take the min label over self and neighbors
+    — with (2) POINTER-JUMP THROUGH THE ROUND'S INPUT TABLE —
+    replace the propagated value m with labels_prev(m) (every label
+    value is the id of a node present in the table, so the lookup is
+    a 1:1 equi-join) — into ONE materialized plan per round (r15,
+    guide §2.4): two joins + one aggregate + one lineage barrier per
+    round, where the unfused propagate/probe/jump form paid four
+    joins and two barriers. Jumping through the round's INPUT labels
+    (not the freshly-propagated table) is what makes the fusion a
+    single plan with no mid-round barrier; the composition still
+    applies the label function twice along every path per round, so
+    the covered distance doubles per round and convergence stays
+    O(log diameter) — ``max_iters=20`` covers diameters up to ~2^20,
+    far beyond any near-dup graph (the 41-node-chain test pins ≤10
+    rounds). Both steps only ever DECREASE labels (label(v) <= v for
+    all v) and labels_prev(m) <= m, so "a full round changed
+    nothing" certifies a propagation fixed point — if any neighbor
+    min were below a node's label the fused update would have
+    decreased it — i.e. labels uniform per component.
 
     Per round: one edge⋈labels join + aggregate (O(|E|) shuffle) and
-    one labels⋈labels self-join (O(|V|)); lineage is truncated per
-    round via ``plans.common.materialize`` (localCheckpoint by
-    default; a written table per round under
-    SPARK_GRAFT_MATERIALIZE_DIR for clusters where executor loss is
-    routine) so plans stay flat — the GraphFrames/GraphX CC shape
-    without the dependency.
+    one labels⋈labels jump join (O(|V|)); the convergence probe is a
+    SHUFFLE-FREE scan of the round's materialized output (a __chg
+    flag computed inline, filter + limit(1)), not a join against the
+    previous table. Lineage is truncated per round via
+    ``plans.common.materialize`` (localCheckpoint by default; a
+    written table per round under SPARK_GRAFT_MATERIALIZE_DIR for
+    clusters where executor loss is routine) so plans stay flat —
+    the GraphFrames/GraphX CC shape without the dependency.
 
     Raises ``RuntimeError`` if the loop exhausts ``max_iters`` without
     a certified fixed point AND a final O(|E|) post-condition check
@@ -611,51 +622,52 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dlabel").alias("nlabel"))
         )
-        prop = (
-            labels.join(
-                nbr_min.select(F.col("src").alias("node"), "nlabel"),
-                "node",
-                "left",
-            )
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", "label")
-                ).alias("label"),
-            )
+        # Fused propagate + jump (see docstring): m = min(label,
+        # neighbor min) is computed INLINE, then jumped through the
+        # round's input table in the same plan. Every label value is
+        # a node id present in the label table (initialization + the
+        # update rule preserve it: the new label is itself one of the
+        # table's label values), so the jump lookup matches exactly
+        # one row; the left-join + coalesce is belt-and-braces. The
+        # __chg flag rides in the materialized output so the
+        # convergence probe below is a shuffle-free scan, not a join.
+        prop = labels.join(
+            nbr_min.select(F.col("src").alias("node"), "nlabel"),
+            "node",
+            "left",
+        ).select(
+            "node",
+            F.col("label").alias("__old"),
+            F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                "__m"
+            ),
         )
-        # Materialized BEFORE the jump self-join: both sides of the
-        # jump (and the probe) read the same computed-once frame
-        # instead of re-running the propagation join per consumer.
-        prop = materialize(prop, f"cc_prop_{_i}")
-        # Probe on the PROPAGATION output (an extra job per round, so
-        # it starts at round 1 — round 0 always changes something when
-        # any edge exists): prop == labels certifies a propagation
-        # fixed point, at which the jump is the identity — the final
-        # round skips its self-join entirely.
+        jump = labels.select(
+            F.col("node").alias("__m"), F.col("label").alias("__jl")
+        )
+        new_labels = materialize(
+            prop.join(jump, "__m", "left").select(
+                "node",
+                F.coalesce("__jl", "__m").alias("label"),
+                (F.coalesce("__jl", "__m") != F.col("__old")).alias(
+                    "__chg"
+                ),
+            ),
+            f"cc_labels_{_i}",
+        )
+        # Probe the materialized round output (starts at round 1 —
+        # round 0 always changes something when any edge exists): no
+        # row changed certifies a propagation fixed point (any
+        # neighbor min below a node's label would have decreased it).
         if _i > 0:
             changed = (
-                prop.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
+                new_labels.filter(F.col("__chg")).limit(1).count()
             )
             if changed == 0:
-                labels = prop
+                labels = new_labels.select("node", "label")
                 converged = True
                 break
-        # Pointer jump: label := label(label). Every label value is a
-        # node id present in the label table (initialization + both
-        # update rules preserve it), so the lookup matches exactly one
-        # row; the left-join + coalesce is belt-and-braces.
-        jump = prop.select(
-            F.col("node").alias("label"), F.col("label").alias("jlabel")
-        )
-        new_labels = prop.join(jump, "label", "left").select(
-            "node", F.coalesce("jlabel", "label").alias("label")
-        )
-        labels = materialize(new_labels, f"cc_labels_{_i}")
+        labels = new_labels.select("node", "label")
     if not converged:
         # Loop exhausted without a certified fixed point (or max_iters
         # was too small for the probe to ever run). Post-condition: at
