@@ -86,6 +86,31 @@ def cosine_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _ivf_cluster_sql() -> str:
+    """THE nearest-centroid assignment expression (argmax cosine over
+    a broadcast one-row ``__cents`` table built by :func:`_prep_cents`,
+    evaluated against a ``__v``/``__n`` normed vector): sim rounded to
+    6 dp, ties -> lowest centroid id, zero-norm vectors coalesce their
+    (NULL) sims to -Infinity so they land in the LOWEST centroid id.
+    One definition shared by :func:`ivf_assign`, :func:`kmeans_fit`
+    and :func:`ivfpq_index_rows` so the batch assignment, the Lloyd
+    iteration, and the persisted-index projection can never
+    desynchronize."""
+    sim = (
+        "coalesce(CASE WHEN __n > 0 AND e.cn > 0 THEN "
+        "round(aggregate(zip_with(__v, e.cvec, (p, q) -> p * q), "
+        "cast(0 as double), (s, v) -> s + v) / (__n * e.cn), 6) "
+        "ELSE CAST(NULL AS DOUBLE) END, cast('-Infinity' as double))"
+    )
+    return (
+        f"aggregate("
+        f"transform(__cents, e -> named_struct('s', {sim}, 'c', e.cid)), "
+        f"named_struct('s', CAST(NULL AS DOUBLE), 'c', 2147483647), "
+        f"(acc, el) -> IF(acc.s IS NULL OR el.s > acc.s OR "
+        f"(el.s = acc.s AND el.c < acc.c), el, acc)).c"
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,
@@ -97,30 +122,26 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine).
 
-    Broadcast-join against the (small) centroid set, score, keep the
-    argmax via max_by — one narrow stage plus a groupBy on the vector
-    id (uniform key). In a persisted index the result is written
-    ``partitionBy(centroid_id)`` so probes prune partitions.
+    ONE map-only stage (r15, guide §2.3/§2.4): the centroid table
+    collapses to a broadcast one-row array (:func:`_prep_cents`) and
+    each vector's argmax is a row-local fold (:func:`_ivf_cluster_sql`
+    — sim rounded to 6 dp, ties -> lowest id, the exact convention the
+    former explode+``max_by`` form computed). The previous shape
+    exploded k candidate rows per vector and shuffled all n·k of them
+    into a groupBy(id) — a corpus-scale exchange the fold eliminates;
+    it is also the shape :func:`ivfpq_index_rows` already used, so the
+    two assignment paths now share one expression. In a persisted
+    index the result is written ``partitionBy(centroid_id)`` so probes
+    prune partitions.
     """
+    cents = _prep_cents(centroids, centroid_id_col, centroid_vec_col)
     e = _with_norm(emb, vec_col, "__v", "__n", dim)
-    c = _with_norm(centroids, centroid_vec_col, "__cv", "__cn", dim)
-    scored = e.crossJoin(F.broadcast(c)).select(
-        F.col(id_col),
-        F.col(centroid_id_col),
-        F.round(
-            F.when(
-                (F.col("__n") > 0) & (F.col("__cn") > 0),
-                _dot("__v", "__cv", dim) / (F.col("__n") * F.col("__cn")),
-            ),
-            6,
-        ).alias("sim"),
-    )
-    # Deterministic argmax: highest sim, then lowest centroid id.
-    return scored.groupBy(id_col).agg(
-        F.max_by(
-            F.col(centroid_id_col),
-            F.struct(F.col("sim"), -F.col(centroid_id_col)),
-        ).alias("cluster_id")
+    return (
+        e.select(F.col(id_col), "__v", "__n")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col), F.expr(_ivf_cluster_sql()).alias("cluster_id")
+        )
     )
 
 
@@ -343,15 +364,20 @@ def build_vector_index(
     pruning assertion in tests/test_operators.py). Precomputed norms
     are stored so probes skip the norm pass entirely.
     """
-    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    # Assignment computed INLINE on the normed projection (the shared
+    # _ivf_cluster_sql fold against broadcast centroids) — one
+    # map-only pass, no corpus-sized assign-then-join shuffle (r15,
+    # the ivfpq_index_rows shape).
+    cents = _prep_cents(centroids)
     normed = _with_norm(emb, vec_col, "__v", "__n")
     (
-        normed.join(assigned, id_col)
+        normed.select(F.col(id_col), "__v", "__n")
+        .crossJoin(F.broadcast(cents))
         .select(
             F.col(id_col),
             F.col("__v").alias("vec"),
             F.col("__n").alias("norm"),
-            "cluster_id",
+            F.expr(_ivf_cluster_sql()).alias("cluster_id"),
         )
         .write.mode("overwrite")
         .partitionBy("cluster_id")
@@ -443,11 +469,16 @@ def kmeans_fit(
     """Distributed spherical k-means (Lloyd) — the REAL IVF coarse-
     quantizer build that `ivf_assign` presupposes.
 
-    Per iteration, exactly two distributed stages:
-      1. assignment: centroids broadcast, per-vector argmax cosine
-         (``ivf_assign`` — map-only over the corpus);
-      2. update: posexplode members → hash agg per (cluster, pos) —
-         shuffle volume k·dim rows, independent of corpus size.
+    Per iteration, ONE distributed stage (r15): assignment is the
+    row-local argmax fold against the broadcast one-row centroid
+    table (:func:`_ivf_cluster_sql` — the expression shared with
+    ``ivf_assign``), computed INLINE on the same projection that
+    posexplodes the member components, so the former
+    assignment-then-``emb ⋈ assigned`` equi-join (a corpus-sized
+    shuffle per iteration) is gone; the only exchange left per
+    iteration is the update's hash agg per (cluster, pos) — shuffle
+    volume k·dim rows after map-side partials, independent of corpus
+    size.
 
     Determinism (the property that makes the result oracle-checkable
     and run-to-run stable under AQE re-partitioning):
@@ -479,15 +510,20 @@ def kmeans_fit(
         F.col(vec_col).alias("c"),
     )
     out = None
+    normed = _with_norm(emb, vec_col, "__v", "__n", dim).select(
+        "__v", "__n"
+    )
     for _ in range(iters):
-        assigned = ivf_assign(
-            emb, centroids, id_col=id_col, vec_col=vec_col, dim=dim
-        )
-        members = emb.join(assigned, id_col).select(
-            "cluster_id",
-            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
-                "pos", "x"
-            ),
+        cents = _prep_cents(centroids)
+        members = (
+            normed.crossJoin(F.broadcast(cents))
+            .select(
+                F.expr(_ivf_cluster_sql()).alias("cluster_id"), "__v"
+            )
+            .select(
+                "cluster_id",
+                F.posexplode(F.col("__v")).alias("pos", "x"),
+            )
         )
         out = members.groupBy("cluster_id", "pos").agg(
             F.round(
@@ -733,22 +769,11 @@ def ivfpq_index_rows(
     if m * sub != dim:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     codes = _pq_codes_expr(m, sub)
-    # zero-norm vectors coalesce their (NULL) sims to -Infinity, so
-    # they land in the LOWEST centroid id — ivf_assign's convention
-    # (max_by sorts NULL sims low) — never in a sentinel cell.
-    sim = (
-        "coalesce(CASE WHEN __n > 0 AND e.cn > 0 THEN "
-        "round(aggregate(zip_with(__v, e.cvec, (p, q) -> p * q), "
-        "cast(0 as double), (s, v) -> s + v) / (__n * e.cn), 6) "
-        "ELSE CAST(NULL AS DOUBLE) END, cast('-Infinity' as double))"
-    )
-    cluster = (
-        f"aggregate("
-        f"transform(__cents, e -> named_struct('s', {sim}, 'c', e.cid)), "
-        f"named_struct('s', CAST(NULL AS DOUBLE), 'c', 2147483647), "
-        f"(acc, el) -> IF(acc.s IS NULL OR el.s > acc.s OR "
-        f"(el.s = acc.s AND el.c < acc.c), el, acc)).c"
-    )
+    # Shared assignment expression (see _ivf_cluster_sql): zero-norm
+    # vectors coalesce their (NULL) sims to -Infinity, so they land in
+    # the LOWEST centroid id — ivf_assign's convention — never in a
+    # sentinel cell.
+    cluster = _ivf_cluster_sql()
     return (
         ensure_parallelism(_with_norm(emb, vec_col, "__v", "__n", dim))
         .select(F.col(id_col), "__v", "__n")
