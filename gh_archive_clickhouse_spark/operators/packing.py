@@ -48,6 +48,7 @@ def densify_order(
     out_col: str = "dense_id",
     name: str | None = None,
     validate_distinct: bool = False,
+    bucket_of: Column | None = None,
 ) -> DataFrame:
     """Assign each row its 0-based rank in ``order_col`` order — the
     id-densification pass :func:`pack_coordinates`'s contract asks for
@@ -81,6 +82,19 @@ def densify_order(
     value so two densify passes in one pipeline never clobber each
     other's table.
 
+    ``bucket_of`` (r15, guide §2.4): when the caller can supply a
+    DETERMINISTIC key-contiguous bucket expression (monotone
+    non-decreasing in ``order_col`` order — e.g. a numeric prefix of
+    a uniformly-distributed hash key), stage 1 becomes a pure
+    map-side stamp: no ``repartitionByRange`` (whose range sampling
+    is an extra pass over the input) and no range exchange — the
+    only corpus-sized shuffle left is the rank window's own hash
+    partitioning, where the generic path paid range + window
+    shuffles plus the sampling pass. The rank result is
+    bucket-count-invariant (any key-contiguous bucketing yields the
+    same global rank), so the expression is purely a performance
+    knob.
+
     Returns the input columns plus ``out_col`` (long, 0-based).
     """
     from gh_archive_clickhouse_spark.plans.common import materialize
@@ -98,15 +112,24 @@ def densify_order(
                 f"found duplicate key {dup[0][0]!r}"
             )
     # Materialized ONCE: both consumers below (the per-partition
-    # counts and the rank join) must see the exact same partition-id
-    # stamping, so the range shuffle may not be re-planned per branch.
-    parts = materialize(
-        df.repartitionByRange(F.col(order_col)).withColumn(
-            "__pid", F.spark_partition_id()
-        ),
-        name or "densify_parts",
-        durable=name is not None,
-    )
+    # counts and the rank join) read the same computed-once stamping
+    # (and, on the generic path, the range shuffle may not be
+    # re-planned per branch — spark_partition_id is only stable
+    # within one planned exchange).
+    if bucket_of is not None:
+        parts = materialize(
+            df.withColumn("__pid", bucket_of),
+            name or "densify_parts",
+            durable=name is not None,
+        )
+    else:
+        parts = materialize(
+            df.repartitionByRange(F.col(order_col)).withColumn(
+                "__pid", F.spark_partition_id()
+            ),
+            name or "densify_parts",
+            durable=name is not None,
+        )
     counts = parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("__pn"))
     w_parts = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
@@ -183,11 +206,26 @@ def seeded_shuffle(
         F.lit("-"),
         F.lpad(c.cast("string"), 12, "0"),
     )
+    # The key's md5 prefix is uniformly distributed BY CONSTRUCTION,
+    # so the densify buckets can be a deterministic numeric prefix of
+    # the key itself (key-contiguous: lexicographic order of fixed-
+    # width lowercase hex == numeric order) instead of sampled range
+    # partitions — no sampling pass, no range exchange (r15; see
+    # densify_order's bucket_of). The bucket count scales with the
+    # cluster (16 buckets per core keeps the rank windows small); the
+    # ranks are bucket-count-invariant, so the factor is purely a
+    # performance knob.
+    n_buckets = 16 * df.sparkSession.sparkContext.defaultParallelism
+    bucket = F.expr(
+        "CAST(CAST(conv(substring(__shuffle_key, 1, 6), 16, 10) AS "
+        f"BIGINT) * {n_buckets} DIV {16 ** 6} AS INT)"
+    )
     return densify_order(
         df.withColumn("__shuffle_key", key),
         "__shuffle_key",
         out_col=out_col,
         name=name,
+        bucket_of=bucket,
     ).drop("__shuffle_key")
 
 
