@@ -403,6 +403,7 @@ def qs8_stream_exactly_once_dedup(
     nothing (dedup state + watermark both reject it), so the sink
     holds every event EXACTLY ONCE — the oracle is simply the events
     table."""
+    import os
     import shutil
     import tempfile
 
@@ -413,7 +414,18 @@ def qs8_stream_exactly_once_dedup(
     try:
         src = f"{base}/events"
         ev.coalesce(1).write.mode("append").parquet(src)
-        ev.coalesce(1).write.mode("append").parquet(src)
+        # The replay batch is BY DEFINITION byte-identical input — copy
+        # the written part file instead of paying a second full
+        # scan+encode job for the same bytes (r15). copyfile stamps
+        # the copy with the current mtime (strictly >= the original),
+        # and identical content makes batch order immaterial anyway.
+        part = next(
+            f for f in sorted(os.listdir(src))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        shutil.copyfile(
+            f"{src}/{part}", f"{src}/{part[:-8]}-replay.parquet"
+        )
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
