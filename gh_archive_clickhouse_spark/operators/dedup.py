@@ -69,12 +69,19 @@ def latest_by_key_agg(
     ``max_by(struct(payload), struct(order_cols))`` per key.
 
     Same result as :func:`latest_by_key` with all-descending order, but
-    the physical plan is a codegen hash aggregate with map-side partial
-    aggregation — shuffle volume is one candidate row per key per task
-    and there is NO sort, where the window form shuffles and sorts
-    every row. At 100 TB (duplicate-heavy raw events) this is the right
-    shape; use the window form only when every input column must
-    survive untouched.
+    the physical plan aggregates with map-side PARTIAL aggregation —
+    shuffle volume is one candidate row per key per task, where the
+    window form ships EVERY duplicate row to its key's partition. The
+    operator is a SortAggregate, not a hash aggregate: ``max_by``'s
+    struct buffer is non-mutable, so Spark falls back to sorting
+    grouped rows within each task (observed in the r15 plan audit —
+    the win over the window form is the shuffle-volume reduction, not
+    sort avoidance; no single-pass hash-aggregable form exists for an
+    argmax carrying a struct payload, and a multi-pass rewrite buys
+    the hash aggregate back only by paying extra joins). At 100 TB
+    (duplicate-heavy raw events) this is still the right shape; use
+    the window form only when every input column must survive
+    untouched.
 
     ``order_cols`` must form a total order over duplicates (include
     tie-breaker columns) for a deterministic winner.
