@@ -102,6 +102,53 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = _STREAM_PARTITIONS)
         spark.conf.set(key, prev)
 
 
+def _two_half_source(df: DataFrame, first_half, src: str) -> None:
+    """Materialize ``df``'s two-way split as the two-file micro-batch
+    source layout in ONE scan. ``first_half`` is the boolean Column
+    selecting micro-batch 0's rows (its complement is batch 1; rows
+    where it is NULL belong to neither — identical to the original
+    pair of complementary filters).
+
+    Eight streams feed themselves the fixture as two micro-batches.
+    The original prep ran two sequential filter + coalesce(1) write
+    jobs — two full fixture scans — and (except qs12/qs15) leaned on
+    write-completion order for the FileStreamSource modified-time
+    ordering that decides which half is batch 0. Here one single-task
+    job dynamic-partitions the single scan by the predicate, the two
+    part files move into ``src``, and their mtimes are pinned
+    explicitly — first half backdated, per the qs12 lesson: never
+    future-date, age-based tooling may touch the temp root. Half the
+    scan/encode jobs, and the batch order is deterministic by
+    construction instead of by write timing.
+
+    Raises (tuple unpack) if either half is empty: the two-batch
+    layout is part of these queries' declared contract, so an empty
+    half must fail loudly rather than silently collapse the stream
+    to one micro-batch.
+    """
+    import glob
+    import os
+    import shutil
+    import time
+
+    staging = f"{src}__stage"
+    (
+        df.withColumn("__half", (~first_half).cast("int"))
+        .coalesce(1)
+        .write.partitionBy("__half")
+        .parquet(staging)
+    )
+    os.makedirs(src, exist_ok=True)
+    now = time.time()
+    for half in (0, 1):
+        (part,) = glob.glob(f"{staging}/__half={half}/part-*.parquet")
+        dst = f"{src}/half-{half}.parquet"
+        shutil.move(part, dst)
+        ts = now - 100.0 * (1 - half)
+        os.utime(dst, (ts, ts))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str):
     """The events fixture as a file-source STREAM (micro-batch input)."""
     read(spark, sf_dir, "events")  # sets nanos/tz session confs
@@ -239,12 +286,7 @@ def qs4_stream_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="qs4_")
     try:
         src = f"{base}/docs"
-        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+        _two_half_source(docs, F.col("doc_id") % 2 == 0, src)
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
@@ -360,12 +402,7 @@ def qs7_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="qs7_")
     try:
         src = f"{base}/events"
-        ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        ev.filter(F.col("event_id") % 2 != 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+        _two_half_source(ev, F.col("event_id") % 2 == 0, src)
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
@@ -550,12 +587,7 @@ def qs10_incremental_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="qs10_")
     try:
         src = f"{base}/vecs"
-        emb.filter(F.col("vec_id") % 2 == 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        emb.filter(F.col("vec_id") % 2 != 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+        _two_half_source(emb, F.col("vec_id") % 2 == 0, src)
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
@@ -633,12 +665,7 @@ def qs11_stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         src = f"{base}/docs"
-        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+        _two_half_source(docs, F.col("doc_id") % 2 == 0, src)
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
@@ -688,10 +715,8 @@ def qs12_stream_budget_admission(
     sequence — deterministic. Arrival order is then plain doc_id
     order per source, which is exactly the running sum the oracle
     evaluates."""
-    import os
     import shutil
     import tempfile
-    import time
 
     from gh_archive_clickhouse_spark.streaming.analytics import (
         token_budget_admission,
@@ -705,32 +730,10 @@ def qs12_stream_budget_admission(
     try:
         src = f"{base}/docs"
 
-        def _parquet_files() -> set:
-            return {
-                f for f in os.listdir(src) if f.endswith(".parquet")
-            }
-
-        docs.filter(F.col("doc_id") < mid).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        first = _parquet_files()
-        docs.filter(F.col("doc_id") >= mid).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        second = _parquet_files() - first
-        # Pin file mtimes far apart so the file-stream's
+        # _two_half_source pins the mtimes, so the file-stream's
         # modification-time ordering matches the doc_id-range split
-        # regardless of write timing (same-second writes would
-        # otherwise tie and fall back to arbitrary path order).
-        # Backdate the first set rather than future-date the second —
-        # only the relative order matters, and future mtimes can
-        # confuse age-based tooling scanning the temp root (the qs15
-        # convention).
-        now = time.time()
-        for f in first:
-            os.utime(f"{src}/{f}", (now - 100, now - 100))
-        for f in second:
-            os.utime(f"{src}/{f}", (now, now))
+        # regardless of write timing.
+        _two_half_source(docs, F.col("doc_id") < mid, src)
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
@@ -803,12 +806,7 @@ def qs13_stream_dedup_survivors(
     base = tempfile.mkdtemp(prefix="qs13_")
     try:
         src = f"{base}/docs"
-        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+        _two_half_source(docs, F.col("doc_id") % 2 == 0, src)
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
@@ -898,12 +896,7 @@ def qs14_stream_mixture_gate(
             )
 
         src = f"{base}/docs"
-        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
+        _two_half_source(docs, F.col("doc_id") % 2 == 0, src)
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)
@@ -971,10 +964,8 @@ def qs15_stream_preprocess_pipeline(
     (qx5's score SQL → the qx60 rate CTEs over the curated set → the
     qs4 banding SQL over the mixed set → recursive-CTE CC →
     anti-join) asserts, hash-verified."""
-    import os
     import shutil
     import tempfile
-    import time
 
     from gh_archive_clickhouse_spark.operators.packing import (
         mixture_gate,
@@ -1050,36 +1041,13 @@ def qs15_stream_preprocess_pipeline(
 
         src = f"{base}/docs"
 
-        def _parquet_files() -> set:
-            return {
-                f for f in os.listdir(src) if f.endswith(".parquet")
-            }
-
-        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        first = _parquet_files()
-        docs.filter(F.col("doc_id") % 2 != 0).coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        second = _parquet_files() - first
-        # Pin mtimes far apart IN WRITE ORDER (capture the file set
-        # after each write — part names are UUIDs, so path order is
-        # arbitrary; the qs12 lesson): same-second writes would
-        # otherwise tie on mtime and which half becomes epoch 0 vs 1
-        # would be run-dependent. The final read-back is
-        # order-invariant (the gates are pure per-row functions and
-        # the pair-log union is order-independent), but the epoch
-        # partition LAYOUT should not vary run to run. Backdate the
-        # FIRST set instead of future-dating the second: FileStream
-        # only needs the relative order, and a future mtime can
-        # confuse age-based tooling (TTL sweeps, backup daemons) that
-        # touches the temp root while the builder runs.
-        now = time.time()
-        for f in first:
-            os.utime(f"{src}/{f}", (now - 100, now - 100))
-        for f in second:
-            os.utime(f"{src}/{f}", (now, now))
+        # _two_half_source pins the mtimes (even half backdated), so
+        # which half becomes epoch 0 vs 1 is fixed by construction.
+        # The final read-back is order-invariant (the gates are pure
+        # per-row functions and the pair-log union is
+        # order-independent), but the epoch partition LAYOUT should
+        # not vary run to run.
+        _two_half_source(docs, F.col("doc_id") % 2 == 0, src)
         schema = spark.read.parquet(src).schema
         stream = (
             spark.readStream.schema(schema)

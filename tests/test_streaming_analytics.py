@@ -675,6 +675,7 @@ def test_qs15_epoch_layout_is_run_deterministic(spark, monkeypatch):
     and fall back to arbitrary UUID path order). The curated table is
     deleted in the builder's finally, so the epoch->membership map is
     captured by intercepting the cleanup."""
+    import os
     import shutil
 
     from gh_archive_clickhouse_spark.plans.streaming_queries import (
@@ -685,7 +686,10 @@ def test_qs15_epoch_layout_is_run_deterministic(spark, monkeypatch):
     real_rmtree = shutil.rmtree
 
     def capturing_rmtree(path, *a, **kw):
-        if "qs15_" in str(path):
+        # only the builder's final cleanup of its temp base carries the
+        # curated table; intermediate rmtrees (e.g. the one-scan source
+        # prep's staging dir) must pass through untouched
+        if "qs15_" in str(path) and os.path.isdir(f"{path}/curated"):
             rows = (
                 spark.read.schema(
                     "doc_id long, source string, quality double, "
@@ -715,6 +719,62 @@ def test_qs15_epoch_layout_is_run_deterministic(spark, monkeypatch):
     # the even-doc_id half
     assert all(d % 2 == 0 for d in layouts[0][0])
     assert all(d % 2 != 0 for d in layouts[0][1])
+
+
+def test_two_half_source_one_scan_layout(spark, tmp_path):
+    """The shared one-scan source prep must reproduce exactly the
+    layout the original two complementary filter+write jobs produced:
+    two single part files, the first-half rows in the strictly OLDER
+    file (FileStreamSource orders micro-batches by mtime), predicate-
+    NULL rows in neither half, the split column not leaked into the
+    schema, and a loud failure when a half is empty (a silent
+    one-batch collapse would change what the stream queries test)."""
+    import os
+
+    from gh_archive_clickhouse_spark.plans.streaming_queries import (
+        _two_half_source,
+    )
+
+    df = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    # one row with a NULL predicate value: belongs to neither half,
+    # exactly like the original pair of complementary filters
+    df = df.union(
+        spark.sql("SELECT CAST(NULL AS LONG) AS doc_id")
+    )
+    src = str(tmp_path / "docs")
+    _two_half_source(df, F.col("doc_id") % 2 == 0, src)
+
+    files = sorted(os.listdir(src))
+    assert files == ["half-0.parquet", "half-1.parquet"]
+    assert os.path.getmtime(f"{src}/half-0.parquet") < os.path.getmtime(
+        f"{src}/half-1.parquet"
+    )
+    first = {
+        r.doc_id
+        for r in spark.read.parquet(f"{src}/half-0.parquet").collect()
+    }
+    second = {
+        r.doc_id
+        for r in spark.read.parquet(f"{src}/half-1.parquet").collect()
+    }
+    assert first == set(range(0, 20, 2))
+    assert second == set(range(1, 20, 2))
+    assert spark.read.parquet(src).columns == ["doc_id"]
+    # no staging leftovers next to the source dir
+    assert not os.path.exists(f"{src}__stage")
+
+    with pytest.raises(ValueError):
+        _two_half_source(
+            df.filter(F.col("doc_id") < 0),
+            F.col("doc_id") % 2 == 0,
+            str(tmp_path / "empty"),
+        )
+    with pytest.raises(ValueError):
+        _two_half_source(
+            df.filter(F.col("doc_id") % 2 == 0),
+            F.col("doc_id") % 2 == 0,
+            str(tmp_path / "onehalf"),
+        )
 
 
 def test_dedup_sink_restart_from_checkpoint(spark, tmp_path):
