@@ -280,11 +280,21 @@ def incremental_lsh_sink(
             .partitionBy("epoch")
             .parquet(sig_path)
         )
-        all_sigs = spark.read.schema(SIGS_SCHEMA).parquet(sig_path).drop(
-            "epoch"
-        )
+        # The pair join's probe side is the epoch partition just
+        # written — read it BACK instead of recomputing the minhash
+        # pipeline (shingle explode + 16-way hash aggregate) a second
+        # time: ``sigs_new``'s lineage is the whole signature build,
+        # and Spark plans each consumer independently, so using the
+        # frame here would run that build twice per batch. The epoch
+        # filter partition-prunes the scan to the new files; parquet
+        # round-trips long arrays exactly, so the pairs are identical.
+        sigs_disk = spark.read.schema(SIGS_SCHEMA).parquet(sig_path)
+        all_sigs = sigs_disk.drop("epoch")
+        new_sigs = sigs_disk.filter(
+            F.col("epoch") == int(epoch_id)
+        ).drop("epoch")
         pairs = lsh_candidate_pairs_between(
-            sigs_new, all_sigs, bands=bands, rows_per_band=rows_per_band
+            new_sigs, all_sigs, bands=bands, rows_per_band=rows_per_band
         )
         (
             pairs.withColumn("epoch", F.lit(int(epoch_id)))

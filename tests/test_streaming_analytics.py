@@ -315,6 +315,48 @@ def test_incremental_lsh_sink_replay_idempotent(spark, tmp_path):
     assert sorted(map(tuple, pairs2)) == sorted(map(tuple, pairs1))
 
 
+def test_incremental_lsh_sink_computes_signatures_once(
+    spark, tmp_path, monkeypatch
+):
+    """The per-batch signature build runs ONCE: the pair join's probe
+    side is the just-written epoch partition read back from disk, not
+    the live ``minhash_signatures`` frame (whose lineage would re-run
+    the shingle explode + hash aggregate a second time — Spark plans
+    each consumer of an unmaterialized frame independently)."""
+    import gh_archive_clickhouse_spark.streaming.dedup_stream as ds
+
+    calls = []
+    real = ds.minhash_signatures
+
+    def counting(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ds, "minhash_signatures", counting)
+    docs = read(spark, SF_DIR, "documents").limit(40)
+    sink = ds.incremental_lsh_sink(
+        str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    )
+    sink(docs, epoch_id=0)
+    assert len(calls) == 1
+    # and the read-back probe side still finds the within-batch pairs
+    from gh_archive_clickhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    expect = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(real(docs)).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(str(tmp_path / "pairs"))
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert got == expect
+
+
 def test_incremental_lsh_log_compaction_bounds_files(spark, tmp_path):
     """Committed epochs fold into the consolidated epoch=-1 partition:
     across many epochs the pair log and signature index keep O(1)
