@@ -581,7 +581,12 @@ def connected_components(
     decreased it — i.e. labels uniform per component.
 
     Per round: one edge⋈labels join + aggregate (O(|E|) shuffle) and
-    one labels⋈labels jump join (O(|V|)); the convergence probe is a
+    one labels⋈labels jump join (O(|V|)) — except ROUND 0, which is
+    JOIN-FREE: against the identity labeling the fused update
+    collapses to least(src, min(dst)) over the symmetrized edges, one
+    aggregate whose groupBy also subsumes the node-set distinct, so
+    the separate init-label table (its shuffle and its barrier) does
+    not exist at all; the convergence probe is a
     SHUFFLE-FREE scan of the round's materialized output (a __chg
     flag computed inline, filter + limit(1)), not a join against the
     previous table. Lineage is truncated per round via
@@ -611,14 +616,33 @@ def connected_components(
         ),
         "cc_edges",
     )
-    labels = materialize(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node")),
-        "cc_labels_init",
-    )
+    if max_iters < 1:
+        raise ValueError("max_iters must be >= 1")
+    labels = None
     converged = False
     for _i in range(max_iters):
+        if _i == 0:
+            # Round 0 against the IDENTITY labeling needs no label
+            # table and no joins at all: with label(v) = v, the
+            # neighbor-label lookup is dst itself and the pointer
+            # jump is the identity, so the fused update collapses to
+            # least(src, min(dst)) — one aggregate over the
+            # symmetrized edges. The groupBy also subsumes the old
+            # ``cc_labels_init`` distinct (every node appears as src
+            # exactly because the edge table is symmetrized), so the
+            # init table's shuffle + barrier disappear with it.
+            new_labels = materialize(
+                edges.groupBy(F.col("src").alias("node"))
+                .agg(F.min("dst").alias("nlabel"))
+                .select(
+                    "node",
+                    F.least(F.col("node"), F.col("nlabel")).alias("label"),
+                    (F.col("nlabel") < F.col("node")).alias("__chg"),
+                ),
+                f"cc_labels_{_i}",
+            )
+            labels = new_labels.select("node", "label")
+            continue
         nbr_min = (
             edges.join(
                 labels.select(
