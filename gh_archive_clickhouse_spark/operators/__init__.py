@@ -27,11 +27,13 @@ from gh_archive_clickhouse_spark.operators.packing import (
     emit_packed_sequences,
     mixture_gate,
     mixture_rates,
+    mixture_rates_from_counts,
     mixture_resample,
     pack_coordinates,
     seeded_shuffle,
     sequence_fill_stats,
     shard_assignments,
+    source_counts,
     verify_training_shards,
     write_training_shards,
 )
@@ -75,7 +77,9 @@ __all__ = [
     "verify_training_shards",
     "mixture_resample",
     "mixture_rates",
+    "mixture_rates_from_counts",
     "mixture_gate",
+    "source_counts",
     "sessionize",
     "build_ivfpq_index",
     "cosine_topk",

@@ -392,6 +392,118 @@ def mixture_resample(
     )
 
 
+def source_counts(
+    df: DataFrame, source_col: str = "source"
+) -> dict:
+    """Per-source row counts of ``df`` as a driver-side dict — ONE
+    map-side-combined hash aggregate with O(sources) rows collected
+    (spec-sized metadata, the ranked-weights-spec precedent). The
+    single corpus pass behind :func:`mixture_rates`; callers that also
+    need the observed source set (to BUILD the weights spec) read it
+    off the keys instead of running a second distinct scan."""
+    return {
+        r[0]: r[1]
+        for r in df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("__n_source"))
+        .collect()
+    }
+
+
+def _validate_weight_rows(
+    weight_rows, budget_ppm: int, source_col: str
+) -> None:
+    """Eager spec validation (see mixture_resample), driver-side over
+    the O(sources) rows. Range check includes the UPPER bound:
+    weight_ppm is a ppm share, so > 10^6 is meaningless — and it
+    silently voids the documented overflow bound (budget_ppm *
+    weight_ppm must stay <= 10^12 before the n_total multiply)."""
+    if not (0 < budget_ppm <= PPM):
+        raise ValueError(
+            f"budget_ppm must be in (0, {PPM}], got {budget_ppm}"
+        )
+    seen = set()
+    for s, w in weight_rows:
+        if s is None:
+            # A NULL source could never equi-join a corpus row — a
+            # dead spec entry. The contract is a clear raise, not a
+            # silently skewed mixture (ranked_source_weights raises on
+            # NULL sources corpus-side for the same reason).
+            raise ValueError(
+                f"mixture weights must name a non-NULL {source_col!r} "
+                "per row; found a NULL source in the spec"
+            )
+        if w is None:
+            raise ValueError(
+                f"mixture weights must be non-NULL ppm shares in "
+                f"[0, {PPM}]; source {s!r} has a NULL weight"
+            )
+        if w < 0 or w > PPM:
+            raise ValueError(
+                f"mixture weights must be non-NULL ppm shares in "
+                f"[0, {PPM}]; source {s!r} has weight {w}"
+            )
+        if s in seen:
+            raise ValueError(
+                f"mixture weights must have one row per "
+                f"{source_col!r}; found duplicate {s!r}"
+            )
+        seen.add(s)
+
+
+def mixture_rates_from_counts(
+    spark,
+    counts: dict,
+    weight_rows,
+    budget_ppm: int = PPM,
+    source_col: str = "source",
+) -> DataFrame:
+    """The (source, ``rate_ppm``) keep-rate table from pre-collected
+    per-source counts (:func:`source_counts`) and spec rows — per
+    source present in BOTH, ``min(10^6, ((budget_ppm * weight_ppm) //
+    10^6) * n_total // n_source)``. EXACT integer arithmetic: every
+    operand is a non-negative int, where Python ``//`` (floor) and SQL
+    BIGINT ``div`` (truncate) agree, so the rates are bit-identical to
+    the former distributed form — and, being unbounded Python ints,
+    the intermediate product cannot overflow where BIGINT would.
+    Returned as a literal local frame: O(sources) rows IS the scale
+    contract (the table broadcasts to the map-only gate), so composing
+    it on the driver removes two corpus-shaped aggregate jobs and the
+    join/broadcast machinery per invocation, never adds driver load.
+    Validates the spec eagerly (see mixture_resample)."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    weight_rows = list(weight_rows)
+    _validate_weight_rows(weight_rows, budget_ppm, source_col)
+    n_total = sum(counts.values())
+    rows = [
+        (
+            s,
+            min(
+                PPM,
+                (int(budget_ppm) * int(w) // PPM)
+                * int(n_total)
+                // int(counts[s]),
+            ),
+        )
+        for s, w in weight_rows
+        if s in counts and s is not None
+    ]
+    return spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField(source_col, StringType()),
+                StructField("rate_ppm", LongType()),
+            ]
+        ),
+    )
+
+
 def mixture_rates(
     df: DataFrame,
     weights: DataFrame,
@@ -404,89 +516,34 @@ def mixture_rates(
     n_source)`` over ``df``'s observed per-source counts. O(sources)
     rows; validates the weights spec eagerly (see mixture_resample).
     Persist it (tiny parquet) to gate a stream against a corpus
-    snapshot's rates."""
-    if not (0 < budget_ppm <= PPM):
-        raise ValueError(
-            f"budget_ppm must be in (0, {PPM}], got {budget_ppm}"
-        )
+    snapshot's rates.
+
+    Execution shape (r15): ONE corpus pass — the per-source counts
+    come back driver-side whole (:func:`source_counts`; O(sources)
+    rows, the same metadata class as the weights spec itself), the
+    totals row is their sum, and the rate arithmetic runs as exact
+    Python integers (:func:`mixture_rates_from_counts`). The former
+    form paid a second full-corpus count job for the totals row plus
+    a distributed join + broadcast to combine three O(sources)-row
+    frames."""
     if "weight_ppm" not in weights.columns:
         raise ValueError(
             "weights frame must carry a weight_ppm column; got "
             f"{weights.columns}"
         )
-    # ONE validation job (the spec is O(sources) by contract, so the
-    # per-source stats come back driver-side whole): every check in a
-    # single aggregate instead of one Spark job per probe — the probes
-    # dominated qx60's wall clock as separate head(1) jobs. Range
-    # check includes the UPPER bound: weight_ppm is a ppm share, so
-    # > 10^6 is meaningless — and it silently voids the documented
-    # overflow bound (budget_ppm * weight_ppm must stay <= 10^12
-    # before the n_total multiply); better a driver-side raise than an
-    # ANSI ARITHMETIC_OVERFLOW mid-job (or a wrapped-negative rate
-    # silently dropping the source with ANSI off).
-    stats = (
-        weights.groupBy(F.col(source_col))
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.min("weight_ppm").alias("__mn"),
-            F.max("weight_ppm").alias("__mx"),
-            F.sum(F.col("weight_ppm").isNull().cast("int")).alias(
-                "__nulls"
-            ),
-        )
-        .collect()
-    )
-    for r in stats:
-        if r[0] is None:
-            # A NULL source forms its own group, passes the weight
-            # checks, then never equi-joins a corpus row — a dead spec
-            # entry. The contract is a clear raise, not a silently
-            # skewed mixture (ranked_source_weights raises on NULL
-            # sources corpus-side for the same reason).
-            raise ValueError(
-                f"mixture weights must name a non-NULL {source_col!r} "
-                "per row; found a NULL source in the spec"
-            )
-        if r["__nulls"] or r["__mn"] is None:
-            raise ValueError(
-                f"mixture weights must be non-NULL ppm shares in "
-                f"[0, {PPM}]; source {r[0]!r} has a NULL weight"
-            )
-        if r["__mn"] < 0 or r["__mx"] > PPM:
-            raise ValueError(
-                f"mixture weights must be non-NULL ppm shares in "
-                f"[0, {PPM}]; source {r[0]!r} has weight "
-                f"{r['__mn'] if r['__mn'] < 0 else r['__mx']}"
-            )
-        if r["__n"] > 1:
-            raise ValueError(
-                f"mixture weights must have one row per "
-                f"{source_col!r}; found duplicate {r[0]!r}"
-            )
-    per_source = df.groupBy(source_col).agg(
-        F.count(F.lit(1)).alias("__n_source")
-    )
-    totals = df.agg(F.count(F.lit(1)).alias("__n_total"))
-    return (
-        per_source.join(weights.select(source_col, "weight_ppm"), source_col)
-        .crossJoin(F.broadcast(totals))
-        .select(
-            source_col,
-            F.least(
-                F.lit(PPM).cast("long"),
-                # weight_ppm is cast to BIGINT IN the expression: with
-                # an INT-typed weights column, 10^6 * weight_ppm is
-                # INT*INT and overflows 2^31 for valid ppm values
-                # (ARITHMETIC_OVERFLOW mid-job under ANSI; a wrapped
-                # negative rate silently dropping the source without)
-                # — the driver-side range check can't see the dtype.
-                F.expr(
-                    f"(((CAST({int(budget_ppm)} AS BIGINT) "
-                    f"* CAST(weight_ppm AS BIGINT)) div {PPM}) "
-                    f"* __n_total) div __n_source"
-                ),
-            ).alias("rate_ppm"),
-        )
+    # One O(sources) collect of the spec. weight_ppm comes back as a
+    # Python int whatever the column dtype — the INT-typed-spec
+    # overflow hazard of the old SQL expression cannot exist here.
+    weight_rows = [
+        (r[0], r[1])
+        for r in weights.select(source_col, "weight_ppm").collect()
+    ]
+    return mixture_rates_from_counts(
+        df.sparkSession,
+        source_counts(df, source_col),
+        weight_rows,
+        budget_ppm,
+        source_col=source_col,
     )
 
 

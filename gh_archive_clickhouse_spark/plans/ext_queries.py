@@ -2231,6 +2231,20 @@ def ranked_source_weights(docs: DataFrame) -> DataFrame:
     observed = [
         r[0] for r in docs.select("source").distinct().collect()
     ]
+    return docs.sparkSession.createDataFrame(
+        _ranked_weight_rows(observed),
+        "source string, weight_ppm long",
+    )
+
+
+def _ranked_weight_rows(observed) -> list:
+    """The ranked-weights formula over an already-observed source set
+    (driver-side rows, no Spark job) — shared by
+    :func:`ranked_source_weights` and the fused one-scan call sites
+    (qx42/qx60/qs14/qs15), which read the observed sources off
+    :func:`operators.packing.source_counts`'s keys instead of running
+    a second distinct scan. Same NULL contract as the frame form."""
+    observed = list(observed)
     if any(s is None for s in observed):
         raise ValueError(
             "ranked_source_weights: corpus has rows with a NULL "
@@ -2238,10 +2252,7 @@ def ranked_source_weights(docs: DataFrame) -> DataFrame:
         )
     srcs = sorted(observed)
     d = len(srcs) * (len(srcs) + 1) // 2
-    return docs.sparkSession.createDataFrame(
-        [(s, (i + 1) * QX60_PPM // d) for i, s in enumerate(srcs)],
-        "source string, weight_ppm long",
-    )
+    return [(s, (i + 1) * QX60_PPM // d) for i, s in enumerate(srcs)]
 
 
 def qx60_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2268,14 +2279,25 @@ def qx60_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (source, lang) with id-sum/extreme witnesses — the qx21
     pattern pinning exact membership, not just counts."""
     from gh_archive_clickhouse_spark.operators.packing import (
-        mixture_resample,
+        mixture_gate,
+        mixture_rates_from_counts,
+        source_counts,
     )
 
     docs = read(spark, sf_dir, "documents")
-    kept = mixture_resample(
+    # Fused spec+rates: ONE per-source-count aggregate feeds both the
+    # ranked spec (its keys are the observed source set) and the rate
+    # table — the unfused form paid a distinct scan, a counts scan and
+    # a totals scan of the same corpus.
+    counts = source_counts(docs)
+    kept = mixture_gate(
         docs,
-        ranked_source_weights(docs),
-        budget_ppm=QX60_BUDGET_PPM,
+        mixture_rates_from_counts(
+            spark,
+            counts,
+            _ranked_weight_rows(counts),
+            budget_ppm=QX60_BUDGET_PPM,
+        ),
         salt=QX60_SALT,
     )
     return kept.groupBy("source", "lang").agg(
@@ -2928,15 +2950,16 @@ def qx42_preprocess_pipeline(
     )
     from gh_archive_clickhouse_spark.operators.packing import (
         mixture_gate,
-        mixture_rates,
+        mixture_rates_from_counts,
         packed_sequence_fingerprints,
         seeded_shuffle,
+        source_counts,
         verify_training_shards,
         write_training_shards,
     )
     from gh_archive_clickhouse_spark.operators.text_analysis import (
         ngram_contamination,
-        quality_score,
+        quality_features,
     )
 
     def _stage(name: str, df: DataFrame) -> DataFrame:
@@ -2955,12 +2978,17 @@ def qx42_preprocess_pipeline(
     kept = materialize(
         _stage("kept", dedup_survivors(docs, pairs)), "qx42_dedup_kept"
     )
-    # 2. quality gate (re-join text for the later stages)
-    quality = quality_score(kept).select("doc_id", "quality")
+    # 2. quality gate — a PURE PROJECTION stamp (quality_features),
+    # not a feature-frame self-join: the score is a per-row function
+    # of the survivor's own text, so joining it back on doc_id paid a
+    # second scan of `kept` plus a join for something `withColumn`
+    # computes map-only at the same scan (the qs15 per-batch form).
     qkept = materialize(
         _stage(
             "qkept",
-            kept.join(quality, "doc_id").filter(
+            kept.withColumn(
+                "quality", quality_features()["quality"]
+            ).filter(
                 (F.col("quality") >= 0.75)
                 & (F.col("source") != "src0")
             ),
@@ -2985,14 +3013,19 @@ def qx42_preprocess_pipeline(
         "qx42_clean",
     )
     # 4. mixture: rates from the CLEAN corpus snapshot (the mixture
-    # spec governs the curated corpus, not the raw crawl) — the spec
-    # is a driver-built O(sources) literal, the rate table broadcasts,
-    # the keep filter is map-only at the scratch scan.
+    # spec governs the curated corpus, not the raw crawl) — ONE
+    # per-source-count aggregate of the checkpointed clean table feeds
+    # both the ranked spec and the rate table
+    # (mixture_rates_from_counts: exact integer math, O(sources)
+    # driver rows), the rate table broadcasts, the keep filter is
+    # map-only at the scratch scan.
+    _counts = source_counts(clean)
     mixed = mixture_gate(
         clean,
-        mixture_rates(
-            clean,
-            ranked_source_weights(clean),
+        mixture_rates_from_counts(
+            spark,
+            _counts,
+            _ranked_weight_rows(_counts),
             budget_ppm=QX60_BUDGET_PPM,
         ),
         salt=QX60_SALT,

@@ -864,22 +864,29 @@ def qs14_stream_mixture_gate(
 
     from gh_archive_clickhouse_spark.operators.packing import (
         mixture_gate,
-        mixture_rates,
+        mixture_rates_from_counts,
+        source_counts,
     )
     from gh_archive_clickhouse_spark.plans.ext_queries import (
-        ranked_source_weights,
+        _ranked_weight_rows,
     )
 
     docs = read(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="qs14_")
     out = f"{base}/mixed"
     try:
-        # The snapshot batch job: qx60's rank-derived non-uniform spec
-        # (driver-built O(sources) literal), rates persisted for the
-        # stream to read.
+        # The snapshot batch job: ONE per-source-count aggregate of
+        # the corpus feeds both qx60's rank-derived non-uniform spec
+        # (driver-built O(sources) literal over the observed sources
+        # — the counts' keys) and the exact-integer rate table; rates
+        # persisted for the stream to read.
         rates_path = f"{base}/rates"
-        mixture_rates(
-            docs, ranked_source_weights(docs), budget_ppm=QX60_BUDGET_PPM
+        counts = source_counts(docs)
+        mixture_rates_from_counts(
+            spark,
+            counts,
+            _ranked_weight_rows(counts),
+            budget_ppm=QX60_BUDGET_PPM,
         ).write.parquet(rates_path)
         rates = spark.read.parquet(rates_path)
 
@@ -969,13 +976,14 @@ def qs15_stream_preprocess_pipeline(
 
     from gh_archive_clickhouse_spark.operators.packing import (
         mixture_gate,
-        mixture_rates,
+        mixture_rates_from_counts,
+        source_counts,
     )
     from gh_archive_clickhouse_spark.operators.text_analysis import (
         quality_features,
     )
     from gh_archive_clickhouse_spark.plans.ext_queries import (
-        ranked_source_weights,
+        _ranked_weight_rows,
     )
     from gh_archive_clickhouse_spark.streaming.dedup_stream import (
         LABELS_SCHEMA,
@@ -991,20 +999,25 @@ def qs15_stream_preprocess_pipeline(
         # 1. the snapshot batch job: spec + rates over the curated
         # snapshot, persisted for the stream (rates must come from a
         # snapshot, not per-batch counts — per-batch rates would make
-        # membership depend on batching). The snapshot's source column
-        # is materialized FIRST: the spec's distinct-sources collect
-        # and the rate job's two aggregates would otherwise each
-        # re-run the corpus-wide quality projection (one scan instead
-        # of three); both consumers need only per-source counts, so
-        # one column suffices.
-        snap_path = f"{base}/snap"
-        docs.withColumn("quality", q_col).filter(
-            F.col("quality") >= QS15_QUALITY_BAR
-        ).select("source").write.parquet(snap_path)
-        snap = spark.read.parquet(snap_path)
+        # membership depend on batching). The snapshot IS the
+        # per-source counts of the quality-curated corpus, collected
+        # in ONE aggregate job (source_counts: O(sources) driver
+        # rows) — the spec reads the observed sources off its keys
+        # and the rate table is exact integer math over it, so the
+        # corpus-wide quality projection runs exactly once and the
+        # former one-column snapshot parquet (written only to let
+        # three jobs share that projection) is gone.
         rates_path = f"{base}/rates"
-        mixture_rates(
-            snap, ranked_source_weights(snap), budget_ppm=QX60_BUDGET_PPM
+        counts = source_counts(
+            docs.withColumn("quality", q_col).filter(
+                F.col("quality") >= QS15_QUALITY_BAR
+            )
+        )
+        mixture_rates_from_counts(
+            spark,
+            counts,
+            _ranked_weight_rows(counts),
+            budget_ppm=QX60_BUDGET_PPM,
         ).write.parquet(rates_path)
         rates = spark.read.parquet(rates_path)
 
