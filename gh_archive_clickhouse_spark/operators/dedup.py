@@ -609,11 +609,26 @@ def connected_components(
     """
     from gh_archive_clickhouse_spark.plans.common import materialize
 
-    fwd = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    # Symmetrize via a row-local explode, NOT fwd.union(swap(fwd)):
+    # the union's two branches each re-execute the whole pair lineage
+    # (Spark plans them independently — no ReusedExchange fires, so an
+    # LSH candidate+verify pipeline upstream ran TWICE per edge
+    # build). One scan emits both directions per pair row.
     edges = materialize(
-        fwd.union(
-            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ),
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"),
+                        F.col(b_col).alias("dst"),
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"),
+                        F.col(a_col).alias("dst"),
+                    ),
+                )
+            ).alias("__e")
+        ).select("__e.src", "__e.dst"),
         "cc_edges",
     )
     if max_iters < 1:

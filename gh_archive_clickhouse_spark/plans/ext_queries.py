@@ -190,10 +190,13 @@ def qx9_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verification recomputes shingle sets ONLY for candidate docs —
     # at corpus scale the candidates are a vanishing fraction, so the
     # expensive array materialization never touches non-candidates.
+    # Row-local explode, not union-of-two-projections: the union's
+    # branches would each re-execute the banded self-join (no
+    # ReusedExchange fires across them).
     cand_ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
     )
     # UNHINTED semi-join (r15, the qe14 rule): the candidate-id set
     # scales with the corpus's near-dup count — a vanishing FRACTION
@@ -421,11 +424,13 @@ def qx20_chargram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # true near-dup count instead of exploding template-sharing docs.
     pairs = lsh_candidate_pairs(sigs, bands=2, rows_per_band=8)
     # Exact-Jaccard verify touches ONLY candidate docs (semi-join
-    # before the interpreted gram-array materialization).
+    # before the interpreted gram-array materialization). Row-local
+    # explode — one execution of the banded self-join, not one per
+    # union branch (the qx9 rule).
     cand_ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+        pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
     )
     # Unhinted semi-join — cand_ids scales with the corpus (qe14
     # rule, same as qx9); AQE picks broadcast only while it's small.
@@ -1610,10 +1615,12 @@ def qx57_split_leakage_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     tsigs = sigs.join(train.select("doc_id"), "doc_id", "left_semi")
     hsigs = sigs.join(held.select("doc_id"), "doc_id", "left_semi")
     cand = cross_split_candidates(tsigs, hsigs)
+    # Row-local explode — one execution of the sided banding, not one
+    # per union branch (the qx9 rule).
     cand_ids = (
-        cand.select(F.col("id_a").alias("doc_id"))
-        .union(cand.select(F.col("id_b").alias("doc_id")))
-        .distinct()
+        cand.select(
+            F.explode(F.array("id_a", "id_b")).alias("doc_id")
+        ).distinct()
     )
     # Unhinted semi-join — cand_ids scales with the corpus (qe14
     # rule, same as qx9); AQE picks broadcast only while it's small.
