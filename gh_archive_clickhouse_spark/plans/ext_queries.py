@@ -1184,14 +1184,22 @@ def qx28_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform target — the mixing computation behind every training-data
     recipe. Two tiny aggregates + a broadcast of the totals row."""
     docs = read(spark, sf_dir, "documents")
-    per = docs.groupBy("source", "lang").agg(
-        F.count(F.lit(1)).alias("n")
+    # ONE corpus pass: the (source, lang) counts determine everything,
+    # so the per-source and grand totals re-aggregate the materialized
+    # O(sources×langs) table instead of paying two more corpus scans
+    # (exact: integer count sums; count_distinct over the group keys
+    # equals count_distinct over the rows).
+    per = materialize(
+        docs.groupBy("source", "lang").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+        "qx28_per",
     )
-    per_source = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_source")
+    per_source = per.groupBy("source").agg(
+        F.sum("n").alias("n_source")
     )
-    totals = docs.agg(
-        F.count(F.lit(1)).alias("n_total"),
+    totals = per.agg(
+        F.sum("n").alias("n_total"),
         F.count_distinct("source").alias("n_sources"),
     )
     return (
