@@ -134,7 +134,13 @@ def _two_half_source(df: DataFrame, first_half, src: str) -> None:
     staging = f"{src}__stage"
     (
         df.withColumn("__half", (~first_half).cast("int"))
-        .coalesce(1)
+        # One shuffle partition per half value: each half's rows land
+        # wholly in one task (hash of a constant is constant), so each
+        # partition dir still gets EXACTLY one part file — the layout
+        # contract below — but the scan+encode runs two tasks wide
+        # instead of the old coalesce(1) single task, which serialized
+        # the whole fixture encode.
+        .repartition(2, "__half")
         .write.partitionBy("__half")
         .parquet(staging)
     )
@@ -1036,7 +1042,8 @@ def qs15_stream_preprocess_pipeline(
                 rates,
                 salt=QX60_SALT,
             ).persist()
-            try:
+
+            def _curated_write() -> None:
                 (
                     gated.select(
                         "doc_id", "source", "quality", "rate_ppm"
@@ -1048,7 +1055,21 @@ def qs15_stream_preprocess_pipeline(
                     .partitionBy("epoch")
                     .parquet(out)
                 )
-                dedup(gated.select("doc_id", "text"), epoch_id)
+
+            try:
+                # The two sinks consume the SAME persisted frame and
+                # write to DISJOINT tables, so their jobs are
+                # independent — submit the curated epoch write from a
+                # driver thread so its tasks back-fill executors idled
+                # by the dedup chain's barriers (guide §2.6); join +
+                # re-raise before the batch commits, so replay
+                # semantics are exactly the sequential form's.
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=1) as pool:
+                    fut = pool.submit(_curated_write)
+                    dedup(gated.select("doc_id", "text"), epoch_id)
+                    fut.result()
             finally:
                 gated.unpersist()
 
