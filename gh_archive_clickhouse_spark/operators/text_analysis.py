@@ -338,21 +338,25 @@ def ngram_contamination(
             ).alias("__g"),
         )
 
-    # Per-doc distinctness folds into the aggregate (count_distinct
-    # with map-side partials) — gram INSTANCES flow into the broadcast
-    # membership join, so the corpus side still shuffles only once, on
-    # doc_id.
-    doc_grams = _gram_hashes(docs, F.col(id_col))
+    # Per-doc distinctness runs as its OWN exchange (dropDuplicates on
+    # (doc_id, gram) with map-side partial dedup) rather than folding
+    # two count_distinct aggregates into one groupBy: the two-distinct
+    # form plans an Expand that DOUBLES every gram row through the
+    # shuffle, so dedup-then-plain-count shuffles half the bytes (one
+    # gram row each, plus a tiny per-doc second exchange) and the
+    # broadcast membership probe touches each distinct gram once
+    # instead of once per instance per Expand copy.
+    doc_grams = _gram_hashes(docs, F.col(id_col)).dropDuplicates(
+        [id_col, "__g"]
+    )
     bench_grams = (
         _gram_hashes(benchmark)
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
     marked = doc_grams.join(F.broadcast(bench_grams), "__g", "left")
-    n_grams = F.count_distinct("__g")
-    n_cont = F.count_distinct(
-        F.when(F.col("__hit").isNotNull(), F.col("__g"))
-    )
+    n_grams = F.count(F.lit(1))
+    n_cont = F.count(F.col("__hit"))
     return marked.groupBy(id_col).agg(
         n_grams.alias("n_grams"),
         n_cont.alias("n_contaminated"),
