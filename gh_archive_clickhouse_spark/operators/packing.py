@@ -493,7 +493,16 @@ def mixture_rates_from_counts(
         for s, w in weight_rows
         if s in counts and s is not None
     ]
-    return spark.createDataFrame(
+    # local_rows_df (r16): a createDataFrame(list) parallelizes into
+    # defaultParallelism Python-RDD slices, so every consumer of this
+    # O(sources) table paid a 32-task Python-worker wave (broadcast
+    # build, parquet snapshot write) per action for a handful of
+    # rows. The literal one-partition JVM frame is the right layout
+    # for spec-sized metadata at any scale.
+    from gh_archive_clickhouse_spark.operators._util import local_rows_df
+
+    return local_rows_df(
+        spark,
         rows,
         StructType(
             [

@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gh_archive_clickhouse_spark.operators._util import ensure_parallelism
+from gh_archive_clickhouse_spark.operators._util import (
+    ensure_parallelism,
+    local_rows_df,
+)
 from gh_archive_clickhouse_spark.functions.vectors import (
     dot,
     dot_unrolled,
@@ -692,8 +695,10 @@ def pq_adc_topk(
             "have exactly one row (batched multi-query search is "
             "the qx41 rank-window shape)"
         )
-    q_lit = encoded.sparkSession.createDataFrame(
-        [(list(rows[0]["__q"]),)], "__q array<double>"
+    q_lit = local_rows_df(
+        encoded.sparkSession,
+        [(list(rows[0]["__q"]),)],
+        "__q array<double>",
     )
     sub = dim // m
     dist = _pq_sub_l2("__q", "e.cvec", "mm", sub)

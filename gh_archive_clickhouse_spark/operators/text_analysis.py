@@ -504,7 +504,36 @@ def bpe_vocab_build(
     words = materialize(
         _bpe_words(docs, text_col).drop("word"), "bpe_words"
     )
-    merges = []
+    merges, _ = _bpe_round_loop(words, rounds)
+    # local_rows_df (r16): the R-row merge table as a one-partition
+    # JVM-literal frame — createDataFrame(list) parallelizes into
+    # defaultParallelism Python-RDD slices, a 32-task Python-worker
+    # wave per consumer action for a handful of driver-local rows.
+    from gh_archive_clickhouse_spark.operators._util import local_rows_df
+
+    return local_rows_df(
+        spark,
+        merges,
+        "merge_round int, left string, right string, merged string, "
+        "pair_count bigint",
+    )
+
+
+def _bpe_round_loop(
+    words: DataFrame, rounds: int
+) -> tuple[list, DataFrame]:
+    """The sequential-election round loop shared by
+    :func:`bpe_vocab_build` and :func:`bpe_build_encode_stats`: up to
+    ``rounds`` exact Sennrich rounds over a (…, syms, wcnt) word
+    table, each round's fold re-materialized (the qx25
+    bounded-iteration pattern). Any extra columns (the fused encode
+    path carries ``word``) pass through untouched. Returns
+    ``(merges, final_words)`` — the merge rows in election order and
+    the word table with every elected merge applied."""
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
+    carry = [c for c in words.columns if c != "syms"]
+    merges: list = []
     for rnd in range(1, rounds + 1):
         elected = bpe_pair_election(words).head(1)
         if not elected:
@@ -516,15 +545,42 @@ def bpe_vocab_build(
         merges.append((rnd, left, right, merged, int(pair_count)))
         words = materialize(
             words.select(
-                _merge_fold(left, right, merged).alias("syms"), "wcnt"
+                _merge_fold(left, right, merged).alias("syms"), *carry
             ),
             f"bpe_words_r{rnd}",
         )
-    return spark.createDataFrame(
-        merges,
-        "merge_round int, left string, right string, merged string, "
-        "pair_count bigint",
+    return merges, words
+
+
+def bpe_build_encode_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rounds: int = 8,
+) -> DataFrame:
+    """Fused vocabulary BUILD + ENCODE — exactly
+    ``bpe_encode_stats(docs, merges_of(bpe_vocab_build(docs,
+    rounds)))``, computed without the second corpus word-table build
+    or the R re-applied merge folds that composition pays (guide
+    §1.2): the build's final round already holds every word's fully
+    merged symbol array, so carrying the ``word`` column through the
+    round loop makes the last word table ITSELF the encode dictionary
+    (word → size(syms)). Fold composition is identical either way
+    (the encode path applies the same ``_merge_fold`` chain to the
+    same word table), so the per-doc stats are bit-identical —
+    property-tested against the two-pass composition.
+
+    Returns (id_col, n_vocab_words, n_bpe_tokens), the
+    :func:`bpe_encode_stats` contract."""
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
+    words = materialize(_bpe_words(docs, text_col), "bpe_be_words")
+    _, final_words = _bpe_round_loop(words, rounds)
+    enc = materialize(
+        final_words.select("word", F.size("syms").alias("n_tokens")),
+        "bpe_encoded_vocab",
     )
+    return _bpe_join_back(docs, enc, text_col, id_col)
 
 
 def _merge_fold_many(pairs: list) -> "F.Column":
@@ -644,7 +700,12 @@ def bpe_vocab_build_batched(
             words.select(fold.alias("syms"), "wcnt"),
             f"bpeb_words_r{rnd}",
         )
-    return spark.createDataFrame(
+    # local_rows_df: same spec-sized-frame layout as the sequential
+    # build's return.
+    from gh_archive_clickhouse_spark.operators._util import local_rows_df
+
+    return local_rows_df(
+        spark,
         out,
         "merge_round int, left string, right string, merged string, "
         "pair_count bigint",

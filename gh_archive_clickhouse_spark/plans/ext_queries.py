@@ -26,7 +26,10 @@ from gh_archive_clickhouse_spark.operators.dedup import (
     simhash,
     simhash_candidate_pairs,
 )
-from gh_archive_clickhouse_spark.operators._util import ensure_parallelism
+from gh_archive_clickhouse_spark.operators._util import (
+    ensure_parallelism,
+    local_rows_df,
+)
 from gh_archive_clickhouse_spark.operators.multimodal import attach_binary_payload
 from gh_archive_clickhouse_spark.operators.similarity import (
     NEARDUP_MAX_BLOCK,
@@ -1932,18 +1935,20 @@ def qx52_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-word token counts back to the corpus for per-doc totals —
     the pass that prices a curated corpus in tokens before packing
     (qx33). Oracle: the same unrolled rounds, with the final round's
-    word→symbols table used as the encode dictionary."""
+    word→symbols table used as the encode dictionary.
+
+    r16: fused build+encode (bpe_build_encode_stats) — the build's
+    final word table IS the encode dictionary, so the former
+    build-collect-then-re-encode composition's second corpus
+    word-table shuffle and R re-applied merge folds are gone; the
+    fold composition (and therefore every per-doc count) is
+    bit-identical, property-tested against the two-pass form."""
     from gh_archive_clickhouse_spark.operators.text_analysis import (
-        bpe_encode_stats,
-        bpe_vocab_build,
+        bpe_build_encode_stats,
     )
 
     docs = read(spark, sf_dir, "documents")
-    merges = [
-        (r.left, r.right, r.merged)
-        for r in bpe_vocab_build(docs, rounds=BPE_ROUNDS).collect()
-    ]
-    return bpe_encode_stats(docs, merges)
+    return bpe_build_encode_stats(docs, rounds=BPE_ROUNDS)
 
 
 # qx58: a large merge table (258 entries — ~32x qx52's 8; the full
@@ -2246,7 +2251,10 @@ def ranked_source_weights(docs: DataFrame) -> DataFrame:
     observed = [
         r[0] for r in docs.select("source").distinct().collect()
     ]
-    return docs.sparkSession.createDataFrame(
+    # local_rows_df: spec-sized local frame — see
+    # mixture_rates_from_counts.
+    return local_rows_df(
+        docs.sparkSession,
         _ranked_weight_rows(observed),
         "source string, weight_ppm long",
     )
@@ -2645,7 +2653,8 @@ def qx38_model_scored_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     while exp() may differ in the last ulp between libms — the same
     engine-parity reasoning as plans/common.dec_sum."""
     docs = read(spark, sf_dir, "documents")
-    weights = spark.createDataFrame(
+    weights = local_rows_df(
+        spark,
         [
             ("len_norm", 0.9),
             ("stop_ratio", 1.4),
@@ -2998,12 +3007,18 @@ def qx42_preprocess_pipeline(
     # of the survivor's own text, so joining it back on doc_id paid a
     # second scan of `kept` plus a join for something `withColumn`
     # computes map-only at the same scan (the qs15 per-batch form).
+    # ensure_parallelism: the kept checkpoint lands AQE-coalesced to
+    # ONE partition at fixture scale, serializing the regex-heavy
+    # stamp on a single core (measured 0.46 s -> 0.13 s at 32 cores);
+    # a well-partitioned cluster input passes through untouched.
     qkept = materialize(
         _stage(
             "qkept",
-            kept.withColumn(
+            ensure_parallelism(kept)
+            .withColumn(
                 "quality", quality_features()["quality"]
-            ).filter(
+            )
+            .filter(
                 (F.col("quality") >= 0.75)
                 & (F.col("source") != "src0")
             ),

@@ -420,8 +420,16 @@ def incremental_dedup_sink(
 
     def _write(batch_df: DataFrame, epoch_id: int) -> dict:
         if not os.path.exists(labels_path):
-            batch_df.sparkSession.createDataFrame(
-                [], LABELS_SCHEMA
+            # local_rows_df (r16): an empty createDataFrame still
+            # parallelizes to defaultParallelism Python-RDD slices —
+            # the seed write was a 32-task wave emitting 32 empty
+            # part files. The literal empty frame writes one.
+            from gh_archive_clickhouse_spark.operators._util import (
+                local_rows_df,
+            )
+
+            local_rows_df(
+                batch_df.sparkSession, [], LABELS_SCHEMA
             ).write.mode("ignore").parquet(labels_path)
         kinds = inner(batch_df, epoch_id)
         if kinds["pairs"] == "major":

@@ -1438,6 +1438,38 @@ def test_bpe_encode_stats_matches_reference(spark):
     assert 2 not in got  # punctuation-only doc dropped
 
 
+def test_bpe_build_encode_stats_matches_two_pass(spark):
+    """The fused build+encode (r16, qx52's path) is bit-identical to
+    the two-pass composition it replaces: vocab build → collect
+    merges → bpe_encode_stats. Covers the early-stop case (rounds
+    beyond the last electable pair) so the fused loop's final word
+    table equals the encode chain there too."""
+    from gh_archive_clickhouse_spark.operators.text_analysis import (
+        bpe_build_encode_stats,
+        bpe_encode_stats,
+        bpe_vocab_build,
+    )
+
+    texts = ["low low lower newest", "new news lowest", "!!! ???", "aa"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for rounds in (4, 40):  # 40 >> electable pairs: early-stop path
+        merges = [
+            (r.left, r.right, r.merged)
+            for r in bpe_vocab_build(docs, rounds=rounds).collect()
+        ]
+        two_pass = {
+            r.doc_id: (r.n_vocab_words, r.n_bpe_tokens)
+            for r in bpe_encode_stats(docs, merges).collect()
+        }
+        fused = {
+            r.doc_id: (r.n_vocab_words, r.n_bpe_tokens)
+            for r in bpe_build_encode_stats(docs, rounds=rounds).collect()
+        }
+        assert fused == two_pass
+
+
 def test_bpe_encode_kernel_learned_order_edges(spark):
     """The candidate-heap rewrite's two ordering edges, pinned against
     the expression path AND literal expectations: a merge whose side
