@@ -319,10 +319,29 @@ def near_duplicate_pairs(
     on it (a single-file local read would otherwise score every pair
     in one task; a well-partitioned cluster input passes through).
     """
+    from gh_archive_clickhouse_spark.plans.common import materialize
+
     if max_block_size is not None:
         hot = hot_blocks(emb, block_col, max_block_size).select(block_col)
         emb = emb.join(hot, on=block_col, how="left_anti")
-    normed = _with_norm(emb, vec_col, "__v", "__n", dim)
+    # Materialize the normed projection BEFORE the self-join (r16,
+    # guide §1.2 — the qx13 persist-signatures-before-pairing shape):
+    # both join sides consume this frame, and Spark plans each side
+    # independently, so un-checkpointed the norm pass, the hot-block
+    # cap's aggregate + anti-join, and any caller-side blocking
+    # expression in the lineage (qx54's 512-term SRP bucket
+    # projection) all executed TWICE per call. The checkpoint also
+    # keeps those big expression trees out of AQE's per-stage
+    # re-optimizations, which dominated qx54's wall (job census: 0.9 s
+    # of executor time under 3.1 s of wall — the rest was
+    # single-threaded driver planning). Interleaved A/B at sf0.1:
+    # qx54 shape 2.9-3.3 -> 1.4-1.7 s, qx32 shape 1.3-1.7 -> 1.1-1.3 s.
+    normed = materialize(
+        _with_norm(emb, vec_col, "__v", "__n", dim).select(
+            block_col, id_col, "__v", "__n"
+        ),
+        "neardup_normed",
+    )
     a = ensure_parallelism(normed).select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("vec_a"),
