@@ -270,40 +270,72 @@ def incremental_lsh_sink(
     """
 
     def _write(batch_df: DataFrame, epoch_id: int) -> dict:
+        from concurrent.futures import ThreadPoolExecutor
+
         spark = batch_df.sparkSession
-        sigs_new = minhash_signatures(batch_df, shingle_k=shingle_k)
-        (
-            sigs_new.withColumn("epoch", F.lit(int(epoch_id)))
-            .repartition(4)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(sig_path)
-        )
-        # The pair join's probe side is the epoch partition just
-        # written — read it BACK instead of recomputing the minhash
-        # pipeline (shingle explode + 16-way hash aggregate) a second
-        # time: ``sigs_new``'s lineage is the whole signature build,
-        # and Spark plans each consumer independently, so using the
-        # frame here would run that build twice per batch. The epoch
-        # filter partition-prunes the scan to the new files; parquet
-        # round-trips long arrays exactly, so the pairs are identical.
-        sigs_disk = spark.read.schema(SIGS_SCHEMA).parquet(sig_path)
-        all_sigs = sigs_disk.drop("epoch")
-        new_sigs = sigs_disk.filter(
-            F.col("epoch") == int(epoch_id)
-        ).drop("epoch")
-        pairs = lsh_candidate_pairs_between(
-            new_sigs, all_sigs, bands=bands, rows_per_band=rows_per_band
-        )
-        (
-            pairs.withColumn("epoch", F.lit(int(epoch_id)))
-            .repartition(1)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch")
-            .parquet(pairs_path)
-        )
+        # ONE signature build per batch, pinned in the block manager:
+        # both per-batch sinks (the epoch write and the pair join's
+        # probe side) consume this checkpoint, so the minhash pipeline
+        # (shingle explode + 16-way hash aggregate) runs exactly once
+        # — the same guarantee the r15 write-then-read-back form gave,
+        # without serializing the pair discovery behind the epoch
+        # write: the two downstream jobs touch DISJOINT outputs (the
+        # signature table's epoch partition vs the pair log), so the
+        # write submits from a driver thread and back-fills executors
+        # while the bucket join runs (guide §2.6); joined + re-raised
+        # before the batch commits, so replay semantics are exactly
+        # the sequential form's. localCheckpoint round-trips the long
+        # arrays exactly (same blocks), so the pairs are identical.
+        sigs_new = minhash_signatures(
+            batch_df, shingle_k=shingle_k
+        ).localCheckpoint(eager=True)
+        try:
+
+            def _sig_write() -> None:
+                (
+                    sigs_new.withColumn("epoch", F.lit(int(epoch_id)))
+                    .repartition(4)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch")
+                    .parquet(sig_path)
+                )
+
+            # The probe side unions the PRIOR epochs from disk with
+            # the new checkpoint — equal to the old "whole table
+            # including the just-written epoch E" read: each doc
+            # lives in exactly one epoch, and on a replay the
+            # epoch != E filter excludes E's stale partition exactly
+            # as the dynamic overwrite used to replace it.
+            if os.path.exists(sig_path):
+                old_sigs = (
+                    spark.read.schema(SIGS_SCHEMA)
+                    .parquet(sig_path)
+                    .filter(F.col("epoch") != int(epoch_id))
+                    .drop("epoch")
+                )
+                all_sigs = old_sigs.unionByName(sigs_new)
+            else:
+                all_sigs = sigs_new
+            pairs = lsh_candidate_pairs_between(
+                sigs_new,
+                all_sigs,
+                bands=bands,
+                rows_per_band=rows_per_band,
+            )
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                fut = pool.submit(_sig_write)
+                (
+                    pairs.withColumn("epoch", F.lit(int(epoch_id)))
+                    .repartition(1)
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("epoch")
+                    .parquet(pairs_path)
+                )
+                fut.result()
+        finally:
+            release_checkpoint(sigs_new)
         sig_fold = _compact_old_epochs(
             spark,
             sig_path,
